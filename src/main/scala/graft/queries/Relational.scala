@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator coverage — projection/filter/map (SURVEY.md §2.2 P1-P3),
+  * unions (J1), semi/anti joins (J2), self-join similarity (J3), multi-way
+  * broadcast joins.
+  *
+  * Scale notes: dimension tables (region/nation/supplier, and customer below
+  * ~100 MB) are broadcast — no shuffle on the fact side; the big
+  * fact-side aggregations rely on partial aggregation (map-side combine)
+  * which Catalyst inserts automatically. Filters/projections are pushed to
+  * the parquet scan. All doubles that pass through arithmetic are rounded in
+  * BOTH engines so the DuckDB hash-compare is stable.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: wide partial agg, tiny result.
+    * Reference analog: per-epoch word count / windowed reduce finishers
+    * (SURVEY §2.4 W10, §2.8 AggregateFunction rows). */
+  def q1_pricing_summary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Projection + filter pushed to the parquet scan (P1/P2).
+    * `PushedFilters` must show both predicates; ReadSchema only 3 columns. */
+  def q2_filter_project(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") >= 100.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val q2Sql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND value >= 100.0 ORDER BY event_id""".stripMargin
+
+  /** 4-way star join: fact(orders) ⋈ customer ⋈ nation ⋈ region, revenue per
+    * region/nation. nation+region are broadcast (tiny); customer is broadcast
+    * below the auto threshold, shuffles above — correct either way at 100 TB
+    * because the fact table never moves for the dim joins. */
+  def q3_region_revenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q3Sql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Left-semi join (EXISTS) — reference J2 friendship-lookup analog:
+    * customers having at least one high-value order. Broadcast the filtered
+    * build side when small; semi-join never duplicates fact rows. */
+  def q4_semi_join(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val q4Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS) — reference J2 "exclude already-friends"
+    * analog: customers with no order above 350k. */
+  def q5_anti_join(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 350000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val q5Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Stream-union (J1): the reference merges 3 heterogeneous CSV streams
+    * (posts/comments/likes) into one unified schema. Analog: three typed
+    * event subsets with different projections unioned by name with missing
+    * columns nulled, then aggregated per type. */
+  def q6_union_streams(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val unified = views
+      .unionByName(clicks, allowMissingColumns = true)
+      .unionByName(buys, allowMissingColumns = true)
+    unified.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           count(col("user_id")).as("n_with_user"),
+           round(sum(coalesce(col("value"), lit(0.0))), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val q6Sql: String =
+    """WITH unified AS (
+      |  SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'view'
+      |  UNION ALL BY NAME
+      |  SELECT event_id, user_id, event_type, NULL::DOUBLE AS value FROM events WHERE event_type = 'click'
+      |  UNION ALL BY NAME
+      |  SELECT event_id, NULL::BIGINT AS user_id, event_type, value FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT event_type, count(*) AS n, count(user_id) AS n_with_user,
+      |       round(sum(coalesce(value, 0.0)), 2) AS sum_value
+      |FROM unified GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Self-join co-engagement similarity — reference J3 static-similarity
+    * (|objects(eigen) ∩ objects(u)| via equi-join + count). "Eigen" users
+    * (user_id % 50 == 0, the reference restricts to 10 eigen users the same
+    * way, FriendRecommender.java:123-155) are joined against all other users
+    * on a shared item key parsed from the props JSON. The eigen restriction
+    * is pushed below the join so the join's left side stays tiny. */
+  def q7_coengagement(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+              regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("item"))
+      .distinct()
+    val eigen = ev.filter(col("user_id") % 50 === 0)
+      .withColumnRenamed("user_id", "eigen_id")
+    eigen.join(ev, Seq("item"))
+      .filter(col("eigen_id") =!= col("user_id"))
+      .groupBy(col("eigen_id"), col("user_id"))
+      .agg(count(lit(1)).as("sim"))
+      .orderBy("eigen_id", "user_id")
+  }
+
+  val q7Sql: String =
+    """WITH ue AS (
+      |  SELECT DISTINCT user_id, regexp_extract(props, '[0-9]+')::BIGINT AS item FROM events
+      |)
+      |SELECT a.user_id AS eigen_id, b.user_id AS user_id, count(*) AS sim
+      |FROM ue a JOIN ue b ON a.item = b.item AND a.user_id <> b.user_id
+      |WHERE a.user_id % 50 = 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1_pricing_summary _),
+    "q2_filter_project"  -> (q2_filter_project _),
+    "q3_region_revenue"  -> (q3_region_revenue _),
+    "q4_semi_join"       -> (q4_semi_join _),
+    "q5_anti_join"       -> (q5_anti_join _),
+    "q6_union_streams"   -> (q6_union_streams _),
+    "q7_coengagement"    -> (q7_coengagement _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_filter_project"  -> q2Sql,
+    "q3_region_revenue"  -> q3Sql,
+    "q4_semi_join"       -> q4Sql,
+    "q5_anti_join"       -> q5Sql,
+    "q6_union_streams"   -> q6Sql,
+    "q7_coengagement"    -> q7Sql)
+}
