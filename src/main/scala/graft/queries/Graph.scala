@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Transitive reply→post resolution and parent/child invariants —
+  * SURVEY.md §2.3 ST1 (PostIdResolver) and §2.5 J4/J5.
+  *
+  * The reference resolves every Reply to its root Post by chasing parent
+  * edges through memcached with event-time-timer retries
+  * (PostIdResolver.java:26-225). Batch-exact Spark equivalent: iterative
+  * self-join with POINTER DOUBLING — each round every node jumps to its
+  * ancestor's ancestor, so a chain of depth d resolves in ⌈log₂ d⌉ rounds
+  * (the reference's memoized shortcut edges, PostIdResolver.java:216-224,
+  * are the same path compression). Each round is one shuffle join on the
+  * pointer key + `localCheckpoint` to cut lineage — at 100 TB this is
+  * log-depth × one shuffle, not depth × one shuffle.
+  *
+  * The driver testdata has no reply table, so the parent relation is derived
+  * deterministically from `events`: event_id % 7 == 0 ⇒ root (a "post"),
+  * otherwise parent = event_id − 1 (a "reply" chain of depth ≤ 6). The
+  * DuckDB oracle resolves the same relation with a recursive CTE.
+  */
+object Graph {
+
+  private def withParents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("event_id") - 1).as("parent_id"),
+      col("ts"))
+
+  /** ST1/J5: resolve every event to its root ancestor. */
+  def st1_resolve_roots(s: SparkSession, dir: String): DataFrame = {
+    var cur = withParents(s, dir).select(
+        col("event_id"),
+        coalesce(col("parent_id"), col("event_id")).as("ptr"),
+        col("parent_id").isNull.as("done"))
+      .localCheckpoint()
+    var remaining = cur.filter(!col("done")).count()
+    var iter = 0
+    while (remaining > 0 && iter < 64) {
+      val p = cur.select(col("event_id").as("p_id"), col("ptr").as("p_ptr"),
+                         col("done").as("p_done"))
+      cur = cur.join(p, cur("ptr") === p("p_id"), "left")
+        .select(
+          cur("event_id"),
+          when(cur("done"), cur("ptr")).otherwise(coalesce(col("p_ptr"), cur("ptr"))).as("ptr"),
+          (cur("done") || coalesce(col("p_done"), lit(false))).as("done"))
+        .localCheckpoint()
+      remaining = cur.filter(!col("done")).count()
+      iter += 1
+    }
+    require(remaining == 0, s"unresolved chains after $iter pointer-doubling rounds")
+    cur.select(col("event_id"), col("ptr").as("root_id")).orderBy("event_id")
+  }
+
+  val st1Sql: String =
+    """WITH RECURSIVE r(event_id, root_id) AS (
+      |  SELECT event_id, event_id FROM events WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT e.event_id, r.root_id FROM events e
+      |  JOIN r ON e.event_id - 1 = r.event_id
+      |  WHERE e.event_id % 7 <> 0
+      |)
+      |SELECT event_id, root_id FROM r ORDER BY event_id""".stripMargin
+
+  /** J4/S9: parent-before-child timestamp invariant (the cleaning
+    * preprocessors, StreamsCleaner.java:63-83) — emit every child event whose
+    * timestamp precedes its parent's. */
+  def j4_ts_violations(s: SparkSession, dir: String): DataFrame = {
+    val ev = withParents(s, dir)
+    val parents = ev.select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    ev.filter(col("parent_id").isNotNull)
+      .join(parents, col("parent_id") === col("p_id"))
+      .filter(col("ts") < col("p_ts"))
+      .select(col("event_id"), col("parent_id"))
+      .orderBy("event_id")
+  }
+
+  val j4Sql: String =
+    """SELECT c.event_id AS event_id, c.event_id - 1 AS parent_id
+      |FROM events c JOIN events p ON c.event_id - 1 = p.event_id
+      |WHERE c.event_id % 7 <> 0 AND c.ts < p.ts
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_resolve_roots" -> (st1_resolve_roots _),
+    "j4_ts_violations"  -> (j4_ts_violations _))
+
+  val oracles: Map[String, String] = Map(
+    "st1_resolve_roots" -> st1Sql,
+    "j4_ts_violations"  -> j4Sql)
+}

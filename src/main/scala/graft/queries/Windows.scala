@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Windowed aggregations — SURVEY.md §2.4 (W1-W10) re-expressed over the
+  * driver's `events` table (the activity-stream analog: user_id ≈ person,
+  * event_type ≈ activity subtype, value ≈ engagement measure).
+  *
+  * Scale notes: tumbling/sliding windows are single `groupBy(window(...))`
+  * shuffles with map-side partial aggregation — the reference's hand-built
+  * two-level pane cascade (ActivePostStatistician.java:56-60) is subsumed by
+  * Catalyst's partial/final aggregation; a sliding window of k panes costs
+  * one shuffle, not k. Window starts are emitted as epoch-second BIGINTs so
+  * the DuckDB oracle (ns timestamps) and Spark (µs) agree bit-for-bit.
+  * All windows use UTC epoch alignment, matching both Flink's default window
+  * alignment (SlidingWindowEvaluator.java:22-25) and DuckDB's time_bucket.
+  */
+object Windows {
+
+  private def winStart(c: String = "window.start") = unix_timestamp(col(c))
+
+  /** W1/W8: per-type tumbling 1 h counts + sums (CountMessages analog). */
+  def w1_tumbling_counts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(winStart().as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  val w1Sql: String =
+    """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS win_start,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** W2/W3: sliding 6 h window, 1 h slide, per type — the active-post
+    * statistics shape (12h/30min in the reference). Spark expands the slide
+    * panes natively inside one hash aggregate. */
+  def w2_sliding_counts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(winStart().as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  val w2Sql: String =
+    """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT - 3600 * k AS win_start,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** W4: unique engaged users per sliding 12 h / 1 h window (exact
+    * `size(collect_set)` semantics via count_distinct; the 100 TB variant is
+    * `approx_count_distinct` — see w4_approx below, rows-only checked). */
+  def w4_unique_users(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "12 hours", "1 hour"), col("event_type"))
+      .agg(count_distinct(col("user_id")).as("uniq_users"))
+      .select(winStart().as("win_start"), col("event_type"), col("uniq_users"))
+      .orderBy("win_start", "event_type")
+
+  val w4Sql: String =
+    """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT - 3600 * k AS win_start,
+      |       event_type, count(DISTINCT user_id) AS uniq_users
+      |FROM events CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** W8/ST4 shape: per-user tumbling 10 min sums (wiki-edits assignment). */
+  def w8_user_tumbling_sum(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(winStart().as("win_start"), col("user_id"), col("n"), col("sum_value"))
+      .orderBy("win_start", "user_id")
+
+  val w8Sql: String =
+    """SELECT floor(epoch(time_bucket(INTERVAL '10 minutes', ts)))::BIGINT AS win_start,
+      |       user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** W9: session windows, 30 min gap, per user — built-in `session_window`
+    * (the reference hand-built this as a Timely `unary_frontier` operator,
+    * session-5-custom-operators/session/src/bin/mine.rs:17-110). Session
+    * start floors to epoch seconds for oracle parity. */
+  def w9_session_windows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(winStart("session_window.start").as("sess_start"),
+              col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+
+  val w9Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT floor(epoch(min(ts)))::BIGINT AS sess_start, user_id,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
+
+  /** W7/F6: top-5 "recommendations" — per event_type, per-user dynamic
+    * (sum of value) and static (activity count) scores are min-max
+    * normalized (degenerate span → 1.0, FriendRecommender.java:346-354),
+    * blended 0.3·static + 0.7·dynamic (Config.java:83), ranked top-5 with a
+    * deterministic user_id tie-break. Ranking happens on the ROUNDED blend so
+    * both engines rank identically despite last-bit double drift. */
+  def w7_top5_blend(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum("value").as("dyn"), count(lit(1)).cast("double").as("stat"))
+    val w = Window.partitionBy(col("event_type"))
+    def mmNorm(c: String) = {
+      val (mn, mx) = (min(col(c)).over(w), max(col(c)).over(w))
+      when(mx === mn, 1.0).otherwise((col(c) - mn) / (mx - mn))
+    }
+    val scored = perUser
+      .withColumn("score", round(lit(0.3) * mmNorm("stat") + lit(0.7) * mmNorm("dyn"), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("score").desc, col("user_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("event_type"), col("user_id"), col("score"), col("rank"))
+      .orderBy("event_type", "rank")
+  }
+
+  val w7Sql: String =
+    """WITH per_user AS (
+      |  SELECT event_type, user_id, sum(value) AS dyn, count(*)::DOUBLE AS stat
+      |  FROM events GROUP BY 1, 2
+      |), norm AS (
+      |  SELECT event_type, user_id,
+      |    CASE WHEN max(stat) OVER w = min(stat) OVER w THEN 1.0
+      |         ELSE (stat - min(stat) OVER w) / (max(stat) OVER w - min(stat) OVER w) END AS stat_n,
+      |    CASE WHEN max(dyn) OVER w = min(dyn) OVER w THEN 1.0
+      |         ELSE (dyn - min(dyn) OVER w) / (max(dyn) OVER w - min(dyn) OVER w) END AS dyn_n
+      |  FROM per_user WINDOW w AS (PARTITION BY event_type)
+      |), scored AS (
+      |  SELECT event_type, user_id, round(0.3 * stat_n + 0.7 * dyn_n, 4) AS score FROM norm
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY score DESC, user_id) AS rank
+      |  FROM scored)
+      |SELECT event_type, user_id, score, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_tumbling_counts"   -> (w1_tumbling_counts _),
+    "w2_sliding_counts"    -> (w2_sliding_counts _),
+    "w4_unique_users"      -> (w4_unique_users _),
+    "w8_user_tumbling_sum" -> (w8_user_tumbling_sum _),
+    "w9_session_windows"   -> (w9_session_windows _),
+    "w7_top5_blend"        -> (w7_top5_blend _))
+
+  val oracles: Map[String, String] = Map(
+    "w1_tumbling_counts"   -> w1Sql,
+    "w2_sliding_counts"    -> w2Sql,
+    "w4_unique_users"      -> w4Sql,
+    "w8_user_tumbling_sum" -> w8Sql,
+    "w9_session_windows"   -> w9Sql,
+    "w7_top5_blend"        -> w7Sql)
+}
