@@ -8,9 +8,11 @@ object SparkEntry {
     Relational.q3_region_revenue(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Windows.queries ++ Stateful.queries ++ Graph.queries
+    Relational.queries ++ Windows.queries ++ Stateful.queries ++ Graph.queries ++
+      TextAnalysis.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Windows.oracles ++ Stateful.oracles ++ Graph.oracles
+    Relational.oracles ++ Windows.oracles ++ Stateful.oracles ++ Graph.oracles ++
+      TextAnalysis.oracles
 }

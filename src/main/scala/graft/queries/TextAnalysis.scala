@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import QUtil._
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * `documents` table: token statistics, quality scoring, language ID, and
+  * document fingerprinting. The reference computes the same family of
+  * per-document text measures for its anomaly features (unique-words ratio and
+  * content length, AnomalousUserDetector.java:203-207 / :123-132 — SURVEY.md
+  * §2.7 F3-F4); here they are generalized to the corpus-curation measures a
+  * 100 TB text pipeline needs.
+  *
+  * Scale notes: every query is embarrassingly parallel per document — a single
+  * projection over the parquet scan with NO shuffle (except final orderBy,
+  * which exists only for the oracle compare and would be dropped in
+  * production). All token work uses codegen'd `split`/`array` functions, no
+  * UDFs. Only `text` + key columns are read (column pruning).
+  */
+object TextAnalysis {
+
+  private def toks = split(col("text"), " ")
+
+  /** F3/token counting: whitespace token count, distinct count, unique-words
+    * ratio, BPE-ish subword count (runs of letters / digits / single
+    * non-space symbols — the standard pre-tokenizer regex shape), chars per
+    * token. */
+  def t1_token_stats(s: SparkSession, dir: String): DataFrame = {
+    val n = size(toks)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        round4(size(array_distinct(toks)).cast("double") / n).as("uniq_ratio"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_subwords"),
+        round4(length(col("text")).cast("double") / n).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val t1Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+      |  floor(len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |        / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0 AS uniq_ratio,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_subwords,
+      |  floor(length(text)::DOUBLE / len(string_split(text, ' ')) * 10000.0 + 0.5)
+      |    / 10000.0 AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: stopword ratio, mean token length, and a blended
+    * 0-1 quality heuristic (the length/stopword/uniqueness blend every
+    * web-scale corpus filter uses). Kept fully relational — the score is a
+    * deterministic arithmetic expression, filterable at scan time. */
+  def t2_quality_score(s: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("double")
+    val stopwords = array(lit("a"), lit("the"), lit("of"), lit("and"))
+    val nStop = size(filter(toks, t => array_contains(stopwords, t))).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val meanLen = (length(col("text")) - (size(toks) - 1)).cast("double") / n
+    val lenScore = least(n / lit(60.0), lit(1.0))
+    val score = least(greatest(
+      lit(0.4) * lenScore + lit(0.4) * uniq + lit(0.2) * (lit(1.0) - nStop / n),
+      lit(0.0)), lit(1.0))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        round4(nStop / n).as("stop_ratio"),
+        round4(meanLen).as("mean_tok_len"),
+        round4(score).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val t2Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' '))::DOUBLE AS n,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('a', 'the', 'of', 'and')))::DOUBLE AS n_stop,
+      |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS n_uniq,
+      |    (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE AS tok_chars
+      |  FROM documents)
+      |SELECT doc_id,
+      |  floor(n_stop / n * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+      |  floor(tok_chars / n * 10000.0 + 0.5) / 10000.0 AS mean_tok_len,
+      |  floor(least(greatest(
+      |      0.4 * least(n / 60.0, 1.0) + 0.4 * (n_uniq / n) + 0.2 * (1.0 - n_stop / n),
+      |      0.0), 1.0) * 10000.0 + 0.5) / 10000.0 AS quality
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Language ID via stopword-profile scoring (the n-gram-heuristic family):
+    * score each doc against per-language marker-token profiles, argmax wins,
+    * below-threshold ⇒ 'unk'. Profiles are tiny literal arrays — at scale
+    * they would be a broadcast table joined in; the per-doc work is identical
+    * either way. */
+  def t3_lang_id(s: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("double")
+    val enMarkers = array(lit("a"), lit("the"), lit("of"), lit("and"), lit("in"))
+    val deMarkers = array(lit("der"), lit("die"), lit("das"), lit("und"), lit("ist"))
+    val enScore = size(filter(toks, t => array_contains(enMarkers, t))).cast("double") / n
+    val deScore = size(filter(toks, t => array_contains(deMarkers, t))).cast("double") / n
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        round4(enScore).as("en_score"),
+        when(enScore < lit(0.01) && deScore < lit(0.01), lit("unk"))
+          .when(deScore > enScore, lit("de"))
+          .otherwise(lit("en")).as("predicted"))
+      .withColumn("correct", (col("predicted") === col("lang")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  val t3Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('a', 'the', 'of', 'and', 'in')))::DOUBLE
+      |      / len(string_split(text, ' ')) AS en_score,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('der', 'die', 'das', 'und', 'ist')))::DOUBLE
+      |      / len(string_split(text, ' ')) AS de_score
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  floor(en_score * 10000.0 + 0.5) / 10000.0 AS en_score,
+      |  CASE WHEN en_score < 0.01 AND de_score < 0.01 THEN 'unk'
+      |       WHEN de_score > en_score THEN 'de' ELSE 'en' END AS predicted,
+      |  (CASE WHEN en_score < 0.01 AND de_score < 0.01 THEN 'unk'
+      |        WHEN de_score > en_score THEN 'de' ELSE 'en' END) = lang AS correct
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: a position-weighted token hash folded modulo
+    * 2³¹ (the rolling-hash family, simplified so both engines compute it in
+    * exact 64-bit integer arithmetic). Tokens are mapped to ids through a
+    * corpus dictionary (distinct token → dense rank) — the relational
+    * formulation of "hash the token": deterministic, shuffle-once, and
+    * collision-free by construction. */
+  def t4_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tokPos = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val dict = tokPos.select(col("tok")).distinct()
+      .withColumn("tok_id", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("long"))
+    tokPos.join(broadcast(dict), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(((sum((col("tok_id") + 1) * (col("pos") + 17)) % 2147483647L)).as("fingerprint"),
+           count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val t4Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         unnest(range(len(string_split(text, ' ')))) AS pos
+      |  FROM documents
+      |), dict AS (
+      |  SELECT tok, dense_rank() OVER (ORDER BY tok)::BIGINT AS tok_id
+      |  FROM (SELECT DISTINCT tok FROM tok)
+      |)
+      |SELECT doc_id,
+      |  (sum((tok_id + 1) * (pos + 17))::BIGINT % 2147483647) AS fingerprint,
+      |  count(*)::BIGINT AS n_tokens
+      |FROM tok JOIN dict USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_token_stats"   -> (t1_token_stats _),
+    "t2_quality_score" -> (t2_quality_score _),
+    "t3_lang_id"       -> (t3_lang_id _),
+    "t4_fingerprint"   -> (t4_fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_stats"   -> t1Sql,
+    "t2_quality_score" -> t2Sql,
+    "t3_lang_id"       -> t3Sql,
+    "t4_fingerprint"   -> t4Sql)
+}
