@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import QUtil._
+
+/** Deduplication operators for training-data curation over `documents`:
+  * exact, n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Scale design (the 100 TB story, in order of appearance):
+  *  - exact dedup = one hash shuffle on the normalized key; no driver state.
+  *  - n-gram Jaccard = shingle explode (narrow) → self-join on shingle. The
+  *    self-join is the quadratic step; it is ONLY run on the candidate set in
+  *    the LSH variant below — d2 is the exact oracle at verifiable scale.
+  *  - MinHash+LSH = shingle→minhash signature (one agg), band → bucket join
+  *    (equi-join on band key, linear in bucket sizes), exact-Jaccard verify
+  *    restricted to candidates. This is the canonical near-dup pipeline shape
+  *    (shingle → minhash → band → bucket-join → verify).
+  *  - SimHash = per-token signed bit votes → 16-bit fingerprint; candidate
+  *    pairs via pigeonhole banding (dist ≤ 3 ⇒ one of 4 nibbles equal), so
+  *    the pair join is an equi-join, never a cross join.
+  *
+  * Cross-engine determinism: hash permutations are explicit
+  * (a·id + b) mod p over a dense shingle/token dictionary (dense_rank on the
+  * distinct set) — exact 64-bit integer arithmetic in both engines. At
+  * production scale the dictionary is replaced by xxhash64(shingle) (no
+  * global rank), which changes no plan shape.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private val hashA = Seq(1299721L, 7919L, 104729L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L)
+  private val hashB = Seq(104659L, 1299709L, 512927377L, 15487469L, 86028157L, 982451653L, 472882027L, 533000389L)
+
+  /** SQL literal `(VALUES ...)` table of the hash params, j = 0..7. */
+  private def paramsSql: String =
+    hashA.zip(hashB).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }
+      .mkString("(VALUES ", ", ", ") AS p(j, a, b)")
+
+  private def paramsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    hashA.zip(hashB).zipWithIndex.map { case ((a, b), j) => (j.toLong, a, b) }
+      .toDF("j", "a", "b")
+  }
+
+  /** D1 exact dedup: normalized-key grouping, canonical = min doc_id per
+    * group. One shuffle on the key; `min over (partition by key)` keeps every
+    * row (audit-friendly) rather than collapsing. */
+  def d1_exact_dedup(s: SparkSession, dir: String): DataFrame = {
+    val key = substring(col("text"), 1, 64)
+    val w = Window.partitionBy(col("key"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("canonical_id"),
+              (col("doc_id") =!= col("canonical_id")).as("is_dup"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  val d1Sql: String =
+    """SELECT doc_id,
+      |  min(doc_id) OVER w AS canonical_id,
+      |  doc_id <> min(doc_id) OVER w AS is_dup,
+      |  count(*) OVER w AS group_size
+      |FROM documents
+      |WINDOW w AS (PARTITION BY substring(text, 1, 64))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc, built with `lead` over token
+    * position — the same formulation both engines execute identically. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+              concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w),
+                        lead(col("tok"), 2).over(w)).as("sh"),
+              lead(col("tok"), 2).over(w).isNotNull.as("has3"))
+      .filter(col("has3"))
+      .select(col("doc_id"), col("sh"))
+      .distinct()
+  }
+
+  private val shinglesSqlCte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         unnest(range(len(string_split(text, ' ')))) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh,
+      |      lead(tok, 2) OVER w IS NOT NULL AS has3
+      |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |  WHERE has3
+      |)""".stripMargin
+
+  /** Jaccard for a pair table with `inter` + per-doc sizes joined in. */
+  private def jaccard(inter: Column, na: Column, nb: Column): Column =
+    round4(inter.cast("double") / (na + nb - inter))
+
+  /** D2 n-gram Jaccard dedup (exact): pairs sharing ≥1 shingle, Jaccard on
+    * distinct-shingle sets, threshold 0.5. The all-pairs self-join is the
+    * exact baseline that d3's LSH approximates. */
+  def d2_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d2Sql: String =
+    s"""WITH $shinglesSqlCte, sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter,
+      |  floor(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) * 10000.0 + 0.5) / 10000.0 AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE floor(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) * 10000.0 + 0.5) / 10000.0 >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** D3 MinHash + LSH: 8 hash permutations over a dense shingle dictionary,
+    * signature banded 4×2, candidates = pairs sharing a band bucket, verified
+    * with exact Jaccard (computed only for candidates). */
+  def d3_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val dict = sh.select(col("sh")).distinct()
+      .withColumn("sh_id", dense_rank().over(Window.orderBy(col("sh"))).cast("long"))
+    val ids = sh.join(broadcast(dict), Seq("sh")).select(col("doc_id"), col("sh_id"))
+    val mh = ids.join(broadcast(paramsDf(s)))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min((col("a") * col("sh_id") + col("b")) % P).as("mh"))
+    val bands = mh.withColumn("band", (col("j") / 2).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
+           max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.mh0") === col("y.mh0") &&
+        col("x.mh1") === col("y.mh1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d3Sql: String =
+    s"""WITH $shinglesSqlCte, dict AS (
+      |  SELECT sh, dense_rank() OVER (ORDER BY sh)::BIGINT AS sh_id
+      |  FROM (SELECT DISTINCT sh FROM sh)
+      |), mh AS (
+      |  SELECT s.doc_id, p.j, min((p.a * d.sh_id + p.b) % ${P}) AS mh
+      |  FROM sh s JOIN dict d USING (sh) CROSS JOIN $paramsSql
+      |  GROUP BY 1, 2
+      |), bands AS (
+      |  SELECT doc_id, j // 2 AS band,
+      |    max(CASE WHEN j % 2 = 0 THEN mh END) AS mh0,
+      |    max(CASE WHEN j % 2 = 1 THEN mh END) AS mh1
+      |  FROM mh GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.mh0 = y.mh0 AND x.mh1 = y.mh1
+      |   AND x.doc_id < y.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+      |  GROUP BY 1, 2)
+      |SELECT c.doc_a, c.doc_b,
+      |  floor(coalesce(i.inter, 0)::DOUBLE / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))
+      |        * 10000.0 + 0.5) / 10000.0 AS jaccard
+      |FROM cand c
+      |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |JOIN sizes sa ON sa.doc_id = c.doc_a
+      |JOIN sizes sb ON sb.doc_id = c.doc_b
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Per-bit hash params: quadratic (a·id + b)·id + (a+b) mod P, middle bit
+    * (bit 15) extracted — a linear hash's low bit is parity-structured and
+    * produces perfectly correlated fingerprint bits. */
+  private def simhashParams(j: Int): (Long, Long) =
+    (hashA(j % 8) + 13L * (j / 8), hashB(j % 8) + 7L * (j / 8))
+
+  /** D4 SimHash: 32-bit fingerprints from signed per-token bit votes
+    * (token weight = in-doc count), near-dups = hamming distance ≤ 2 found
+    * via pigeonhole byte banding (dist ≤ 3 ⇒ one of 4 bytes equal — never a
+    * cross join). */
+  def d4_simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val dict = toks.select(col("tok")).distinct()
+      .withColumn("tok_id", dense_rank().over(Window.orderBy(col("tok"))).cast("long"))
+    val withId = toks.join(broadcast(dict), Seq("tok"))
+    val bits = (0 until 32).map { j =>
+      val (a, b) = simhashParams(j)
+      val bit = shiftright(((lit(a) * col("tok_id") + lit(b)) * col("tok_id") + lit(a + b)) % P, 15) % 2
+      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt")))
+    }
+    val fp = withId.groupBy(col("doc_id"))
+      .agg(
+        (0 until 32).map(j => when(bits(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+    val bnd = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"), (shiftright(col("fp"), 8 * k) % 256).as("bv"))): _*)).as("nb"))
+      .select(col("doc_id"), col("fp"), col("nb.k"), col("nb.bv"))
+    bnd.as("x").join(bnd.as("y"),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.fp").as("fpa"), col("y.fp").as("fpb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fpa ^ fpb)").cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d4Sql: String = {
+    val bitSums = (0 until 32).map { j =>
+      val (a, b) = simhashParams(j)
+      s"CASE WHEN sum(CASE WHEN ((($a * tok_id + $b) * tok_id + ${a + b}) % ${P}) >> 15 & 1 = 1 THEN cnt ELSE -cnt END) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tc AS (
+      |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+      |), dict AS (
+      |  SELECT tok, dense_rank() OVER (ORDER BY tok)::BIGINT AS tok_id
+      |  FROM (SELECT DISTINCT tok FROM tc)
+      |), fp AS (
+      |  SELECT doc_id, ($bitSums)::BIGINT AS fp
+      |  FROM tc JOIN dict USING (tok) GROUP BY doc_id
+      |), bnd AS (
+      |  SELECT doc_id, fp, k, (fp >> (8 * k)) % 256 AS bv
+      |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS k)
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fpa, y.fp AS fpb
+      |  FROM bnd x JOIN bnd y ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, bit_count(xor(fpa, fpb))::BIGINT AS hamming
+      |FROM cand WHERE bit_count(xor(fpa, fpb)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup"   -> (d1_exact_dedup _),
+    "d2_ngram_jaccard" -> (d2_ngram_jaccard _),
+    "d3_minhash_lsh"   -> (d3_minhash_lsh _),
+    "d4_simhash"       -> (d4_simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup"   -> d1Sql,
+    "d2_ngram_jaccard" -> d2Sql,
+    "d3_minhash_lsh"   -> d3Sql,
+    "d4_simhash"       -> d4Sql)
+}
