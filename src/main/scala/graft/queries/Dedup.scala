@@ -31,18 +31,18 @@ import QUtil._
 object Dedup {
 
   private val P = 2147483647L // 2^31 - 1, Mersenne prime
-  private val hashA = Seq(1299721L, 7919L, 104729L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L)
-  private val hashB = Seq(104659L, 1299709L, 512927377L, 15487469L, 86028157L, 982451653L, 472882027L, 533000389L)
+  private[queries] val lshA = Seq(1299721L, 7919L, 104729L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L)
+  private[queries] val lshB = Seq(104659L, 1299709L, 512927377L, 15487469L, 86028157L, 982451653L, 472882027L, 533000389L)
 
   /** SQL literal `(VALUES ...)` table of the hash params, j = 0..7. */
   private def paramsSql: String =
-    hashA.zip(hashB).zipWithIndex
+    lshA.zip(lshB).zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }
       .mkString("(VALUES ", ", ", ") AS p(j, a, b)")
 
   private def paramsDf(s: SparkSession): DataFrame = {
     import s.implicits._
-    hashA.zip(hashB).zipWithIndex.map { case ((a, b), j) => (j.toLong, a, b) }
+    lshA.zip(lshB).zipWithIndex.map { case ((a, b), j) => (j.toLong, a, b) }
       .toDF("j", "a", "b")
   }
 
@@ -208,7 +208,7 @@ object Dedup {
     * (bit 15) extracted — a linear hash's low bit is parity-structured and
     * produces perfectly correlated fingerprint bits. */
   private def simhashParams(j: Int): (Long, Long) =
-    (hashA(j % 8) + 13L * (j / 8), hashB(j % 8) + 7L * (j / 8))
+    (lshA(j % 8) + 13L * (j / 8), lshB(j % 8) + 7L * (j / 8))
 
   /** D4 SimHash: 32-bit fingerprints from signed per-token bit votes
     * (token weight = in-doc count), near-dups = hamming distance ≤ 2 found
