@@ -31,9 +31,12 @@ object Graph {
         .otherwise(col("event_id") - 1).as("parent_id"),
       col("ts"))
 
-  /** ST1/J5: resolve every event to its root ancestor. */
-  def st1_resolve_roots(s: SparkSession, dir: String): DataFrame = {
-    var cur = withParents(s, dir).select(
+  /** Pointer-doubling transitive-root resolution over an arbitrary
+    * (event_id, parent_id) relation — parent_id null ⇒ root. Reusable core
+    * shared by the query entry and unit tests; ⌈log₂ depth⌉ shuffle-join
+    * rounds, lineage cut per round with localCheckpoint. */
+  def resolveRoots(edges: DataFrame): DataFrame = {
+    var cur = edges.select(
         col("event_id"),
         coalesce(col("parent_id"), col("event_id")).as("ptr"),
         col("parent_id").isNull.as("done"))
@@ -53,8 +56,12 @@ object Graph {
       iter += 1
     }
     require(remaining == 0, s"unresolved chains after $iter pointer-doubling rounds")
-    cur.select(col("event_id"), col("ptr").as("root_id")).orderBy("event_id")
+    cur.select(col("event_id"), col("ptr").as("root_id"))
   }
+
+  /** ST1/J5: resolve every event to its root ancestor. */
+  def st1_resolve_roots(s: SparkSession, dir: String): DataFrame =
+    resolveRoots(withParents(s, dir)).orderBy("event_id")
 
   val st1Sql: String =
     """WITH RECURSIVE r(event_id, root_id) AS (

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.Tables
+
+/** Structured Streaming twins of the batch operators (SURVEY.md §7.2 M7,
+  * §2.6). The reference is an event-time Flink pipeline with a 30-minute
+  * bounded-out-of-orderness watermark (`SocialNetwork.java:78-83`); these are
+  * the same computations as `readStream` dataflows.
+  *
+  * Correctness contract (SURVEY.md §5): fidelity is defined on FINAL values —
+  * each streaming query replays the bounded events table with
+  * `Trigger.AvailableNow` and must produce exactly the batch result, which
+  * the DuckDB oracle already checks. Windowed aggregations run in complete
+  * mode (bounded replay ⇒ bounded state); per-key stateful operators run in
+  * update mode emitting per event, exactly like the reference's
+  * `ValueState` process functions.
+  *
+  * Scale notes: a streaming windowed agg shuffles once on (window, key) with
+  * partial aggregation, the same plan as batch; `flatMapGroupsWithState`
+  * shuffles once on the key and holds O(1) state per key in the state store
+  * (RocksDB-backed on a real cluster — the design the reference wanted
+  * instead of external memcached, design-document.pdf p.1 §2.1).
+  */
+object Streams {
+
+  /** Events table as an unbounded-source DataFrame (parquet file stream).
+    * The file streaming source monitors a DIRECTORY; the testdata ships one
+    * parquet file per table, so we expose it through a symlink directory
+    * (read-only testdata stays untouched). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "events")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(Tables.path(dir, "events")))
+    val raw = s.readStream.schema(
+        s.read.parquet(Tables.path(dir, "events")).schema)
+      .parquet(streamDir.toString)
+    // same ns→µs normalization as the batch reader
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run a bounded streaming query to completion against an in-memory sink
+    * and return the final table. */
+  private def runToMemory(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** X1: watermarked sliding-window counts (W2 streaming twin). Complete
+    * mode ⇒ the final table carries every window, matching batch w2. */
+  def x1_sliding_counts(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+              col("event_type"), col("n"), col("sum_value"))
+    runToMemory(agg, OutputMode.Complete(), s"x1_mem_${System.nanoTime()}")
+      .orderBy("win_start", "event_type")
+  }
+
+  case class Ev(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
+  case class RunOut(event_id: Long, user_id: Long, run_sum: Double, run_n: Long)
+  case class RunState(sum: Double, n: Long)
+
+  /** X2: per-user running cumulative sum via `flatMapGroupsWithState` — the
+    * streaming twin of ST4 (the reference's checkpointed `ValueState`
+    * ComputeDiffs, session-9/FlinkKafkaConsumer.java:108-137). Emits one row
+    * per event in (ts, event_id) order; state = (sum, n) per user. Final
+    * output equals the batch window form (st4 oracle). */
+  def x2_running_user_sum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[Ev] = eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, RunOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[Ev], state: GroupState[RunState]) =>
+          var st = state.getOption.getOrElse(RunState(0.0, 0L))
+          val outs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+            st = RunState(st.sum + e.value, st.n + 1)
+            val rounded = BigDecimal(st.sum)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            RunOut(e.event_id, e.user_id, rounded, st.n)
+          }
+          state.update(st)
+          outs.iterator
+      }
+    runToMemory(out.toDF(), OutputMode.Update(), s"x2_mem_${System.nanoTime()}")
+      .orderBy("event_id")
+  }
+
+  case class Edge(event_id: Long, parentOrSelf: Long, isRoot: Boolean, chain: Long)
+  case class ResOut(event_id: Long, root_id: Long)
+  case class ResState(resolved: Map[Long, Long], parked: List[(Long, Long)])
+
+  /** X3: streaming reply→root resolution via `flatMapGroupsWithState` — the
+    * streaming twin of ST1 (PostIdResolver.java:26-225): arrivals whose
+    * parent is unknown park in state and flush when the parent resolves,
+    * replacing the reference's external memcached with the per-key state
+    * store. Keyed by chain group; emits (event_id, root_id). */
+  def x3_stream_resolver(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = eventsStream(s, dir)
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, col("event_id"))
+          .otherwise(col("event_id") - 1).as("parentOrSelf"),
+        (col("event_id") % 7 === 0).as("isRoot"),
+        (col("event_id") / 7).cast("long").as("chain"))
+      .as[Edge]
+    val out = ds.groupByKey(_.chain)
+      .flatMapGroupsWithState[ResState, ResOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[Edge], state: GroupState[ResState]) =>
+          var st = state.getOption.getOrElse(ResState(Map.empty, Nil))
+          val emitted = scala.collection.mutable.ListBuffer[ResOut]()
+          def resolve(id: Long, root: Long): Unit = {
+            st = ResState(st.resolved + (id -> root), st.parked)
+            emitted += ResOut(id, root)
+            // flush any parked children now resolvable
+            val (ready, stillParked) = st.parked.partition(_._2 == id)
+            st = ResState(st.resolved, stillParked)
+            ready.foreach { case (child, _) => resolve(child, root) }
+          }
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            if (e.isRoot) resolve(e.event_id, e.event_id)
+            else st.resolved.get(e.parentOrSelf) match {
+              case Some(root) => resolve(e.event_id, root)
+              case None => st = ResState(st.resolved, (e.event_id, e.parentOrSelf) :: st.parked)
+            }
+          }
+          state.update(st)
+          emitted.iterator
+      }
+    runToMemory(out.toDF(), OutputMode.Update(), s"x3_mem_${System.nanoTime()}")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_stream_sliding_counts" -> (x1_sliding_counts _),
+    "x2_stream_running_sum"    -> (x2_running_user_sum _),
+    "x3_stream_resolver"       -> (x3_stream_resolver _))
+
+  /** Streaming queries replay to the same final values as their batch twins,
+    * so they share those oracles (SURVEY.md §5: final-value fidelity). */
+  val oracles: Map[String, String] = Map(
+    "x1_stream_sliding_counts" -> graft.queries.Windows.w2Sql,
+    "x2_stream_running_sum"    -> graft.queries.Stateful.st4Sql,
+    "x3_stream_resolver"       -> graft.queries.Graph.st1Sql)
+}
