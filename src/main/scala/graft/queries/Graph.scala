@@ -35,7 +35,7 @@ object Graph {
     * (event_id, parent_id) relation — parent_id null ⇒ root. Reusable core
     * shared by the query entry and unit tests; ⌈log₂ depth⌉ shuffle-join
     * rounds, lineage cut per round with localCheckpoint. */
-  def resolveRoots(edges: DataFrame): DataFrame = {
+  def resolveRoots(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     var cur = edges.select(
         col("event_id"),
         coalesce(col("parent_id"), col("event_id")).as("ptr"),
@@ -43,7 +43,7 @@ object Graph {
       .localCheckpoint()
     var remaining = cur.filter(!col("done")).count()
     var iter = 0
-    while (remaining > 0 && iter < 64) {
+    while (remaining > 0 && iter < maxIters) {
       val p = cur.select(col("event_id").as("p_id"), col("ptr").as("p_ptr"),
                          col("done").as("p_done"))
       cur = cur.join(p, cur("ptr") === p("p_id"), "left")

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Graph
+
+/** Pointer-doubling resolution (SURVEY.md §2.3 ST1 / §2.5 J5): must resolve
+  * arbitrary-depth chains in logarithmic rounds, mirroring the reference's
+  * memoized-shortcut resolution (PostIdResolver.java:216-224). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resolves a deep chain (depth 100)") {
+    // 0 <- 1 <- 2 <- ... <- 100
+    val edges = (0L to 100L)
+      .map(i => (i, if (i == 0) None else Some(i - 1)))
+      .toDF("event_id", "parent_id")
+    val roots = Graph.resolveRoots(edges)
+    assert(roots.count() == 101)
+    assert(roots.filter(col("root_id") =!= 0L).count() == 0)
+  }
+
+  test("resolves a forest of disjoint chains and stars") {
+    // chain 10<-11<-12, star 20<-{21,22,23}, singleton 30
+    val edges = Seq(
+      (10L, None), (11L, Some(10L)), (12L, Some(11L)),
+      (20L, None), (21L, Some(20L)), (22L, Some(20L)), (23L, Some(20L)),
+      (30L, None)).toDF("event_id", "parent_id")
+    val roots = Graph.resolveRoots(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 30L -> 30L))
+  }
+
+  test("fails loudly on an unresolvable (cyclic) relation") {
+    val edges = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("event_id", "parent_id")
+    intercept[Exception] { Graph.resolveRoots(edges, maxIters = 4).count() }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + plan-shape checks for every declared query at sf0.001:
+  * each runs, returns rows, and the scan-level optimizations the 100 TB
+  * design relies on actually appear in the physical plan. */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (n == 0) Some(name) else None
+    }
+    // d2/d3/s2 near-dup pairs may legitimately be empty at tiny scale
+    val allowedEmpty = Set("d2_ngram_jaccard", "d3_minhash_lsh", "s2_lsh_neardup",
+      "j4_ts_violations")
+    assert((empties.toSet -- allowedEmpty).isEmpty,
+      s"unexpected empty results: ${empties.mkString(", ")}")
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: ${missing.mkString(", ")}")
+  }
+
+  test("filter + projection push into the parquet scan (q2)") {
+    val plan = graft.queries.Relational.q2_filter_project(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(event_type)") || plan.contains("EqualTo(event_type"),
+      s"expected event_type pushdown in:\n$plan")
+    // ReadSchema must not include unused columns like props
+    assert(!plan.contains("props"), "projection not pruned — props column read")
+  }
+
+  test("dimension joins broadcast (q3 star join)") {
+    val plan = graft.queries.Relational.q3_region_revenue(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the aggregation hot path (q1)") {
+    val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n) Operator"
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(plan).isDefined,
+      s"expected codegen'd aggregation in:\n$plan")
+    // partial aggregation (map-side combine) must precede the exchange
+    assert(plan.contains("partial_sum"), s"expected partial aggregation in:\n$plan")
+  }
+}
