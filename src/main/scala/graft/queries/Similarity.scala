@@ -11,59 +11,47 @@ import QUtil._
   * near-dup pairs, and an IVF-style centroid-routed top-k (the scale path).
   *
   * Scale design:
-  *  - s1 brute force is O(|Q|·N·D) — correct baseline, linear scans, query
-  *    side broadcast so the corpus never shuffles. At 100 TB it is the
-  *    fallback and the recall oracle for the approximate variants.
+  *  - s1 brute force is O(|Q|·N·D) — correct baseline, linear scans; the
+  *    tiny query side is broadcast so the corpus never shuffles, and dot
+  *    products are ARRAY-NATIVE (`zip_with` + `aggregate`, one row per pair)
+  *    rather than explode-joins (which would multiply the pair table ×64).
   *  - s2 hyperplane LSH: 16 sign-bits vs deterministic pseudo-random
-  *    hyperplanes → 4×4-bit bands → candidate pairs via equi-join on
-  *    (band, value) — the quadratic pair space is never materialized.
+  *    hyperplanes → 2×8-bit bands → candidate pairs via equi-join on
+  *    (band, value) — the quadratic pair space is never materialized; only
+  *    candidates get exact verification.
   *  - s3 IVF: coarse quantizer = per-label centroids (10 cells); queries
   *    route to their nearest centroid and search ONLY that cell — the
   *    1/cells fan-out reduction that makes ANN tractable at scale.
   *
-  * Cross-engine determinism: every dot product accumulates exact
-  * DECIMAL(38,30) addends (float×float products are exact in double;
-  * double→decimal cast is the same nearest-rounding in both engines), so
-  * sums are order-independent. Scores floor-round to 4 dp and rank ties
-  * break on vec_id.
+  * Cross-engine determinism: every dot-product addend is cast to exact
+  * DECIMAL(30,20) (float×float products are exact in double; double→decimal
+  * is the same nearest-rounding in both engines), so the sum is
+  * order-independent — Spark's sequential array fold and DuckDB's grouped
+  * sum agree bit-for-bit. Scores floor-round to 4 dp; rank ties break on
+  * vec_id.
   */
 object Similarity {
 
   private val D = 64 // embedding dimensionality (TESTDATA.md)
+  private val DEC = "decimal(30,20)"
 
-  /** (vec_id, label, i, v): exploded embedding elements as double. */
-  private def elems(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-              posexplode(col("embedding")).as(Seq("i", "v")))
-      .withColumn("v", col("v").cast("double"))
+  /** Exact-decimal dot product of two float-array columns. */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
+      lit(0).cast(DEC),
+      (acc, x) => (acc + x).cast(DEC)).cast("double")
 
-  private val elemsSqlCte: String =
-    s"""e AS (
-      |  SELECT vec_id, label, i, embedding[i + 1]::DOUBLE AS v
-      |  FROM embeddings CROSS JOIN (SELECT unnest(range($D)) AS i)
-      |)""".stripMargin
-
-  private def dec(c: Column): Column = c.cast("decimal(38,30)")
-
-  /** S1 brute-force cosine top-k: queries = vec_id ≡ 0 (mod 100), k = 5.
-    * Query elements are broadcast; the corpus side is scanned once with
-    * map-side partial aggregation of the per-pair dot products. */
+  /** S1 brute-force cosine top-k: queries = vec_id ≡ 0 (mod 100), k = 5. */
   def s1_ann_topk(s: SparkSession, dir: String): DataFrame = {
-    val e = elems(s, dir)
-    val norms = e.groupBy(col("vec_id"))
-      .agg(sum(dec(col("v") * col("v"))).cast("double").as("n2"))
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("i"), col("v").as("qv"))
-    val dots = broadcast(q).join(e, Seq("i"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(dec(col("qv") * col("v"))).cast("double").as("dp"))
-    val scored = dots
-      .join(broadcast(norms.withColumnRenamed("vec_id", "q_id").withColumnRenamed("n2", "qn2")), "q_id")
-      .join(norms, "vec_id")
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              dotDec(col("embedding"), col("embedding")).as("n2"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
+    emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dp", dotDec(col("embedding"), col("qemb")))
       .withColumn("cosine", round4(col("dp") / sqrt(col("qn2") * col("n2"))))
-    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= 5)
@@ -71,12 +59,18 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  private val elemsSqlCte: String =
+    s"""e AS (
+      |  SELECT vec_id, label, i, embedding[i + 1]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range($D)) AS i)
+      |)""".stripMargin
+
   val s1Sql: String =
     s"""WITH $elemsSqlCte, norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(38,30))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
       |), dots AS (
       |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
-      |         sum((q.v * d.v)::DECIMAL(38,30))::DOUBLE AS dp
+      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
       |  FROM e q JOIN e d ON q.i = d.i AND d.vec_id <> q.vec_id
       |  WHERE q.vec_id % 100 = 0
       |  GROUP BY 1, 2
@@ -93,39 +87,43 @@ object Similarity {
       |SELECT q_id, n_id, cosine, rank FROM ranked
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane component r_j[i]. */
+  /** Deterministic pseudo-random hyperplane params for bit j. */
   private def hyper(j: Int): (Long, Long) =
     (Dedup.lshA(j % 8) + 13L * (j / 8), Dedup.lshB(j % 8) + 7L * (j / 8))
 
-  /** S2 random-hyperplane LSH near-dup: 16 sign bits, 4×4-bit bands,
-    * candidates verified with exact cosine ≥ 0.4. */
-  def s2_lsh_neardup(s: SparkSession, dir: String): DataFrame = {
-    val e = elems(s, dir)
-    // bit_j = sign of <v, r_j>, r_j[i] = ((a_j*(i+1)+b_j) mod 1009)/1009 - 0.5
-    val bitSums = (0 until 16).map { j =>
+  /** Sign-bit fingerprint as an array-native expression: bit_j = sign of
+    * <v, r_j> with r_j[i] = ((a_j·(i+1) + b_j) mod 1009)/1009 − 0.5. The
+    * projection accumulates exact decimals, so the sign is deterministic. */
+  private def fingerprint16(emb: Column): Column =
+    (0 until 16).map { j =>
       val (a, b) = hyper(j)
-      val r = ((lit(a) * (col("i") + 1) + lit(b)) % 1009).cast("double") / 1009.0 - 0.5
-      sum(dec(col("v") * r))
-    }
-    val fp = e.groupBy(col("vec_id"))
-      .agg(
-        (0 until 16).map(j => when(bitSums(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(1), lit(D)), (x, i) =>
+          (x.cast("double") *
+            (((lit(a) * i + lit(b)) % 1009).cast("double") / 1009.0 - 0.5)).cast(DEC)),
+        lit(0).cast(DEC), (acc, x) => (acc + x).cast(DEC))
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** S2 random-hyperplane LSH near-dup: 16 sign bits, 2×8-bit bands,
+    * candidates verified with exact cosine ≥ 0.4 (unit vectors ⇒ dot =
+    * cosine). */
+  def s2_lsh_neardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val fp = emb.select(col("vec_id"), fingerprint16(col("embedding")).as("fp"))
     val bnd = fp.select(col("vec_id"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("k"), (shiftright(col("fp"), 4 * k) % 16).as("bv"))): _*)).as("nb"))
+      explode(array((0 until 2).map(k =>
+        struct(lit(k).as("k"), (shiftright(col("fp"), 8 * k) % 256).as("bv"))): _*)).as("nb"))
       .select(col("vec_id"), col("nb.k"), col("nb.bv"))
     val cand = bnd.as("x").join(bnd.as("y"),
         col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
-    val a = elems(s, dir).select(col("vec_id").as("va"), col("i"), col("v").as("av"))
-    val b = elems(s, dir).select(col("vec_id").as("vb"), col("i"), col("v").as("bv2"))
-    cand.join(a, Seq("va")).join(b, Seq("vb", "i"))
-      .groupBy(col("va"), col("vb"))
-      .agg(sum(dec(col("av") * col("bv2"))).cast("double").as("dp"))
-      .withColumn("cosine", round4(col("dp")))
+    val ea = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    cand.join(broadcast(ea), Seq("va")).join(broadcast(eb), Seq("vb"))
+      .withColumn("cosine", round4(dotDec(col("ea"), col("eb"))))
       .filter(col("cosine") >= 0.4)
       .select(col("va"), col("vb"), col("cosine"))
       .orderBy("va", "vb")
@@ -134,18 +132,18 @@ object Similarity {
   val s2Sql: String = {
     val bitSums = (0 until 16).map { j =>
       val (a, b) = hyper(j)
-      s"CASE WHEN sum((v * ((($a * (i + 1) + $b) % 1009)::DOUBLE / 1009.0 - 0.5))::DECIMAL(38,30)) >= 0 THEN ${1L << j} ELSE 0 END"
+      s"CASE WHEN sum((v * ((($a * (i + 1) + $b) % 1009)::DOUBLE / 1009.0 - 0.5))::DECIMAL(30,20)) >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
     s"""WITH $elemsSqlCte, fp AS (
       |  SELECT vec_id, ($bitSums)::BIGINT AS fp FROM e GROUP BY vec_id
       |), bnd AS (
-      |  SELECT vec_id, k, (fp >> (4 * k)) % 16 AS bv
-      |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS k)
+      |  SELECT vec_id, k, (fp >> (8 * k)) % 256 AS bv
+      |  FROM fp CROSS JOIN (SELECT unnest(range(2)) AS k)
       |), cand AS (
       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
       |  FROM bnd x JOIN bnd y ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id
       |), dots AS (
-      |  SELECT c.va, c.vb, sum((a.v * b.v)::DECIMAL(38,30))::DOUBLE AS dp
+      |  SELECT c.va, c.vb, sum((a.v * b.v)::DECIMAL(30,20))::DOUBLE AS dp
       |  FROM cand c
       |  JOIN e a ON a.vec_id = c.va
       |  JOIN e b ON b.vec_id = c.vb AND b.i = a.i
@@ -158,28 +156,32 @@ object Similarity {
 
   /** S3 IVF-style routed top-k: coarse cells = per-label centroids; each
     * query routes to its nearest centroid (max dot) and searches only that
-    * cell. k = 3. Demonstrates the partition-pruned ANN shape: the corpus
-    * side is filtered to one cell before any pair work. */
+    * cell. k = 3. The corpus side is filtered to one cell before any pair
+    * work — the partition-pruned ANN shape. */
   def s3_ivf_topk(s: SparkSession, dir: String): DataFrame = {
-    val e = elems(s, dir)
-    val cent = e.groupBy(col("label"), col("i"))
-      .agg((sum(dec(col("v"))).cast("double") / count(lit(1))).as("cv"))
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("i"), col("v").as("qv"))
-    val q2c = q.join(broadcast(cent), Seq("i"))
-      .groupBy(col("q_id"), col("label"))
-      .agg(sum(dec(col("qv") * col("cv"))).cast("double").as("cdp"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // centroids via explode (cheap: N×D rows, exact-decimal means)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(col("v").cast("double").cast("decimal(38,30)")).cast("double")
+            / count(lit(1))).as("cv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("cv")).as("cemb"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+    val q2c = q.crossJoin(broadcast(cent))
+      .withColumn("cdp", dotDec(col("qemb"), col("cemb")))
     val routed = q2c
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cdp").desc, col("label"))))
       .filter(col("rn") === 1)
-      .select(col("q_id"), col("label"))
-    val dots = broadcast(q.join(routed, Seq("q_id"))).join(e, Seq("i", "label"))
+      .select(col("q_id"), col("qemb"), col("label"))
+    emb.join(broadcast(routed), Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("label"), col("vec_id"))
-      .agg(sum(dec(col("qv") * col("v"))).cast("double").as("dp"))
-    dots
-      .withColumn("cosine", round4(col("dp")))
+      .withColumn("cosine", round4(dotDec(col("embedding"), col("qemb"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= 3)
@@ -195,7 +197,7 @@ object Similarity {
       |), q AS (
       |  SELECT vec_id AS q_id, i, v AS qv FROM e WHERE vec_id % 100 = 0
       |), q2c AS (
-      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(38,30))::DOUBLE AS cdp
+      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::DOUBLE AS cdp
       |  FROM q JOIN cent USING (i) GROUP BY 1, 2
       |), routed AS (
       |  SELECT q_id, label FROM (
@@ -204,7 +206,7 @@ object Similarity {
       |    FROM q2c) WHERE rn = 1
       |), dots AS (
       |  SELECT q.q_id, r.label, d.vec_id,
-      |         sum((q.qv * d.v)::DECIMAL(38,30))::DOUBLE AS dp
+      |         sum((q.qv * d.v)::DECIMAL(30,20))::DOUBLE AS dp
       |  FROM q JOIN routed r USING (q_id)
       |  JOIN e d ON d.i = q.i AND d.label = r.label AND d.vec_id <> q.q_id
       |  GROUP BY 1, 2, 3
