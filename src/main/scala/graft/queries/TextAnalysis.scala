@@ -166,15 +166,34 @@ object TextAnalysis {
       |FROM tok JOIN dict USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** F3 via the native codegen'd Catalyst expression
+    * (`graft.functions.UniqueWordsRatio`) instead of the composed
+    * split/array_distinct form — one tokenizer pass per row. */
+  def t5_uwr_native(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UniqueWordsRatio.register(s)
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "floor(unique_words_ratio(text) * 10000.0 + 0.5) / 10000.0 AS uniq_ratio")
+      .orderBy("doc_id")
+  }
+
+  val t5Sql: String =
+    """SELECT doc_id,
+      |  floor(len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |        / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0 AS uniq_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_stats"   -> (t1_token_stats _),
     "t2_quality_score" -> (t2_quality_score _),
     "t3_lang_id"       -> (t3_lang_id _),
-    "t4_fingerprint"   -> (t4_fingerprint _))
+    "t4_fingerprint"   -> (t4_fingerprint _),
+    "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
     "t1_token_stats"   -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_lang_id"       -> t3Sql,
-    "t4_fingerprint"   -> t4Sql)
+    "t4_fingerprint"   -> t4Sql,
+    "t5_uwr_native"    -> t5Sql)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import QUtil._
 
 /** Windowed aggregations — SURVEY.md §2.4 (W1-W10) re-expressed over the
   * driver's `events` table (the activity-stream analog: user_id ≈ person,
@@ -150,17 +151,70 @@ object Windows {
       |SELECT event_type, user_id, score, rank FROM ranked
       |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin
 
+  /** W2 as the reference's literal two-level pane cascade
+    * (ActivePostStatistician.java:56-60): 1-hour tumbling pre-counts, then a
+    * 6-hour rolling sum over the pane table with a RANGE frame (time-based,
+    * so pane gaps are handled). Compared to `w2_sliding_counts` this trades
+    * the k× slide-pane row expansion for a second (tiny) shuffle over the
+    * pane table — the winning plan when duration/slide is large. Emits one
+    * row per non-empty pane: (window ending at pane end, counts over the
+    * trailing 6 h). */
+  def w3_pane_cascade(s: SparkSession, dir: String): DataFrame = {
+    val pane = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("pn"),
+           sum(col("value").cast("decimal(18,6)")).as("psum"))
+      .select(unix_timestamp(col("window.start")).as("pane_start"),
+              col("event_type"), col("pn"), col("psum"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("pane_start"))
+      .rangeBetween(-5 * 3600L, 0L)
+    pane
+      .select(col("pane_start"), col("event_type"),
+              sum(col("pn")).over(w).as("n"),
+              round2(sum(col("psum")).over(w).cast("double")).as("sum_value"))
+      .orderBy("pane_start", "event_type")
+  }
+
+  val w3Sql: String =
+    """WITH pane AS (
+      |  SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS pane_start,
+      |         event_type, count(*) AS pn,
+      |         sum(CAST(value AS DECIMAL(18,6))) AS psum
+      |  FROM events GROUP BY 1, 2)
+      |SELECT pane_start, event_type,
+      |  sum(pn) OVER w::BIGINT AS n,
+      |  floor(sum(psum) OVER w::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+      |FROM pane
+      |WINDOW w AS (PARTITION BY event_type ORDER BY pane_start
+      |             RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
+      |ORDER BY pane_start, event_type""".stripMargin
+
+  /** W4 scale path: `approx_count_distinct` (HLL++) replaces the exact
+    * distinct count — mergeable constant-size sketches instead of per-group
+    * sets, the declared 100 TB variant (SURVEY.md §7.3). Approximate ⇒ no
+    * DuckDB oracle; the driver records a rows-only check, and
+    * `QueriesSmokeSpec` bounds the relative error vs the exact form. */
+  def w4_unique_users_approx(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "12 hours", "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("uniq_users"))
+      .select(winStart().as("win_start"), col("event_type"), col("uniq_users"))
+      .orderBy("win_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w1_tumbling_counts"   -> (w1_tumbling_counts _),
-    "w2_sliding_counts"    -> (w2_sliding_counts _),
-    "w4_unique_users"      -> (w4_unique_users _),
-    "w8_user_tumbling_sum" -> (w8_user_tumbling_sum _),
-    "w9_session_windows"   -> (w9_session_windows _),
-    "w7_top5_blend"        -> (w7_top5_blend _))
+    "w1_tumbling_counts"     -> (w1_tumbling_counts _),
+    "w2_sliding_counts"      -> (w2_sliding_counts _),
+    "w3_pane_cascade"        -> (w3_pane_cascade _),
+    "w4_unique_users"        -> (w4_unique_users _),
+    "w4_unique_users_approx" -> (w4_unique_users_approx _),
+    "w8_user_tumbling_sum"   -> (w8_user_tumbling_sum _),
+    "w9_session_windows"     -> (w9_session_windows _),
+    "w7_top5_blend"          -> (w7_top5_blend _))
 
   val oracles: Map[String, String] = Map(
     "w1_tumbling_counts"   -> w1Sql,
     "w2_sliding_counts"    -> w2Sql,
+    "w3_pane_cascade"      -> w3Sql,
     "w4_unique_users"      -> w4Sql,
     "w8_user_tumbling_sum" -> w8Sql,
     "w9_session_windows"   -> w9Sql,

@@ -25,9 +25,22 @@ class QueriesSmokeSpec extends SparkSpec {
       s"unexpected empty results: ${empties.mkString(", ")}")
   }
 
-  test("every query has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every query has an oracle (approx ops excepted, rows-only checked)") {
+    val rowsOnly = Set("w4_unique_users_approx") // approximate by design
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: ${missing.mkString(", ")}")
+  }
+
+  test("approx distinct stays within declared error of exact (w4)") {
+    val exact = graft.queries.Windows.w4_unique_users(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val approx = graft.queries.Windows.w4_unique_users_approx(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) <= math.max(3, 0.1 * e), s"window $k: exact=$e approx=$a")
+    }
   }
 
   test("filter + projection push into the parquet scan (q2)") {
