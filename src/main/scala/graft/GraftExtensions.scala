@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.UniqueWordsRatio
+
+/** Session-extensions installer — the production path for shipping this
+  * library's custom Catalyst pieces to every session on a cluster:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * Currently injects the native function surface (`unique_words_ratio`).
+  * Custom logical plans / optimizer rules / strategies would be injected
+  * here too (`injectOptimizerRule` / `injectPlannerStrategy`) — the survey's
+  * conclusion (SURVEY.md §4) is that this engine needs none for
+  * correctness: every reference operator lowers to DataFrame algebra that
+  * Catalyst already optimizes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("unique_words_ratio"),
+      new ExpressionInfo(classOf[UniqueWordsRatio].getName, "unique_words_ratio"),
+      (exprs: Seq[Expression]) => UniqueWordsRatio(exprs.head)))
+  }
+}
