@@ -152,15 +152,75 @@ object Streams {
       .orderBy("event_id")
   }
 
+  /** X4: streaming session windows in APPEND mode — the strictest
+    * event-time semantics: a session row is emitted exactly once, when the
+    * watermark passes its close (the reference's window-firing discipline,
+    * L1/L2). Bounded replay needs a final watermark push to flush the tail
+    * sessions, so a far-future sentinel row (user_id = −1, filtered from the
+    * result) is appended as a SECOND file processed in a later micro-batch
+    * (`maxFilesPerTrigger 1` keeps file order = batch order). Final output
+    * equals batch w9. */
+  def x4_stream_sessions(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    // a dedicated stream dir: 0_events.parquet (symlink) + 1_sentinel.parquet
+    val streamDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "events_sessions")
+    val sentinelDone = streamDir.resolve("1_sentinel.parquet")
+    if (!Files.exists(sentinelDone)) {
+      Files.createDirectories(streamDir)
+      val link = streamDir.resolve("0_events.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(Tables.path(dir, "events")))
+      val farFuture = Tables.events(s, dir)
+        .select(max(col("ts")).as("mx")).head().getTimestamp(0).toInstant
+        .plusSeconds(30 * 24 * 3600)
+      val tmp = Paths.get(streamDir.toString, "_sentinel_build")
+      val schema0 = s.read.parquet(Tables.path(dir, "events")).schema
+      val tsVal: Any = // ts reads as LongType nanos under nanosAsLong
+        if (schema0("ts").dataType == org.apache.spark.sql.types.LongType)
+          farFuture.getEpochSecond * 1000000000L
+        else java.sql.Timestamp.from(farFuture)
+      s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            -1L, tsVal, -1L, "sentinel", 0.0, "")),
+          schema0)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, sentinelDone)
+      // clean build dir so the file source sees exactly two parquet files
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    val schema = s.read.parquet(Tables.path(dir, "events")).schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val ev =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val agg = ev
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_timestamp(col("session_window.start")).as("sess_start"),
+              col("user_id"), col("n_events"), col("sum_value"))
+    runToMemory(agg, OutputMode.Append(), s"x4_mem_${System.nanoTime()}")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "sess_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_stream_sliding_counts" -> (x1_sliding_counts _),
     "x2_stream_running_sum"    -> (x2_running_user_sum _),
-    "x3_stream_resolver"       -> (x3_stream_resolver _))
+    "x3_stream_resolver"       -> (x3_stream_resolver _),
+    "x4_stream_sessions"       -> (x4_stream_sessions _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
     "x1_stream_sliding_counts" -> graft.queries.Windows.w2Sql,
     "x2_stream_running_sum"    -> graft.queries.Stateful.st4Sql,
-    "x3_stream_resolver"       -> graft.queries.Graph.st1Sql)
+    "x3_stream_resolver"       -> graft.queries.Graph.st1Sql,
+    "x4_stream_sessions"       -> graft.queries.Windows.w9Sql)
 }
