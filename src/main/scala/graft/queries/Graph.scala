@@ -92,11 +92,39 @@ object Graph {
       |WHERE c.event_id % 7 <> 0 AND c.ts < p.ts
       |ORDER BY event_id""".stripMargin
 
+  /** S9 OrderedFileChecker twin: per-user monotone-timestamp audit — count
+    * of out-of-order arrivals (ts decreasing in event_id order) per user,
+    * only users with violations reported. One shuffle on user_id; `lag`
+    * analytic window (OrderedFileChecker.java:31-76 asserts the same
+    * invariant file-wide). */
+  def s9_order_audit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull && col("ts") < col("prev_ts"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_out_of_order"))
+      .orderBy("user_id")
+  }
+
+  val s9Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_out_of_order
+      |FROM o WHERE prev_ts IS NOT NULL AND ts < prev_ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_resolve_roots" -> (st1_resolve_roots _),
-    "j4_ts_violations"  -> (j4_ts_violations _))
+    "j4_ts_violations"  -> (j4_ts_violations _),
+    "s9_order_audit"    -> (s9_order_audit _))
 
   val oracles: Map[String, String] = Map(
     "st1_resolve_roots" -> st1Sql,
-    "j4_ts_violations"  -> j4Sql)
+    "j4_ts_violations"  -> j4Sql,
+    "s9_order_audit"    -> s9Sql)
 }

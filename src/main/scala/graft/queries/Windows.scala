@@ -201,7 +201,23 @@ object Windows {
       .select(winStart().as("win_start"), col("event_type"), col("uniq_users"))
       .orderBy("win_start", "event_type")
 
+  /** W4 via the typed set-union `Aggregator`
+    * (`graft.functions.DistinctCountAgg`) — the reference's literal pane
+    * accumulator as a custom UDAF, sharing w4's oracle. Kept on a coarser
+    * window than w4 to bound set sizes (the scale guidance stands:
+    * `count_distinct`/HLL first, set-valued state only when custom merge
+    * semantics demand it). */
+  def w5_distinct_agg(s: SparkSession, dir: String): DataFrame = {
+    val distinctUsers = udaf(graft.functions.DistinctCountAgg)
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "12 hours", "1 hour"), col("event_type"))
+      .agg(distinctUsers(col("user_id")).as("uniq_users"))
+      .select(winStart().as("win_start"), col("event_type"), col("uniq_users"))
+      .orderBy("win_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w5_distinct_agg"        -> (w5_distinct_agg _),
     "w1_tumbling_counts"     -> (w1_tumbling_counts _),
     "w2_sliding_counts"      -> (w2_sliding_counts _),
     "w3_pane_cascade"        -> (w3_pane_cascade _),
@@ -212,6 +228,7 @@ object Windows {
     "w7_top5_blend"          -> (w7_top5_blend _))
 
   val oracles: Map[String, String] = Map(
+    "w5_distinct_agg"      -> w4Sql, // identical semantics to w4, custom UDAF path
     "w1_tumbling_counts"   -> w1Sql,
     "w2_sliding_counts"    -> w2Sql,
     "w3_pane_cascade"      -> w3Sql,

@@ -18,9 +18,10 @@ class QueriesSmokeSpec extends SparkSpec {
       val n = fn(spark, dir).count()
       if (n == 0) Some(name) else None
     }
-    // d2/d3/s2 near-dup pairs may legitimately be empty at tiny scale
+    // near-dup pairs may legitimately be empty at tiny scale; the invariant
+    // audits are empty exactly when the invariant holds
     val allowedEmpty = Set("d2_ngram_jaccard", "d3_minhash_lsh", "s2_lsh_neardup",
-      "j4_ts_violations")
+      "j4_ts_violations", "s9_order_audit")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.mkString(", ")}")
   }
