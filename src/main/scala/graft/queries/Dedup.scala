@@ -71,7 +71,12 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   /** Distinct word-3-gram shingles per doc, built with `lead` over token
-    * position — the same formulation both engines execute identically. */
+    * position — the same formulation both engines execute identically.
+    * MATERIALIZED (`localCheckpoint`): the shingle table is referenced up to
+    * 5 times downstream (dict, ids, sizes, both join sides) and DataFrames
+    * do not share subplans — without this the whole scan+explode+window
+    * pipeline re-executes per reference (measured: 73 exchanges → 8 in d3).
+    * At cluster scale this is `persist(MEMORY_AND_DISK)` or a staged write. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, dir)
@@ -83,6 +88,7 @@ object Dedup {
       .filter(col("has3"))
       .select(col("doc_id"), col("sh"))
       .distinct()
+      .localCheckpoint()
   }
 
   private val shinglesSqlCte: String =
@@ -151,6 +157,7 @@ object Dedup {
       .groupBy(col("doc_id"), col("band"))
       .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
            max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
+      .localCheckpoint() // self-joined below: avoid recomputing minhash twice
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.mh0") === col("y.mh0") &&
         col("x.mh1") === col("y.mh1") && col("x.doc_id") < col("y.doc_id"))
@@ -218,6 +225,7 @@ object Dedup {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // referenced by dict build AND the id join
     val dict = toks.select(col("tok")).distinct()
       .withColumn("tok_id", dense_rank().over(Window.orderBy(col("tok"))).cast("long"))
     val withId = toks.join(broadcast(dict), Seq("tok"))
@@ -234,6 +242,7 @@ object Dedup {
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"), (shiftright(col("fp"), 8 * k) % 256).as("bv"))): _*)).as("nb"))
       .select(col("doc_id"), col("fp"), col("nb.k"), col("nb.bv"))
+      .localCheckpoint() // self-joined below: avoid recomputing fingerprints twice
     bnd.as("x").join(bnd.as("y"),
         col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -42,12 +42,14 @@ object Recommend {
     * (window, eigen, rank). */
   def r1_friend_recs(s: SparkSession, dir: String): DataFrame = {
     val ev = acts(s, dir)
-    // W5: per-pane per-item per-user activity counts
+    // W5: per-pane per-item per-user activity counts — materialized once
+    // (referenced as both join sides of the similarity product)
     val pane = ev
       .groupBy(window(col("ts"), "4 hours", "1 hour"), col("item"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
               col("item"), col("user_id"), col("cnt"))
+      .localCheckpoint()
     val eigen = pane.filter(col("user_id") % 50 === 0)
       .select(col("win_start"), col("item"),
               col("user_id").as("eigen_id"), col("cnt").as("ecnt"))

@@ -115,6 +115,7 @@ object Similarity {
       explode(array((0 until 2).map(k =>
         struct(lit(k).as("k"), (shiftright(col("fp"), 8 * k) % 256).as("bv"))): _*)).as("nb"))
       .select(col("vec_id"), col("nb.k"), col("nb.bv"))
+      .localCheckpoint() // self-joined below: avoid recomputing projections twice
     val cand = bnd.as("x").join(bnd.as("y"),
         col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
         col("x.vec_id") < col("y.vec_id"))
