@@ -179,7 +179,27 @@ object Relational {
       |WHERE a.user_id % 50 = 0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Salting for skew: exact distinct users per event_type — a hot-key
+    * aggregation (5 key values, millions of rows each at scale). Stage 1
+    * salts each key by `pmod(user_id, 16)`: the salt is a FUNCTION OF THE
+    * SUB-KEY, so per-salt user sets are disjoint and stage 2 can just SUM
+    * the partial distinct counts. No reducer ever owns a whole hot key —
+    * the skew-safe form of `groupBy(hot).agg(count_distinct(...))`. */
+  def q8_salted_distinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("salt"))
+      .agg(count_distinct(col("user_id")).as("part_uniq"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("part_uniq")).as("uniq_users"))
+      .orderBy("event_type")
+  }
+
+  val q8Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS uniq_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_salted_distinct" -> (q8_salted_distinct _),
     "q1_pricing_summary" -> (q1_pricing_summary _),
     "q2_filter_project"  -> (q2_filter_project _),
     "q3_region_revenue"  -> (q3_region_revenue _),
@@ -189,6 +209,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q8_salted_distinct" -> q8Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project"  -> q2Sql,
     "q3_region_revenue"  -> q3Sql,
