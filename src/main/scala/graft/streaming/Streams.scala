@@ -210,11 +210,39 @@ object Streams {
       .orderBy("user_id", "sess_start")
   }
 
+  /** X5: stream-static join — the reference broadcasts its five static CSV
+    * tables into the stream operators (FriendRecommender.java:54-57, SURVEY
+    * §1.3); here the event stream joins the static `customer` dimension
+    * (broadcast; the stream side never shuffles for the lookup) before a
+    * watermarked tumbling aggregation: revenue per (hour, market segment). */
+  def x5_stream_static_join(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "30 minutes")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+              col("c_mktsegment"), col("n"), col("sum_value"))
+    runToMemory(agg, OutputMode.Complete(), s"x5_mem_${System.nanoTime()}")
+      .orderBy("win_start", "c_mktsegment")
+  }
+
+  val x5Sql: String =
+    """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS win_start,
+      |       c_mktsegment, count(*) AS n,
+      |       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_stream_sliding_counts" -> (x1_sliding_counts _),
     "x2_stream_running_sum"    -> (x2_running_user_sum _),
     "x3_stream_resolver"       -> (x3_stream_resolver _),
-    "x4_stream_sessions"       -> (x4_stream_sessions _))
+    "x4_stream_sessions"       -> (x4_stream_sessions _),
+    "x5_stream_static_join"    -> (x5_stream_static_join _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
@@ -222,5 +250,6 @@ object Streams {
     "x1_stream_sliding_counts" -> graft.queries.Windows.w2Sql,
     "x2_stream_running_sum"    -> graft.queries.Stateful.st4Sql,
     "x3_stream_resolver"       -> graft.queries.Graph.st1Sql,
-    "x4_stream_sessions"       -> graft.queries.Windows.w9Sql)
+    "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
+    "x5_stream_static_join"    -> x5Sql)
 }
