@@ -175,7 +175,55 @@ object Stateful {
       |WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
+  /** ST3 full fidelity: the reference's two-stage anomaly pipeline with
+    * SENTINEL-AWARE running means (Signatures.update skips −1-valued
+    * features, AnomalousUserDetector.java:160-185 — SURVEY §2.7 F8). Stage 1
+    * = per-user 3-event moving frequency (−1 until 3 events seen, ST2);
+    * stage 2 = global ts-ordered running mean over ONLY the non-sentinel
+    * prior frequencies (conditional decimal sums), flag when
+    * freq > 2 × that mean. */
+  def st6_conditional_signature(s: SparkSession, dir: String): DataFrame = {
+    val sec = unix_timestamp(col("ts"))
+    val t2 = lag(sec, 2).over(userOrder)
+    val withFreq = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("freq",
+        when(t2.isNull, lit(-1.0))
+          .otherwise(lit(3.0 * 3600.0) / greatest(sec - t2, lit(1L))))
+    val prior = globalOrder.rowsBetween(Window.unboundedPreceding, -1)
+    val condSum = sum(when(col("freq") =!= -1.0, col("freq").cast("decimal(30,10)"))).over(prior)
+    val condCnt = count(when(col("freq") =!= -1.0, lit(1))).over(prior)
+    withFreq
+      .withColumn("sig_mean", condSum.cast("double") / condCnt)
+      .filter(col("freq") =!= -1.0 && col("sig_mean").isNotNull &&
+              col("freq") > lit(2.0) * col("sig_mean"))
+      .select(col("event_id"), col("user_id"),
+              round4(col("freq")).as("freq"), round4(col("sig_mean")).as("sig_mean"))
+      .orderBy("event_id")
+  }
+
+  val st6Sql: String =
+    """WITH f AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN lag(floor(epoch(ts))::BIGINT, 2) OVER u IS NULL THEN -1.0
+      |         ELSE 3.0 * 3600.0 / greatest(floor(epoch(ts))::BIGINT
+      |              - lag(floor(epoch(ts))::BIGINT, 2) OVER u, 1) END AS freq
+      |  FROM events WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sig AS (
+      |  SELECT event_id, user_id, freq,
+      |    sum(CASE WHEN freq <> -1.0 THEN freq::DECIMAL(30,10) END) OVER g::DOUBLE
+      |      / count(CASE WHEN freq <> -1.0 THEN 1 END) OVER g AS sig_mean
+      |  FROM f WINDOW g AS (ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id,
+      |  floor(freq * 10000.0 + 0.5) / 10000.0 AS freq,
+      |  floor(sig_mean * 10000.0 + 0.5) / 10000.0 AS sig_mean
+      |FROM sig
+      |WHERE freq <> -1.0 AND sig_mean IS NOT NULL AND freq > 2.0 * sig_mean
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st6_conditional_signature" -> (st6_conditional_signature _),
     "st2_user_features"     -> (st2_user_features _),
     "st3_anomaly_exact"     -> (st3_anomaly_exact _),
     "st3_anomaly_scalable"  -> (st3_anomaly_scalable _),
@@ -183,6 +231,7 @@ object Stateful {
     "st5_running_avg"       -> (st5_running_avg _))
 
   val oracles: Map[String, String] = Map(
+    "st6_conditional_signature" -> st6Sql,
     "st2_user_features"     -> st2Sql,
     "st3_anomaly_exact"     -> st3Sql,
     "st3_anomaly_scalable"  -> st3ScalableSql,
