@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import QUtil._
 
 /** Relational operator coverage — projection/filter/map (SURVEY.md §2.2 P1-P3),
   * unions (J1), semi/anti joins (J2), self-join similarity (J3), multi-way
@@ -20,26 +21,30 @@ object Relational {
   /** TPC-H Q1-style pricing summary: wide partial agg, tiny result.
     * Reference analog: per-epoch word count / windowed reduce finishers
     * (SURVEY §2.4 W10, §2.8 AggregateFunction rows). */
+  /** Sums/averages accumulate exact decimals and floor-round: groupBy
+    * partials merge in nondeterministic shuffle-arrival order, so raw double
+    * sums are not run-stable (QUtil.round4 doc explains the floor form). */
   def q1_pricing_summary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(25,8)")).cast("double")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        round2(dsum(col("l_quantity"))).as("sum_qty"),
+        round2(dsum(col("l_extendedprice"))).as("sum_base_price"),
+        round2(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        round4(dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        round4(dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  floor(sum(CAST(l_quantity AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_qty,
+      |  floor(sum(CAST(l_extendedprice AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_base_price,
+      |  floor(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+      |  floor(sum(CAST(l_quantity AS DECIMAL(25,8)))::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+      |  floor(sum(CAST(l_discount AS DECIMAL(25,8)))::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -69,14 +74,15 @@ object Relational {
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+      .agg(round2(sum(col("o_totalprice").cast("decimal(25,8)")).cast("double")).as("revenue"),
            count(lit(1)).as("n_orders"))
       .orderBy("r_name", "n_name")
   }
 
   val q3Sql: String =
     """SELECT r_name, n_name,
-      |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
+      |  count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -134,7 +140,8 @@ object Relational {
     unified.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
            count(col("user_id")).as("n_with_user"),
-           round(sum(coalesce(col("value"), lit(0.0))), 2).as("sum_value"))
+           round2(sum(coalesce(col("value"), lit(0.0)).cast("decimal(18,6)"))
+             .cast("double")).as("sum_value"))
       .orderBy("event_type")
   }
 
@@ -147,7 +154,7 @@ object Relational {
       |  SELECT event_id, NULL::BIGINT AS user_id, event_type, value FROM events WHERE event_type = 'purchase'
       |)
       |SELECT event_type, count(*) AS n, count(user_id) AS n_with_user,
-      |       round(sum(coalesce(value, 0.0)), 2) AS sum_value
+      |  floor(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM unified GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Self-join co-engagement similarity — reference J3 static-similarity

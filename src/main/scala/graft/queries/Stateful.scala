@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import QUtil.{round2, round4}
 
 /** Stateful / per-key analytic operators — SURVEY.md §2.3 (ST2-ST5).
   *
@@ -27,14 +28,6 @@ object Stateful {
   private val userOrder   = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
   private val globalOrder = Window.orderBy(col("ts"), col("event_id"))
 
-  /** Round-half-up as pure double arithmetic (`floor(x·10⁴+0.5)/10⁴`).
-    * Unlike `round()` — which Spark evaluates on the decimal string
-    * representation and DuckDB on the binary value, disagreeing on exact
-    * .5-boundary quotients — this is the same IEEE op sequence in both
-    * engines, hence bit-identical. */
-  private def round4(c: org.apache.spark.sql.Column) =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
-
   /** ST2 ComputeFeatures: per-person 3-event moving activity frequency
     * (3·HOUR/max(1, t0−t2), −1 until 3 events seen —
     * AnomalousUserDetector.java:110-142) plus last-activity measure. */
@@ -45,7 +38,7 @@ object Stateful {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withColumn("freq",
         when(t2.isNull, lit(-1.0))
-          .otherwise(round(lit(3.0 * 3600.0) / greatest(sec - t2, lit(1L)), 4)))
+          .otherwise(round4(lit(3.0 * 3600.0) / greatest(sec - t2, lit(1L)))))
       .withColumn("prev_value", coalesce(lag(col("value"), 1).over(userOrder), lit(-1.0)))
       .select(col("event_id"), col("user_id"), col("freq"), col("prev_value"))
       .orderBy("event_id")
@@ -54,8 +47,9 @@ object Stateful {
   val st2Sql: String =
     """SELECT event_id, user_id,
       |  CASE WHEN lag(floor(epoch(ts))::BIGINT, 2) OVER w IS NULL THEN -1.0
-      |       ELSE round(3.0 * 3600.0 / greatest(floor(epoch(ts))::BIGINT
-      |                  - lag(floor(epoch(ts))::BIGINT, 2) OVER w, 1), 4) END AS freq,
+      |       ELSE floor(3.0 * 3600.0 / greatest(floor(epoch(ts))::BIGINT
+      |                  - lag(floor(epoch(ts))::BIGINT, 2) OVER w, 1)
+      |            * 10000.0 + 0.5) / 10000.0 END AS freq,
       |  coalesce(lag(value, 1) OVER w, -1.0) AS prev_value
       |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
@@ -106,30 +100,31 @@ object Stateful {
     val ev = Tables.events(s, dir)
       .withColumn("bucket", unix_timestamp(window(col("ts"), "1 hour").getField("start")))
     val perBucket = ev.groupBy(col("bucket"))
-      .agg(sum("value").as("bsum"), count(lit(1)).as("bcnt"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("bsum"), count(lit(1)).as("bcnt"))
     val prior = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
     val prefix = perBucket
       .withColumn("psum", sum(col("bsum")).over(prior))
       .withColumn("pcnt", sum(col("bcnt")).over(prior))
-      .select(col("bucket"), (col("psum") / col("pcnt")).as("prior_avg"))
+      .select(col("bucket"), (col("psum").cast("double") / col("pcnt")).as("prior_avg"))
     ev.join(broadcast(prefix), Seq("bucket"))
       .filter(col("prior_avg").isNotNull && col("value") > lit(2.0) * col("prior_avg"))
       .select(col("event_id"), col("user_id"), col("value"),
-              round(col("prior_avg"), 4).as("prior_avg"))
+              round4(col("prior_avg")).as("prior_avg"))
       .orderBy("event_id")
   }
 
   val st3ScalableSql: String =
     """WITH b AS (
       |  SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS bucket,
-      |         sum(value) AS bsum, count(*) AS bcnt
+      |         sum(CAST(value AS DECIMAL(18,6))) AS bsum, count(*) AS bcnt
       |  FROM events GROUP BY 1
       |), prefix AS (
       |  SELECT bucket,
-      |    sum(bsum) OVER p / sum(bcnt) OVER p AS prior_avg
+      |    sum(bsum) OVER p::DOUBLE / sum(bcnt) OVER p AS prior_avg
       |  FROM b WINDOW p AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |)
-      |SELECT event_id, user_id, value, round(prior_avg, 4) AS prior_avg
+      |SELECT event_id, user_id, value,
+      |       floor(prior_avg * 10000.0 + 0.5) / 10000.0 AS prior_avg
       |FROM events e
       |JOIN prefix ON floor(epoch(time_bucket(INTERVAL '1 hour', e.ts)))::BIGINT = prefix.bucket
       |WHERE prior_avg IS NOT NULL AND value > 2.0 * prior_avg
@@ -142,14 +137,15 @@ object Stateful {
     val run = userOrder.rowsBetween(Window.unboundedPreceding, 0)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"),
-              round(sum(col("value")).over(run), 2).as("run_sum"),
+              round2(sum(col("value").cast("decimal(18,6)")).over(run)
+                .cast("double")).as("run_sum"),
               count(lit(1)).over(run).as("run_n"))
       .orderBy("event_id")
   }
 
   val st4Sql: String =
     """SELECT event_id, user_id,
-      |  round(sum(value) OVER w, 2) AS run_sum,
+      |  floor(sum(CAST(value AS DECIMAL(18,6))) OVER w::DOUBLE * 100.0 + 0.5) / 100.0 AS run_sum,
       |  count(*) OVER w AS run_n
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)

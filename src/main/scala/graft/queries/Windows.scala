@@ -23,17 +23,25 @@ object Windows {
 
   private def winStart(c: String = "window.start") = unix_timestamp(col(c))
 
+  /** Exact-decimal groupBy sum + floor-round — run-stable under any shuffle
+    * merge order (see QUtil.round4). The matching oracle form is
+    * `floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0`. */
+  private[queries] def dsum2(c: org.apache.spark.sql.Column) =
+    round2(sum(c.cast("decimal(18,6)")).cast("double"))
+  private val dsumSql =
+    "floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0"
+
   /** W1/W8: per-type tumbling 1 h counts + sums (CountMessages analog). */
   def w1_tumbling_counts(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .select(winStart().as("win_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
   val w1Sql: String =
     """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS win_start,
-      |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |       event_type, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** W2/W3: sliding 6 h window, 1 h slide, per type — the active-post
@@ -42,13 +50,13 @@ object Windows {
   def w2_sliding_counts(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .select(winStart().as("win_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
   val w2Sql: String =
     """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT - 3600 * k AS win_start,
-      |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |       event_type, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM events CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -72,13 +80,13 @@ object Windows {
   def w8_user_tumbling_sum(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .select(winStart().as("win_start"), col("user_id"), col("n"), col("sum_value"))
       .orderBy("win_start", "user_id")
 
   val w8Sql: String =
     """SELECT floor(epoch(time_bucket(INTERVAL '10 minutes', ts)))::BIGINT AS win_start,
-      |       user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+      |       user_id, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** W9: session windows, 30 min gap, per user — built-in `session_window`
@@ -88,7 +96,7 @@ object Windows {
   def w9_session_windows(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
       .select(winStart("session_window.start").as("sess_start"),
               col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "sess_start")
@@ -104,7 +112,7 @@ object Windows {
       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM o)
       |SELECT floor(epoch(min(ts)))::BIGINT AS sess_start, user_id,
-      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |       count(*) AS n_events, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
 
   /** W7/F6: top-5 "recommendations" — per event_type, per-user dynamic
@@ -116,14 +124,15 @@ object Windows {
   def w7_top5_blend(s: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(s, dir)
       .groupBy(col("event_type"), col("user_id"))
-      .agg(sum("value").as("dyn"), count(lit(1)).cast("double").as("stat"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("dyn"),
+           count(lit(1)).cast("double").as("stat"))
     val w = Window.partitionBy(col("event_type"))
     def mmNorm(c: String) = {
       val (mn, mx) = (min(col(c)).over(w), max(col(c)).over(w))
       when(mx === mn, 1.0).otherwise((col(c) - mn) / (mx - mn))
     }
     val scored = perUser
-      .withColumn("score", round(lit(0.3) * mmNorm("stat") + lit(0.7) * mmNorm("dyn"), 4))
+      .withColumn("score", round4(lit(0.3) * mmNorm("stat") + lit(0.7) * mmNorm("dyn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("score").desc, col("user_id"))).cast("long"))
@@ -134,7 +143,8 @@ object Windows {
 
   val w7Sql: String =
     """WITH per_user AS (
-      |  SELECT event_type, user_id, sum(value) AS dyn, count(*)::DOUBLE AS stat
+      |  SELECT event_type, user_id,
+      |         sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS dyn, count(*)::DOUBLE AS stat
       |  FROM events GROUP BY 1, 2
       |), norm AS (
       |  SELECT event_type, user_id,
@@ -144,7 +154,8 @@ object Windows {
       |         ELSE (dyn - min(dyn) OVER w) / (max(dyn) OVER w - min(dyn) OVER w) END AS dyn_n
       |  FROM per_user WINDOW w AS (PARTITION BY event_type)
       |), scored AS (
-      |  SELECT event_type, user_id, round(0.3 * stat_n + 0.7 * dyn_n, 4) AS score FROM norm
+      |  SELECT event_type, user_id,
+      |         floor((0.3 * stat_n + 0.7 * dyn_n) * 10000.0 + 0.5) / 10000.0 AS score FROM norm
       |), ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY score DESC, user_id) AS rank
       |  FROM scored)

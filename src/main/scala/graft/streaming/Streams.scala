@@ -66,7 +66,9 @@ object Streams {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+           (floor(sum(col("value").cast("decimal(18,6)")).cast("double") * 100.0 + 0.5)
+             / 100.0).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
               col("event_type"), col("n"), col("sum_value"))
     runToMemory(agg, OutputMode.Complete(), s"x1_mem_${System.nanoTime()}")
@@ -75,7 +77,7 @@ object Streams {
 
   case class Ev(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
   case class RunOut(event_id: Long, user_id: Long, run_sum: Double, run_n: Long)
-  case class RunState(sum: Double, n: Long)
+  case class RunState(sum: BigDecimal, n: Long)
 
   /** X2: per-user running cumulative sum via `flatMapGroupsWithState` — the
     * streaming twin of ST4 (the reference's checkpointed `ValueState`
@@ -92,11 +94,14 @@ object Streams {
       .flatMapGroupsWithState[RunState, RunOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: Long, it: Iterator[Ev], state: GroupState[RunState]) =>
-          var st = state.getOption.getOrElse(RunState(0.0, 0L))
+          var st = state.getOption.getOrElse(RunState(BigDecimal(0), 0L))
           val outs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
-            st = RunState(st.sum + e.value, st.n + 1)
-            val rounded = BigDecimal(st.sum)
-              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            // mirror the batch form exactly: addends quantized like
+            // CAST(value AS DECIMAL(18,6)), exact decimal sum, floor-round
+            val addend = BigDecimal.valueOf(e.value)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            st = RunState(st.sum + addend, st.n + 1)
+            val rounded = math.floor(st.sum.toDouble * 100.0 + 0.5) / 100.0
             RunOut(e.event_id, e.user_id, rounded, st.n)
           }
           state.update(st)
@@ -202,7 +207,9 @@ object Streams {
     val agg = ev
       .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           (floor(sum(col("value").cast("decimal(18,6)")).cast("double") * 100.0 + 0.5)
+             / 100.0).as("sum_value"))
       .select(unix_timestamp(col("session_window.start")).as("sess_start"),
               col("user_id"), col("n_events"), col("sum_value"))
     runToMemory(agg, OutputMode.Append(), s"x4_mem_${System.nanoTime()}")
@@ -223,7 +230,8 @@ object Streams {
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+           (floor(sum(col("value").cast("decimal(18,6)")).cast("double") * 100.0 + 0.5)
+             / 100.0).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("win_start"),
               col("c_mktsegment"), col("n"), col("sum_value"))
     runToMemory(agg, OutputMode.Complete(), s"x5_mem_${System.nanoTime()}")
@@ -233,7 +241,7 @@ object Streams {
   val x5Sql: String =
     """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS win_start,
       |       c_mktsegment, count(*) AS n,
-      |       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2) AS sum_value
+      |       floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
