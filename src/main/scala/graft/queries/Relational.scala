@@ -205,8 +205,89 @@ object Relational {
     """SELECT event_type, count(DISTINCT user_id) AS uniq_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hierarchical aggregation: ROLLUP over (region, nation) — subtotal and
+    * grand-total rows in one pass (Expand + single shuffle, no re-scan per
+    * level). Null grouping columns are the standard rollup markers. */
+  def q9_rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round2(sum(col("o_totalprice").cast("decimal(25,8)")).cast("double")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q9Sql: String =
+    """SELECT r_name, n_name,
+      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** Pivot: per-user event counts spread into one column per event type
+    * (`groupBy.pivot` with explicit values so the plan is a single pass —
+    * no second values-discovery job). */
+  def q10_pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val q10Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS "click",
+      |  count(*) FILTER (WHERE event_type = 'view') AS "view",
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+      |  count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+      |  count(*) FILTER (WHERE event_type = 'error') AS "error"
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Set operations: users active in the first half of the timeline but
+    * not the second (EXCEPT), and the overlap (INTERSECT). */
+  def q11_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
+    // midpoint at whole-second granularity: sub-second boundary events would
+    // otherwise split differently between Spark (µs) and DuckDB (ns)
+    val mid = ev.select(((min(col("sec")) + max(col("sec"))) / 2).cast("long"))
+      .head().getLong(0)
+    val first = ev.filter(col("sec") < mid).select(col("user_id"))
+    val second = ev.filter(col("sec") >= mid).select(col("user_id"))
+    val onlyFirst = first.except(second)
+      .select(col("user_id"), lit("first_only").as("cohort"))
+    val both = first.intersect(second)
+      .select(col("user_id"), lit("both").as("cohort"))
+    onlyFirst.unionByName(both).orderBy("cohort", "user_id")
+  }
+
+  val q11Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, floor(epoch(ts))::BIGINT AS sec FROM events
+      |), mid AS (
+      |  SELECT (min(sec) + max(sec)) // 2 AS m FROM ev
+      |), f AS (SELECT DISTINCT user_id FROM ev, mid WHERE sec < m),
+      |s AS (SELECT DISTINCT user_id FROM ev, mid WHERE sec >= m)
+      |SELECT user_id, 'first_only' AS cohort FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s)
+      |UNION ALL
+      |SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM s)
+      |ORDER BY cohort, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_salted_distinct" -> (q8_salted_distinct _),
+    "q9_rollup"          -> (q9_rollup _),
+    "q10_pivot"          -> (q10_pivot _),
+    "q11_set_ops"        -> (q11_set_ops _),
     "q1_pricing_summary" -> (q1_pricing_summary _),
     "q2_filter_project"  -> (q2_filter_project _),
     "q3_region_revenue"  -> (q3_region_revenue _),
@@ -217,6 +298,9 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q8_salted_distinct" -> q8Sql,
+    "q9_rollup"          -> q9Sql,
+    "q10_pivot"          -> q10Sql,
+    "q11_set_ops"        -> q11Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project"  -> q2Sql,
     "q3_region_revenue"  -> q3Sql,
