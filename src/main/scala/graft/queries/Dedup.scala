@@ -281,15 +281,48 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** D5 embedding-cosine near-dup: documents flagged as near-duplicates
+    * when their embedding vectors (doc_id ↔ vec_id) exceed the cosine
+    * threshold — candidates from the hyperplane-LSH pass (Similarity.s2),
+    * joined back to document metadata. The semantic-dedup complement to the
+    * lexical d2-d4 family. */
+  def d5_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"))
+    val pairs = Similarity.s2_lsh_neardup(s, dir)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"), col("cosine"))
+    pairs
+      .join(broadcast(docs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "source_a")), "doc_a")
+      .join(broadcast(docs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "source_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("cosine"),
+              col("source_a"), col("source_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def d5Sql: String = {
+    val inner = Similarity.s2Sql.replace("ORDER BY va, vb", "")
+    s"""WITH pairs AS ($inner)
+      |SELECT va AS doc_a, vb AS doc_b, cosine,
+      |       da.source AS source_a, db.source AS source_b
+      |FROM pairs
+      |JOIN documents da ON da.doc_id = va
+      |JOIN documents db ON db.doc_id = vb
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"   -> (d1_exact_dedup _),
     "d2_ngram_jaccard" -> (d2_ngram_jaccard _),
     "d3_minhash_lsh"   -> (d3_minhash_lsh _),
-    "d4_simhash"       -> (d4_simhash _))
+    "d4_simhash"       -> (d4_simhash _),
+    "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_lsh"   -> d3Sql,
-    "d4_simhash"       -> d4Sql)
+    "d4_simhash"       -> d4Sql,
+    "d5_embedding_neardup" -> d5Sql)
 }
