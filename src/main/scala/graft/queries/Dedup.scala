@@ -23,10 +23,14 @@ import QUtil._
   *    the pair join is an equi-join, never a cross join.
   *
   * Cross-engine determinism: hash permutations are explicit
-  * (a·id + b) mod p over a dense shingle/token dictionary (dense_rank on the
-  * distinct set) — exact 64-bit integer arithmetic in both engines. At
-  * production scale the dictionary is replaced by xxhash64(shingle) (no
-  * global rank), which changes no plan shape.
+  * (a·id + b) mod p over a dense shingle/token dictionary — exact 64-bit
+  * integer arithmetic in both engines, with operands reduced mod p between
+  * multiplications so no intermediate can wrap. The dictionary itself is the
+  * DISTRIBUTED dense-id assignment of `QUtil.denseIds` (rank within hash
+  * bucket + prefix-summed bucket offsets): no single-partition global sort
+  * anywhere, so it survives a 100 TB vocabulary. At production scale the
+  * dictionary can still be swapped for xxhash64(shingle) (no rank at all),
+  * which changes no plan shape.
   */
 object Dedup {
 
@@ -147,12 +151,14 @@ object Dedup {
     * with exact Jaccard (computed only for candidates). */
   def d3_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
-    val dict = sh.select(col("sh")).distinct()
-      .withColumn("sh_id", dense_rank().over(Window.orderBy(col("sh"))).cast("long"))
+    // bucketed distributed dense ids — no single-partition global sort
+    val dict = denseIds(sh.select(col("sh")).distinct(), "sh", "sh_id")
     val ids = sh.join(broadcast(dict), Seq("sh")).select(col("doc_id"), col("sh_id"))
+    // sh_id reduced mod P before the multiply: a < 2^27, so the product
+    // stays < 2^58 — no silent 64-bit wrap at any dictionary size
     val mh = ids.join(broadcast(paramsDf(s)))
       .groupBy(col("doc_id"), col("j"))
-      .agg(min((col("a") * col("sh_id") + col("b")) % P).as("mh"))
+      .agg(min((col("a") * (col("sh_id") % P) + col("b")) % P).as("mh"))
     val bands = mh.withColumn("band", (col("j") / 2).cast("long"))
       .groupBy(col("doc_id"), col("band"))
       .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
@@ -177,11 +183,12 @@ object Dedup {
   }
 
   val d3Sql: String =
-    s"""WITH $shinglesSqlCte, dict AS (
-      |  SELECT sh, dense_rank() OVER (ORDER BY sh)::BIGINT AS sh_id
-      |  FROM (SELECT DISTINCT sh FROM sh)
+    s"""WITH $shinglesSqlCte, dsrc AS (
+      |  SELECT DISTINCT sh FROM sh
+      |), dict AS (
+      |  ${denseIdsSqlCte("dsrc", "sh", "sh_id")}
       |), mh AS (
-      |  SELECT s.doc_id, p.j, min((p.a * d.sh_id + p.b) % ${P}) AS mh
+      |  SELECT s.doc_id, p.j, min((p.a * (d.sh_id % ${P}) + p.b) % ${P}) AS mh
       |  FROM sh s JOIN dict d USING (sh) CROSS JOIN $paramsSql
       |  GROUP BY 1, 2
       |), bands AS (
@@ -226,12 +233,16 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // referenced by dict build AND the id join
-    val dict = toks.select(col("tok")).distinct()
-      .withColumn("tok_id", dense_rank().over(Window.orderBy(col("tok"))).cast("long"))
+    // bucketed distributed dense ids — no single-partition global sort
+    val dict = denseIds(toks.select(col("tok")).distinct(), "tok", "tok_id")
     val withId = toks.join(broadcast(dict), Seq("tok"))
     val bits = (0 until 32).map { j =>
       val (a, b) = simhashParams(j)
-      val bit = shiftright(((lit(a) * col("tok_id") + lit(b)) * col("tok_id") + lit(a + b)) % P, 15) % 2
+      // operands reduced mod P between the two multiplications so every
+      // intermediate stays < 2^62: Spark wraps 64-bit silently while DuckDB
+      // raises, so an overflow is a cross-engine divergence, not just a bias
+      val t = col("tok_id") % P
+      val bit = shiftright((((lit(a) * t + lit(b)) % P) * t + lit(a + b)) % P, 15) % 2
       sum(when(bit === 1, col("cnt")).otherwise(-col("cnt")))
     }
     val fp = withId.groupBy(col("doc_id"))
@@ -258,15 +269,16 @@ object Dedup {
   val d4Sql: String = {
     val bitSums = (0 until 32).map { j =>
       val (a, b) = simhashParams(j)
-      s"CASE WHEN sum(CASE WHEN ((($a * tok_id + $b) * tok_id + ${a + b}) % ${P}) >> 15 & 1 = 1 THEN cnt ELSE -cnt END) >= 0 THEN ${1L << j} ELSE 0 END"
+      s"CASE WHEN sum(CASE WHEN (((($a * (tok_id % ${P}) + $b) % ${P}) * (tok_id % ${P}) + ${a + b}) % ${P}) >> 15 & 1 = 1 THEN cnt ELSE -cnt END) >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
       |), tc AS (
       |  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+      |), dsrc AS (
+      |  SELECT DISTINCT tok FROM tc
       |), dict AS (
-      |  SELECT tok, dense_rank() OVER (ORDER BY tok)::BIGINT AS tok_id
-      |  FROM (SELECT DISTINCT tok FROM tc)
+      |  ${denseIdsSqlCte("dsrc", "tok", "tok_id")}
       |), fp AS (
       |  SELECT doc_id, ($bitSums)::BIGINT AS fp
       |  FROM tc JOIN dict USING (tok) GROUP BY doc_id

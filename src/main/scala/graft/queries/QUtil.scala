@@ -13,4 +13,59 @@ object QUtil {
     * `floor(x * 10000.0 + 0.5) / 10000.0`. */
   def round4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
   def round2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+
+  /** Number of dictionary buckets for [[denseIds]] / [[denseIdsSqlCte]]. */
+  val DictBuckets = 64
+
+  /** Cheap engine-portable bucket of a string: first char code ·31 + second
+    * char code (space-padded) ·7 + length, mod [[DictBuckets]]. Exact integer
+    * arithmetic that Spark and DuckDB evaluate identically. */
+  private def bucketOf(v: Column): Column =
+    (ascii(substring(v, 1, 1)) * lit(31) +
+     ascii(substring(concat(v, lit(" ")), 2, 1)) * lit(7) + length(v)) % lit(DictBuckets)
+
+  /** Distributed exact dense ids over the distinct values of `valueCol`:
+    * rank within a hash bucket (a PARTITIONED window — parallel across
+    * buckets) + prefix-summed bucket offsets (a window over only
+    * [[DictBuckets]] rows). Ids are a deterministic permutation of 1..N —
+    * the scale-safe replacement for `dense_rank().over(Window.orderBy(...))`,
+    * whose single-partition global sort of every distinct token is a
+    * 100 TB bottleneck. [[denseIdsSqlCte]] is the DuckDB twin computing the
+    * identical assignment. */
+  def denseIds(distinctVals: org.apache.spark.sql.DataFrame, valueCol: String,
+               idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val withB = distinctVals.select(v).withColumn("_bkt", bucketOf(v))
+    val ranked = withB.withColumn("_rk",
+      row_number().over(Window.partitionBy(col("_bkt")).orderBy(v)).cast("long"))
+    val offsets = withB.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    ranked.join(broadcast(offsets), Seq("_bkt"))
+      .select(v, (col("_off") + col("_rk")).as(idCol))
+  }
+
+  /** DuckDB CTE body computing the same bucketed dense ids as [[denseIds]].
+    * `src` must be a CTE/table of DISTINCT `valueCol` values; emits a
+    * relation (valueCol, idCol). Splice as
+    * `s"dict AS (${denseIdsSqlCte("srcCte", "tok", "tok_id")})"`. */
+  def denseIdsSqlCte(src: String, valueCol: String, idCol: String): String =
+    s"""SELECT $valueCol, (off + rk)::BIGINT AS $idCol FROM (
+       |    SELECT $valueCol, bkt,
+       |           row_number() OVER (PARTITION BY bkt ORDER BY $valueCol) AS rk
+       |    FROM (SELECT $valueCol,
+       |            (ascii(substr($valueCol, 1, 1)) * 31
+       |             + ascii(substr($valueCol || ' ', 2, 1)) * 7
+       |             + length($valueCol)) % $DictBuckets AS bkt FROM $src)
+       |  ) JOIN (
+       |    SELECT bkt, coalesce(sum(n) OVER (ORDER BY bkt
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |    FROM (SELECT (ascii(substr($valueCol, 1, 1)) * 31
+       |                  + ascii(substr($valueCol || ' ', 2, 1)) * 7
+       |                  + length($valueCol)) % $DictBuckets AS bkt, count(*) AS n
+       |          FROM $src GROUP BY 1)
+       |  ) USING (bkt)""".stripMargin
 }

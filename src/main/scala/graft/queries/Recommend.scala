@@ -19,7 +19,9 @@ import QUtil._
   *      Map<user,count> product becomes a join + sum.
   *   3. J2: already-friends excluded by broadcast LEFT ANTI join (here the
   *      deterministic relation friend(e, e+1), friend(e, e+2)).
-  *   4. J3: static similarity = |shared event_types| via a second equi-join.
+  *   4. J3: static similarity = |shared distinct items| via a second
+  *      equi-join on the high-cardinality item key (the reference joins
+  *      object tables, FriendRecommender.java:158-210).
   *   5. W7/F6: per (window, eigen) min-max normalization of both scores
   *      (degenerate span ⇒ 1.0, FriendRecommender.java:346-354), blend
   *      0.3·static + 0.7·dynamic (Config.java:83), top-5 by `row_number`.
@@ -65,15 +67,19 @@ object Recommend {
       .select(col("user_id").as("eigen_id"),
               explode(array(col("user_id") + 1, col("user_id") + 2)).as("user_id"))
     val cand = dyn.join(broadcast(friends), Seq("eigen_id", "user_id"), "left_anti")
-    // J3: static similarity = |shared distinct event_types|
-    val types = Tables.events(s, dir).select(col("user_id"), col("event_type")).distinct()
-    val stat = types.select(col("user_id").as("eigen_id"), col("event_type"))
+    // J3: static similarity = |shared distinct items|, keyed on the
+    // high-cardinality item key (the reference's static sim joins four
+    // object tables, FriendRecommender.java:158-210) — NEVER on a 5-value
+    // enum, which is a quadratic hot-key blowup at scale. The pair table is
+    // unbounded, so no broadcast hint: let the join shuffle on its keys.
+    val items = ev.select(col("user_id"), col("item")).distinct()
+    val stat = items.select(col("user_id").as("eigen_id"), col("item"))
       .filter(col("eigen_id") % 50 === 0)
-      .join(types, Seq("event_type"))
+      .join(items, Seq("item"))
       .filter(col("user_id") =!= col("eigen_id"))
       .groupBy(col("eigen_id"), col("user_id"))
       .agg(count(lit(1)).cast("double").as("stat"))
-    val scored = cand.join(broadcast(stat), Seq("eigen_id", "user_id"), "left")
+    val scored = cand.join(stat, Seq("eigen_id", "user_id"), "left")
       .na.fill(0.0, Seq("stat"))
     // W7: min-max normalize within (window, eigen); degenerate span -> 1.0
     val w = Window.partitionBy(col("win_start"), col("eigen_id"))
@@ -108,11 +114,11 @@ object Recommend {
       |), cand AS (
       |  SELECT * FROM dyn d
       |  WHERE d.user_id <> d.eigen_id + 1 AND d.user_id <> d.eigen_id + 2
-      |), types AS (
-      |  SELECT DISTINCT user_id, event_type FROM events
+      |), items AS (
+      |  SELECT DISTINCT user_id, item FROM ev
       |), stat AS (
       |  SELECT a.user_id AS eigen_id, b.user_id AS user_id, count(*)::DOUBLE AS stat
-      |  FROM types a JOIN types b ON a.event_type = b.event_type AND a.user_id <> b.user_id
+      |  FROM items a JOIN items b ON a.item = b.item AND a.user_id <> b.user_id
       |  WHERE a.user_id % 50 = 0
       |  GROUP BY 1, 2
       |), scored AS (

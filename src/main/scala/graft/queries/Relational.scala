@@ -259,11 +259,13 @@ object Relational {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), unix_timestamp(col("ts")).as("sec"))
     // midpoint at whole-second granularity: sub-second boundary events would
-    // otherwise split differently between Spark (µs) and DuckDB (ns)
-    val mid = ev.select(((min(col("sec")) + max(col("sec"))) / 2).cast("long"))
-      .head().getLong(0)
-    val first = ev.filter(col("sec") < mid).select(col("user_id"))
-    val second = ev.filter(col("sec") >= mid).select(col("user_id"))
+    // otherwise split differently between Spark (µs) and DuckDB (ns).
+    // Computed relationally — a 1-row aggregate broadcast-cross-joined onto
+    // the scan — so the query stays a single lazy plan (no driver action).
+    val mid = ev.agg(((min(col("sec")) + max(col("sec"))) / 2).cast("long").as("mid"))
+    val split = ev.crossJoin(broadcast(mid))
+    val first = split.filter(col("sec") < col("mid")).select(col("user_id"))
+    val second = split.filter(col("sec") >= col("mid")).select(col("user_id"))
     val onlyFirst = first.except(second)
       .select(col("user_id"), lit("first_only").as("cohort"))
     val both = first.intersect(second)

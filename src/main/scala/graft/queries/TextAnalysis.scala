@@ -133,35 +133,38 @@ object TextAnalysis {
       |FROM d ORDER BY doc_id""".stripMargin
 
   /** Document fingerprinting: a position-weighted token hash folded modulo
-    * 2³¹ (the rolling-hash family, simplified so both engines compute it in
-    * exact 64-bit integer arithmetic). Tokens are mapped to ids through a
-    * corpus dictionary (distinct token → dense rank) — the relational
-    * formulation of "hash the token": deterministic, shuffle-once, and
-    * collision-free by construction. */
+    * 2³¹−1 (the rolling-hash family, simplified so both engines compute it
+    * in exact 64-bit integer arithmetic). Tokens are mapped to ids through a
+    * corpus dictionary built with `QUtil.denseIds` — distributed bucketed
+    * rank, no single-partition global sort. Each term is reduced mod P
+    * BEFORE the sum, so terms stay < 2³¹ and the per-doc sum cannot wrap
+    * 64 bits (Spark wraps silently; DuckDB promotes to HUGEINT — either way
+    * a cross-engine divergence at scale without the reduction). */
   def t4_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val P = lit(2147483647L)
     val docs = Tables.documents(s, dir)
     val tokPos = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-    val dict = tokPos.select(col("tok")).distinct()
-      .withColumn("tok_id", dense_rank().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("tok"))).cast("long"))
+    val dict = denseIds(tokPos.select(col("tok")).distinct(), "tok", "tok_id")
     tokPos.join(broadcast(dict), Seq("tok"))
       .groupBy(col("doc_id"))
-      .agg(((sum((col("tok_id") + 1) * (col("pos") + 17)) % 2147483647L)).as("fingerprint"),
+      .agg((sum(((col("tok_id") % P + 1) * (col("pos") % P + 17)) % P) % P).as("fingerprint"),
            count(lit(1)).as("n_tokens"))
       .orderBy("doc_id")
   }
 
   val t4Sql: String =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
       |         unnest(range(len(string_split(text, ' ')))) AS pos
       |  FROM documents
+      |), dsrc AS (
+      |  SELECT DISTINCT tok FROM tok
       |), dict AS (
-      |  SELECT tok, dense_rank() OVER (ORDER BY tok)::BIGINT AS tok_id
-      |  FROM (SELECT DISTINCT tok FROM tok)
+      |  ${denseIdsSqlCte("dsrc", "tok", "tok_id")}
       |)
       |SELECT doc_id,
-      |  (sum((tok_id + 1) * (pos + 17))::BIGINT % 2147483647) AS fingerprint,
+      |  (sum(((tok_id % 2147483647 + 1) * (pos % 2147483647 + 17)) % 2147483647)
+      |    % 2147483647)::BIGINT AS fingerprint,
       |  count(*)::BIGINT AS n_tokens
       |FROM tok JOIN dict USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -171,9 +174,12 @@ object TextAnalysis {
     * split/array_distinct form — one tokenizer pass per row. */
   def t5_uwr_native(s: SparkSession, dir: String): DataFrame = {
     graft.functions.UniqueWordsRatio.register(s)
+    // round4 via the DataFrame API: `lit(10000.0)` is a DOUBLE literal. (In
+    // SQL text, `10000.0` parses as DECIMAL and the division comes out
+    // decimal(28,7) — a schema mismatch against the oracle's DOUBLE.)
     Tables.documents(s, dir)
-      .selectExpr("doc_id",
-        "floor(unique_words_ratio(text) * 10000.0 + 0.5) / 10000.0 AS uniq_ratio")
+      .select(col("doc_id"),
+        round4(expr("unique_words_ratio(text)")).as("uniq_ratio"))
       .orderBy("doc_id")
   }
 
