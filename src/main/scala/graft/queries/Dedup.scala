@@ -27,10 +27,12 @@ import QUtil._
   * integer arithmetic in both engines, with operands reduced mod p between
   * multiplications so no intermediate can wrap. The dictionary itself is the
   * DISTRIBUTED dense-id assignment of `QUtil.denseIds` (rank within hash
-  * bucket + prefix-summed bucket offsets): no single-partition global sort
-  * anywhere, so it survives a 100 TB vocabulary. At production scale the
-  * dictionary can still be swapped for xxhash64(shingle) (no rank at all),
-  * which changes no plan shape.
+  * bucket + prefix-summed bucket offsets), and the fact→dictionary id join is
+  * a plain shuffle equi-join on the shingle/token — neither the rank nor the
+  * join ever holds the unbounded vocabulary on one node or broadcasts it, so
+  * the pipeline survives a 100 TB vocabulary. At production scale the
+  * dictionary can still be swapped for xxhash64(shingle) (no rank, no join at
+  * all), which changes no plan shape downstream.
   */
 object Dedup {
 
@@ -152,8 +154,10 @@ object Dedup {
   def d3_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     // bucketed distributed dense ids — no single-partition global sort
+    // shuffle equi-join on sh: the dictionary is one row per distinct shingle
+    // — unbounded with the corpus, so it must never be broadcast
     val dict = denseIds(sh.select(col("sh")).distinct(), "sh", "sh_id")
-    val ids = sh.join(broadcast(dict), Seq("sh")).select(col("doc_id"), col("sh_id"))
+    val ids = sh.join(dict, Seq("sh")).select(col("doc_id"), col("sh_id"))
     // sh_id reduced mod P before the multiply: a < 2^27, so the product
     // stays < 2^58 — no silent 64-bit wrap at any dictionary size
     val mh = ids.join(broadcast(paramsDf(s)))
@@ -233,9 +237,10 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // referenced by dict build AND the id join
-    // bucketed distributed dense ids — no single-partition global sort
+    // bucketed distributed dense ids — no single-partition global sort; the
+    // id join shuffles on tok (the vocabulary is unbounded: never broadcast)
     val dict = denseIds(toks.select(col("tok")).distinct(), "tok", "tok_id")
-    val withId = toks.join(broadcast(dict), Seq("tok"))
+    val withId = toks.join(dict, Seq("tok"))
     val bits = (0 until 32).map { j =>
       val (a, b) = simhashParams(j)
       // operands reduced mod P between the two multiplications so every
@@ -295,13 +300,15 @@ object Dedup {
 
   /** D5 embedding-cosine near-dup: documents flagged as near-duplicates
     * when their embedding vectors (doc_id ↔ vec_id) exceed the cosine
-    * threshold — candidates from the hyperplane-LSH pass (Similarity.s2),
-    * joined back to document metadata. The semantic-dedup complement to the
+    * threshold — candidates from the SHARED materialized hyperplane-LSH pair
+    * table (`Similarity.s2Pairs`): the expensive fingerprint projection runs
+    * once per session/sf-dir and feeds both s2 and d5, not once per consumer.
+    * Joined back to document metadata — the semantic-dedup complement to the
     * lexical d2-d4 family. */
   def d5_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(
       col("doc_id"), col("source"))
-    val pairs = Similarity.s2_lsh_neardup(s, dir)
+    val pairs = Similarity.s2Pairs(s, dir)
       .select(col("va").as("doc_a"), col("vb").as("doc_b"), col("cosine"))
     pairs
       .join(broadcast(docs.withColumnRenamed("doc_id", "doc_a")

@@ -18,11 +18,30 @@ object QUtil {
   val DictBuckets = 64
 
   /** Cheap engine-portable bucket of a string: first char code ·31 + second
-    * char code (space-padded) ·7 + length, mod [[DictBuckets]]. Exact integer
-    * arithmetic that Spark and DuckDB evaluate identically. */
-  private def bucketOf(v: Column): Column =
-    (ascii(substring(v, 1, 1)) * lit(31) +
-     ascii(substring(concat(v, lit(" ")), 2, 1)) * lit(7) + length(v)) % lit(DictBuckets)
+    * char code (space-padded) ·7 + length, mod [[DictBuckets]]. The char-code
+    * path is gated on the first two chars being ASCII — `ascii()` is only
+    * engine-portable there (Spark returns the first UTF-8 byte, signed and
+    * negative for multibyte chars; DuckDB returns the Unicode code point, so
+    * ascii('é') diverges). Non-ASCII-prefixed values fall back to
+    * char-length·31 + byte-length·7, identical in both engines, and the
+    * result is normalized non-negative (`pmod` / `((x%B)+B)%B`). Exact
+    * integer arithmetic throughout. */
+  private def bucketOf(v: Column): Column = {
+    val asciiSafe = substring(v, 1, 2).rlike("^[\\x01-\\x7f]*$")
+    val raw = when(asciiSafe,
+        ascii(substring(v, 1, 1)) * lit(31) +
+        ascii(substring(concat(v, lit(" ")), 2, 1)) * lit(7) + length(v))
+      .otherwise(length(v) * lit(31) + octet_length(v) * lit(7))
+    pmod(raw, lit(DictBuckets))
+  }
+
+  /** The DuckDB twin of [[bucketOf]] as a SQL fragment over column `c`. */
+  private def bucketSql(c: String): String =
+    s"""(((CASE WHEN regexp_matches(substr($c, 1, 2), '^[\\x01-\\x7f]*$$')
+       |    THEN ascii(substr($c, 1, 1)) * 31
+       |         + ascii(substr($c || ' ', 2, 1)) * 7 + length($c)
+       |    ELSE length($c) * 31 + strlen($c) * 7 END)
+       |  % $DictBuckets + $DictBuckets) % $DictBuckets)""".stripMargin.replace("\n", " ")
 
   /** Distributed exact dense ids over the distinct values of `valueCol`:
     * rank within a hash bucket (a PARTITIONED window — parallel across
@@ -36,7 +55,11 @@ object QUtil {
                idCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol)
+    // materialized: both the ranked branch and the offsets branch consume it,
+    // and DataFrames do not share subplans — without this the upstream
+    // distinct-vocabulary pipeline (scan+explode+distinct) executes twice
     val withB = distinctVals.select(v).withColumn("_bkt", bucketOf(v))
+      .localCheckpoint()
     val ranked = withB.withColumn("_rk",
       row_number().over(Window.partitionBy(col("_bkt")).orderBy(v)).cast("long"))
     val offsets = withB.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
@@ -44,6 +67,7 @@ object QUtil {
         Window.orderBy(col("_bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bkt"), col("_off"))
+    // offsets has exactly DictBuckets rows — a bounded, safely-broadcast side
     ranked.join(broadcast(offsets), Seq("_bkt"))
       .select(v, (col("_off") + col("_rk")).as(idCol))
   }
@@ -57,15 +81,11 @@ object QUtil {
        |    SELECT $valueCol, bkt,
        |           row_number() OVER (PARTITION BY bkt ORDER BY $valueCol) AS rk
        |    FROM (SELECT $valueCol,
-       |            (ascii(substr($valueCol, 1, 1)) * 31
-       |             + ascii(substr($valueCol || ' ', 2, 1)) * 7
-       |             + length($valueCol)) % $DictBuckets AS bkt FROM $src)
+       |            ${bucketSql(valueCol)} AS bkt FROM $src)
        |  ) JOIN (
        |    SELECT bkt, coalesce(sum(n) OVER (ORDER BY bkt
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-       |    FROM (SELECT (ascii(substr($valueCol, 1, 1)) * 31
-       |                  + ascii(substr($valueCol || ' ', 2, 1)) * 7
-       |                  + length($valueCol)) % $DictBuckets AS bkt, count(*) AS n
+       |    FROM (SELECT ${bucketSql(valueCol)} AS bkt, count(*) AS n
        |          FROM $src GROUP BY 1)
        |  ) USING (bkt)""".stripMargin
 }

@@ -105,10 +105,31 @@ object Similarity {
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Verified near-dup pairs (s2's result), MATERIALIZED once per
+    * (session, sf-dir) and shared by every consumer — `s2_lsh_neardup`
+    * itself and `Dedup.d5_embedding_neardup`. The fingerprint projection is
+    * the expensive step (16 hyperplanes × 64 exact-decimal folds per row);
+    * without the shared intermediate it would execute once per consumer in a
+    * verify/bench cycle. In production this is a persisted staging table;
+    * here `localCheckpoint` plays that role. `Bench` clears the cache before
+    * each timed run (`clearShared`) so benchmark numbers stay cold-cost. */
+  def s2Pairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => s2PairsUncached(s, dir).localCheckpoint())
+
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Drop all shared materialized intermediates (bench isolation). */
+  def clearShared(): Unit = pairsCache.clear()
+
   /** S2 random-hyperplane LSH near-dup: 16 sign bits, 2×8-bit bands,
     * candidates verified with exact cosine ≥ 0.4 (unit vectors ⇒ dot =
     * cosine). */
-  def s2_lsh_neardup(s: SparkSession, dir: String): DataFrame = {
+  def s2_lsh_neardup(s: SparkSession, dir: String): DataFrame =
+    s2Pairs(s, dir).orderBy("va", "vb")
+
+  private def s2PairsUncached(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val fp = emb.select(col("vec_id"), fingerprint16(col("embedding")).as("fp"))
     val bnd = fp.select(col("vec_id"),
@@ -127,7 +148,6 @@ object Similarity {
       .withColumn("cosine", round4(dotDec(col("ea"), col("eb"))))
       .filter(col("cosine") >= 0.4)
       .select(col("va"), col("vb"), col("cosine"))
-      .orderBy("va", "vb")
   }
 
   val s2Sql: String = {

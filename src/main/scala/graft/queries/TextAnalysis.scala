@@ -144,8 +144,10 @@ object TextAnalysis {
     val P = lit(2147483647L)
     val docs = Tables.documents(s, dir)
     val tokPos = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    // id join shuffles on tok — the vocabulary dictionary is unbounded with
+    // the corpus, so it is never broadcast
     val dict = denseIds(tokPos.select(col("tok")).distinct(), "tok", "tok_id")
-    tokPos.join(broadcast(dict), Seq("tok"))
+    tokPos.join(dict, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg((sum(((col("tok_id") % P + 1) * (col("pos") % P + 17)) % P) % P).as("fingerprint"),
            count(lit(1)).as("n_tokens"))
