@@ -28,30 +28,100 @@ object Stateful {
   private val userOrder   = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
   private val globalOrder = Window.orderBy(col("ts"), col("event_id"))
 
-  /** ST2 ComputeFeatures: per-person 3-event moving activity frequency
-    * (3·HOUR/max(1, t0−t2), −1 until 3 events seen —
-    * AnomalousUserDetector.java:110-142) plus last-activity measure. */
-  def st2_user_features(s: SparkSession, dir: String): DataFrame = {
+  /** The reference's full per-activity feature vector
+    * (AnomalousUserDetector.java `Features.update`, :110-142): 3-event moving
+    * frequency, plus length and unique-words ratio of the CURRENT activity's
+    * content — recorded under the comment-kind features when the activity is
+    * comment-like, under the post-kind features when post-like, with −1
+    * sentinels everywhere else (every `update` overwrites all four, so each
+    * row reflects only its own activity's kind).
+    *
+    * The events testdata carries no prose content, so content is derived
+    * deterministically from the row (`event_type` + `props`, with the type
+    * token doubled on k%3==0 rows so the unique-words ratio is non-constant);
+    * kind mapping: click/view ⇒ comment-like, purchase ⇒ post-like,
+    * signup/error ⇒ neither. The feature SEMANTICS (current-activity
+    * overwrite + per-kind sentinels) are the reference's exactly.
+    *
+    * Scale: one shuffle on user_id for the lag window; everything else is a
+    * per-row projection. */
+  private def withFeatures(s: SparkSession, dir: String): DataFrame = {
     val sec = unix_timestamp(col("ts"))
     val t2 = lag(sec, 2).over(userOrder)
+    val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("int")
+    val content = when(k % 3 === 0,
+        concat_ws(" ", col("event_type"), col("event_type"), col("props")))
+      .otherwise(concat_ws(" ", col("event_type"), col("props")))
+    val isComment = col("event_type").isin("click", "view")
+    val isPost = col("event_type") === "purchase"
+    val toks = split(content, " ")
+    val uwr = size(array_distinct(toks)).cast("double") / size(toks)
     Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+              col("event_type"), col("props"))
       .withColumn("freq",
         when(t2.isNull, lit(-1.0))
-          .otherwise(round4(lit(3.0 * 3600.0) / greatest(sec - t2, lit(1L)))))
-      .withColumn("prev_value", coalesce(lag(col("value"), 1).over(userOrder), lit(-1.0)))
-      .select(col("event_id"), col("user_id"), col("freq"), col("prev_value"))
-      .orderBy("event_id")
+          .otherwise(lit(3.0 * 3600.0) / greatest(sec - t2, lit(1L))))
+      .withColumn("comment_len",
+        when(isComment, length(content).cast("long")).otherwise(lit(-1L)))
+      .withColumn("post_len",
+        when(isPost, length(content).cast("long")).otherwise(lit(-1L)))
+      .withColumn("comment_ratio", when(isComment, uwr).otherwise(lit(-1.0)))
+      .withColumn("post_ratio", when(isPost, uwr).otherwise(lit(-1.0)))
   }
 
+  /** The DuckDB twin of [[withFeatures]]'s derived columns, as a CTE named
+    * `feat` over `events`. */
+  private val featSql: String =
+    """feat AS (
+      |  SELECT event_id, user_id, ts, value,
+      |    CASE WHEN lag(floor(epoch(ts))::BIGINT, 2) OVER u IS NULL THEN -1.0
+      |         ELSE 3.0 * 3600.0 / greatest(floor(epoch(ts))::BIGINT
+      |              - lag(floor(epoch(ts))::BIGINT, 2) OVER u, 1) END AS freq,
+      |    CASE WHEN event_type IN ('click','view') THEN length(content)::BIGINT ELSE -1 END AS comment_len,
+      |    CASE WHEN event_type = 'purchase' THEN length(content)::BIGINT ELSE -1 END AS post_len,
+      |    CASE WHEN event_type IN ('click','view') THEN uwr ELSE -1.0 END AS comment_ratio,
+      |    CASE WHEN event_type = 'purchase' THEN uwr ELSE -1.0 END AS post_ratio
+      |  FROM (
+      |    SELECT *,
+      |      len(list_distinct(string_split(content, ' ')))::DOUBLE
+      |        / len(string_split(content, ' ')) AS uwr
+      |    FROM (
+      |      SELECT *, CASE WHEN CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) % 3 = 0
+      |                     THEN event_type || ' ' || event_type || ' ' || props
+      |                     ELSE event_type || ' ' || props END AS content
+      |      FROM events))
+      |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
+  /** ST2 ComputeFeatures: the full reference feature vector per activity —
+    * 3-event moving frequency (3·HOUR/max(1, t0−t2), −1 until 3 events
+    * seen), current-activity content length + unique-words ratio under
+    * per-kind −1 sentinels (AnomalousUserDetector.java:110-142), plus the
+    * previous activity's measure. */
+  def st2_user_features(s: SparkSession, dir: String): DataFrame =
+    withFeatures(s, dir)
+      .withColumn("freq", when(col("freq") === -1.0, lit(-1.0)).otherwise(round4(col("freq"))))
+      .withColumn("prev_value", coalesce(lag(col("value"), 1).over(userOrder), lit(-1.0)))
+      .withColumn("comment_ratio",
+        when(col("comment_ratio") === -1.0, lit(-1.0)).otherwise(round4(col("comment_ratio"))))
+      .withColumn("post_ratio",
+        when(col("post_ratio") === -1.0, lit(-1.0)).otherwise(round4(col("post_ratio"))))
+      .select(col("event_id"), col("user_id"), col("freq"), col("prev_value"),
+              col("comment_len"), col("post_len"), col("comment_ratio"), col("post_ratio"))
+      .orderBy("event_id")
+
   val st2Sql: String =
-    """SELECT event_id, user_id,
-      |  CASE WHEN lag(floor(epoch(ts))::BIGINT, 2) OVER w IS NULL THEN -1.0
-      |       ELSE floor(3.0 * 3600.0 / greatest(floor(epoch(ts))::BIGINT
-      |                  - lag(floor(epoch(ts))::BIGINT, 2) OVER w, 1)
-      |            * 10000.0 + 0.5) / 10000.0 END AS freq,
-      |  coalesce(lag(value, 1) OVER w, -1.0) AS prev_value
-      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    s"""WITH $featSql
+      |SELECT event_id, user_id,
+      |  CASE WHEN freq = -1.0 THEN -1.0
+      |       ELSE floor(freq * 10000.0 + 0.5) / 10000.0 END AS freq,
+      |  coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0) AS prev_value,
+      |  comment_len, post_len,
+      |  CASE WHEN comment_ratio = -1.0 THEN -1.0
+      |       ELSE floor(comment_ratio * 10000.0 + 0.5) / 10000.0 END AS comment_ratio,
+      |  CASE WHEN post_ratio = -1.0 THEN -1.0
+      |       ELSE floor(post_ratio * 10000.0 + 0.5) / 10000.0 END AS post_ratio
+      |FROM feat
       |ORDER BY event_id""".stripMargin
 
   /** ST3 UnusualUserDetector, exact semantics: each event compared against
@@ -171,55 +241,136 @@ object Stateful {
       |WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
-  /** ST3 full fidelity: the reference's two-stage anomaly pipeline with
-    * SENTINEL-AWARE running means (Signatures.update skips −1-valued
-    * features, AnomalousUserDetector.java:160-185 — SURVEY §2.7 F8). Stage 1
-    * = per-user 3-event moving frequency (−1 until 3 events seen, ST2);
-    * stage 2 = global ts-ordered running mean over ONLY the non-sentinel
-    * prior frequencies (conditional decimal sums), flag when
-    * freq > 2 × that mean. */
-  def st6_conditional_signature(s: SparkSession, dir: String): DataFrame = {
-    val sec = unix_timestamp(col("ts"))
-    val t2 = lag(sec, 2).over(userOrder)
-    val withFreq = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"))
-      .withColumn("freq",
-        when(t2.isNull, lit(-1.0))
-          .otherwise(lit(3.0 * 3600.0) / greatest(sec - t2, lit(1L))))
-    val prior = globalOrder.rowsBetween(Window.unboundedPreceding, -1)
-    val condSum = sum(when(col("freq") =!= -1.0, col("freq").cast("decimal(30,10)"))).over(prior)
-    val condCnt = count(when(col("freq") =!= -1.0, lit(1))).over(prior)
-    withFreq
-      .withColumn("sig_mean", condSum.cast("double") / condCnt)
-      .filter(col("freq") =!= -1.0 && col("sig_mean").isNotNull &&
-              col("freq") > lit(2.0) * col("sig_mean"))
-      .select(col("event_id"), col("user_id"),
-              round4(col("freq")).as("freq"), round4(col("sig_mean")).as("sig_mean"))
+  /** The five feature columns the conditional signature tracks, with their
+    * `reasons` bitmask bit. */
+  private val sigFeatures: Seq[(String, Int)] = Seq(
+    "freq" -> 1, "comment_len" -> 2, "post_len" -> 4,
+    "comment_ratio" -> 8, "post_ratio" -> 16)
+
+  /** Given a feature frame carrying `avg_<f>` running means, apply the
+    * reference's `isNormal` thresholds (AnomalousUserDetector.java:188-200):
+    * frequency is abnormal above 2× its mean; lengths and ratios are abnormal
+    * OUTSIDE [0.5×, 2×] their mean — each check skipped when the feature is
+    * its −1 sentinel. Emits flagged events with a `reasons` bitmask of which
+    * checks fired. */
+  private def flagAbnormal(f: DataFrame): DataFrame = {
+    def band(c: String, bit: Int) = when(col(c) =!= -1 &&
+      (col(c) < col(s"avg_$c") * 0.5 || col(c) > col(s"avg_$c") * 2), lit(bit)).otherwise(lit(0))
+    val reasons =
+      when(col("freq") =!= -1.0 && col("freq") > col("avg_freq") * 2, lit(1)).otherwise(lit(0)) +
+      band("comment_len", 2) + band("post_len", 4) +
+      band("comment_ratio", 8) + band("post_ratio", 16)
+    f.withColumn("reasons", reasons)
+      .filter(col("reasons") > 0)
+      .withColumn("freq", when(col("freq") === -1.0, lit(-1.0)).otherwise(round4(col("freq"))))
+      .withColumn("comment_ratio",
+        when(col("comment_ratio") === -1.0, lit(-1.0)).otherwise(round4(col("comment_ratio"))))
+      .withColumn("post_ratio",
+        when(col("post_ratio") === -1.0, lit(-1.0)).otherwise(round4(col("post_ratio"))))
+      .select(col("event_id"), col("user_id"), col("freq"), col("comment_len"),
+              col("post_len"), col("comment_ratio"), col("post_ratio"), col("reasons"))
       .orderBy("event_id")
   }
 
-  val st6Sql: String =
-    """WITH f AS (
-      |  SELECT event_id, user_id, ts,
-      |    CASE WHEN lag(floor(epoch(ts))::BIGINT, 2) OVER u IS NULL THEN -1.0
-      |         ELSE 3.0 * 3600.0 / greatest(floor(epoch(ts))::BIGINT
-      |              - lag(floor(epoch(ts))::BIGINT, 2) OVER u, 1) END AS freq
-      |  FROM events WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |), sig AS (
-      |  SELECT event_id, user_id, freq,
-      |    sum(CASE WHEN freq <> -1.0 THEN freq::DECIMAL(30,10) END) OVER g::DOUBLE
-      |      / count(CASE WHEN freq <> -1.0 THEN 1 END) OVER g AS sig_mean
-      |  FROM f WINDOW g AS (ORDER BY ts, event_id
-      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+  /** ST6 UnusualUserDetector, full reference fidelity: the global signature
+    * is the SENTINEL-AWARE running mean of each of the five features
+    * (Signatures.update skips −1-valued features,
+    * AnomalousUserDetector.java:160-185), updated BEFORE the normality check
+    * (`:268-272` — so each mean INCLUDES the current activity), then the
+    * five isNormal threshold checks (`:188-200`). Exact sequential fold in
+    * global (ts, event_id) order — the declared non-scalable exact form;
+    * [[st6_scalable]] is the identical-result two-pass decomposition.
+    *
+    * Documented divergence: the reference accumulates the length means in
+    * Java INTEGER arithmetic (truncating at every step,
+    * AnomalousUserDetector.java:165-175); this engine uses exact decimal
+    * sums — the mathematically-intended mean, identical across engines. */
+  def st6_conditional_signature(s: SparkSession, dir: String): DataFrame = {
+    val run = globalOrder.rowsBetween(Window.unboundedPreceding, 0)
+    val withMeans = sigFeatures.foldLeft(withFeatures(s, dir)) { case (df, (c, _)) =>
+      df.withColumn(s"avg_$c",
+        sum(when(col(c) =!= -1, col(c).cast("decimal(30,10)"))).over(run).cast("double")
+          / count(when(col(c) =!= -1, lit(1))).over(run))
+    }
+    flagAbnormal(withMeans)
+  }
+
+  /** Shared tail of the two st6 oracle forms: threshold checks + bitmask +
+    * output projection over a `sig` CTE carrying features and avg_* means. */
+  private val st6TailSql: String =
+    """flagged AS (
+      |  SELECT event_id, user_id, freq, comment_len, post_len, comment_ratio, post_ratio,
+      |    (CASE WHEN freq <> -1.0 AND freq > avg_freq * 2 THEN 1 ELSE 0 END
+      |     + CASE WHEN comment_len <> -1 AND (comment_len < avg_comment_len * 0.5
+      |            OR comment_len > avg_comment_len * 2) THEN 2 ELSE 0 END
+      |     + CASE WHEN post_len <> -1 AND (post_len < avg_post_len * 0.5
+      |            OR post_len > avg_post_len * 2) THEN 4 ELSE 0 END
+      |     + CASE WHEN comment_ratio <> -1.0 AND (comment_ratio < avg_comment_ratio * 0.5
+      |            OR comment_ratio > avg_comment_ratio * 2) THEN 8 ELSE 0 END
+      |     + CASE WHEN post_ratio <> -1.0 AND (post_ratio < avg_post_ratio * 0.5
+      |            OR post_ratio > avg_post_ratio * 2) THEN 16 ELSE 0 END) AS reasons
+      |  FROM sig)
       |SELECT event_id, user_id,
-      |  floor(freq * 10000.0 + 0.5) / 10000.0 AS freq,
-      |  floor(sig_mean * 10000.0 + 0.5) / 10000.0 AS sig_mean
-      |FROM sig
-      |WHERE freq <> -1.0 AND sig_mean IS NOT NULL AND freq > 2.0 * sig_mean
-      |ORDER BY event_id""".stripMargin
+      |  CASE WHEN freq = -1.0 THEN -1.0 ELSE floor(freq * 10000.0 + 0.5) / 10000.0 END AS freq,
+      |  comment_len, post_len,
+      |  CASE WHEN comment_ratio = -1.0 THEN -1.0
+      |       ELSE floor(comment_ratio * 10000.0 + 0.5) / 10000.0 END AS comment_ratio,
+      |  CASE WHEN post_ratio = -1.0 THEN -1.0
+      |       ELSE floor(post_ratio * 10000.0 + 0.5) / 10000.0 END AS post_ratio,
+      |  reasons
+      |FROM flagged WHERE reasons > 0 ORDER BY event_id""".stripMargin
+
+  val st6Sql: String = {
+    val means = sigFeatures.map { case (c, _) =>
+      s"""    sum(CASE WHEN $c <> -1 THEN $c::DECIMAL(30,10) END) OVER g::DOUBLE
+         |      / count(CASE WHEN $c <> -1 THEN 1 END) OVER g AS avg_$c""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $featSql, sig AS (
+      |  SELECT event_id, user_id, freq, comment_len, post_len, comment_ratio, post_ratio,
+      |$means
+      |  FROM feat WINDOW g AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+      |$st6TailSql""".stripMargin
+  }
+
+  /** ST6, scalable form with IDENTICAL results: the running conditional
+    * sums/counts are associative, so the global sequential fold decomposes
+    * EXACTLY into (a) per-hour-bucket conditional totals (one small shuffle),
+    * (b) an unbounded prefix window over bucket totals (thousands of rows,
+    * not billions), and (c) an intra-bucket running window PARTITIONED by
+    * bucket (parallel across buckets) — running mean at row i =
+    * (prefix(bucket−1) + intra(≤i)) / (prefix count + intra count). Unlike
+    * st3's bucket-granular variant this is not an approximation: it shares
+    * [[st6Sql]] verbatim. This is the shape the exact fold takes at 100 TB. */
+  def st6_scalable(s: SparkSession, dir: String): DataFrame = {
+    val ev = withFeatures(s, dir)
+      .withColumn("bucket", (unix_timestamp(col("ts")) / lit(3600L)).cast("long"))
+    val bucketAggs = sigFeatures.flatMap { case (c, _) => Seq(
+      sum(when(col(c) =!= -1, col(c).cast("decimal(30,10)"))).as(s"bsum_$c"),
+      count(when(col(c) =!= -1, lit(1))).as(s"bcnt_$c")) }
+    val perBucket = ev.groupBy(col("bucket")).agg(bucketAggs.head, bucketAggs.tail: _*)
+    val prior = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = sigFeatures.foldLeft(perBucket) { case (df, (c, _)) =>
+      df.withColumn(s"psum_$c", sum(col(s"bsum_$c")).over(prior))
+        .withColumn(s"pcnt_$c", sum(col(s"bcnt_$c")).over(prior))
+    }.select(col("bucket") +: sigFeatures.flatMap { case (c, _) =>
+      Seq(col(s"psum_$c"), col(s"pcnt_$c")) }: _*)
+    val intra = Window.partitionBy(col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withMeans = sigFeatures.foldLeft(ev.join(broadcast(prefix), Seq("bucket"))) {
+      case (df, (c, _)) =>
+        val isum = sum(when(col(c) =!= -1, col(c).cast("decimal(30,10)"))).over(intra)
+        val icnt = count(when(col(c) =!= -1, lit(1))).over(intra)
+        df.withColumn(s"avg_$c",
+          (coalesce(col(s"psum_$c"), lit(0).cast("decimal(30,10)")) + isum).cast("double")
+            / (coalesce(col(s"pcnt_$c"), lit(0L)) + icnt))
+    }
+    flagAbnormal(withMeans)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st6_conditional_signature" -> (st6_conditional_signature _),
+    "st6_scalable"          -> (st6_scalable _),
     "st2_user_features"     -> (st2_user_features _),
     "st3_anomaly_exact"     -> (st3_anomaly_exact _),
     "st3_anomaly_scalable"  -> (st3_anomaly_scalable _),
@@ -228,6 +379,7 @@ object Stateful {
 
   val oracles: Map[String, String] = Map(
     "st6_conditional_signature" -> st6Sql,
+    "st6_scalable"          -> st6Sql,
     "st2_user_features"     -> st2Sql,
     "st3_anomaly_exact"     -> st3Sql,
     "st3_anomaly_scalable"  -> st3ScalableSql,
