@@ -61,6 +61,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("arrival-order replay: watermark drops exactly the late-audit records") {
+    // Five events replayed in (jittered) ARRIVAL order, one micro-batch each,
+    // so the watermark advances per record exactly like the l2_late_audit
+    // rule: late iff event time < max-prior-arrival event time - 30 min.
+    // Only e4 (event time 00:30, arriving after the 02:00 record has pushed
+    // the watermark to 01:30) is late.
+    implicit val sqlCtx = spark.sqlContext
+    val arrivalOrder = Seq( // (event_id, event time)
+      1L -> ts("2024-01-01T00:00:00Z"),
+      2L -> ts("2024-01-01T02:00:00Z"),
+      3L -> ts("2024-01-01T01:45:00Z"), // out-of-order but within bound
+      4L -> ts("2024-01-01T00:30:00Z"), // LATE: 00:30 < 02:00 - 30min
+      5L -> ts("2024-01-01T04:00:00Z")) // closes all windows
+    // the l2 rule applied to the same arrival order
+    val lateByRule = arrivalOrder.zipWithIndex.filter { case ((_, t), i) =>
+      val priorMax = arrivalOrder.take(i).map(_._2.getTime).maxOption
+      priorMax.exists(pm => t.getTime < pm - 30 * 60 * 1000)
+    }.map(_._1._1)
+    assert(lateByRule == Seq(4L))
+    val mem = MemoryStream[(Long, Timestamp)]
+    val agg = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("replay_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      arrivalOrder.foreach { e => mem.addData(e); q.processAllAvailable() }
+      val rows = spark.table("replay_test")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def h(s: String) = java.time.Instant.parse(s).getEpochSecond
+      // e4 dropped: its 00:00 window closed with only e1
+      assert(rows.get(h("2024-01-01T00:00:00Z")).contains(1L))
+      // e3 kept despite out-of-order arrival
+      assert(rows.get(h("2024-01-01T01:00:00Z")).contains(1L))
+      assert(rows.get(h("2024-01-01T02:00:00Z")).contains(1L))
+    } finally q.stop()
+  }
+
   test("streaming resolver equals batch pointer-doubling") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.Streams.x3_stream_resolver(spark, dir)
