@@ -118,13 +118,79 @@ object Graph {
       |FROM o WHERE prev_ts IS NOT NULL AND ts < prev_ts
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S9 subtree-drop cleaning (StreamsCleaner.java:23-204): the reference
+    * walks every leaf-to-post path and, when ANY edge on a path violates
+    * parent-before-child ordering, deletes the ENTIRE subtree rooted at the
+    * offending top-level comment (the comment replying directly to the
+    * post) — `toBeDeleted.add(topComment)` then
+    * `toDelete.addAll(commentMap.get(commentId))`.
+    *
+    * Derived TREE relation (richer than st1's chains so subtree semantics are
+    * non-trivial): each block of 7 ids is one thread — root post 7k, and
+    * comment 7k+i (i=1..6) replying to 7k+(i−1)/2. That is a binary tree with
+    * TWO top-level comments (7k+1, 7k+2) owning subtrees {1,3,4} and {2,5,6},
+    * so one violating subtree never drops its sibling.
+    *
+    * Spark plan: one shuffle join child→parent for the violation scan
+    * (second-floored timestamps — the engines disagree below Spark's µs
+    * resolution), the iterative pointer-doubling resolver ([[resolveRoots]])
+    * to assign every comment its top-level ancestor, then an anti-join
+    * against the violating tops. Survivors out, exactly the cleaner's output
+    * file. */
+  def s9_subtree_drop(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir).select(
+      col("event_id"), unix_timestamp(col("ts")).as("sec"),
+      (col("event_id") - (col("event_id") % 7)).as("block"),
+      (col("event_id") % 7).as("i"))
+    val comments = c.filter(col("i") >= 1)
+      .withColumn("parent_id", col("block") + floor((col("i") - 1) / 2).cast("long"))
+    // resolve each comment to its TOP-LEVEL-COMMENT ancestor: top comments
+    // (direct children of the post) act as roots of the pointer-doubled walk
+    val topEdges = comments.select(
+      col("event_id"),
+      when(col("i") <= 2, lit(null).cast("long")).otherwise(col("parent_id")).as("parent_id"))
+    val tops = resolveRoots(topEdges).withColumnRenamed("root_id", "top_id")
+    // violation scan over EVERY comment edge (incl. the top-comment→post
+    // edge, StreamsCleaner.java:154-157): parent not strictly before child
+    val parents = c.select(col("event_id").as("p_id"), col("sec").as("p_sec"))
+    val violatingTops = comments
+      .join(parents, col("parent_id") === col("p_id"))
+      .filter(col("p_sec") >= col("sec"))
+      .join(tops, Seq("event_id"))
+      .select(col("top_id")).distinct()
+    comments.join(tops, Seq("event_id"))
+      .join(violatingTops, Seq("top_id"), "left_anti")
+      .select(col("event_id"), col("top_id"))
+      .orderBy("event_id")
+  }
+
+  val s9SubtreeSql: String =
+    """WITH c AS (
+      |  SELECT event_id, floor(epoch(ts))::BIGINT AS sec,
+      |         event_id - (event_id % 7) AS block, event_id % 7 AS i
+      |  FROM events),
+      |e AS (
+      |  SELECT event_id, sec, block,
+      |         block + CASE WHEN i IN (1, 3, 4) THEN 1 ELSE 2 END AS top_id,
+      |         block + (i - 1) // 2 AS parent_id
+      |  FROM c WHERE i >= 1),
+      |v AS (
+      |  SELECT DISTINCT e.top_id
+      |  FROM e JOIN c p ON e.parent_id = p.event_id
+      |  WHERE p.sec >= e.sec)
+      |SELECT event_id, top_id FROM e
+      |WHERE top_id NOT IN (SELECT top_id FROM v)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_resolve_roots" -> (st1_resolve_roots _),
     "j4_ts_violations"  -> (j4_ts_violations _),
-    "s9_order_audit"    -> (s9_order_audit _))
+    "s9_order_audit"    -> (s9_order_audit _),
+    "s9_subtree_drop"   -> (s9_subtree_drop _))
 
   val oracles: Map[String, String] = Map(
     "st1_resolve_roots" -> st1Sql,
     "j4_ts_violations"  -> j4Sql,
-    "s9_order_audit"    -> s9Sql)
+    "s9_order_audit"    -> s9Sql,
+    "s9_subtree_drop"   -> s9SubtreeSql)
 }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.ActivityParser
+
+/** End-to-end LDBC activity slice: wire-format lines → [[ActivityParser]] →
+  * iterative root resolution → W1 tumbling counts, in ONE oracle-checked
+  * query — proving the parser feeds the engine, not just its specs.
+  *
+  * The reference pipeline is Producer (pipe-delimited LDBC lines) →
+  * `Activity.fromString` → PostIdResolver → ActivePostStatistician
+  * (`SocialNetwork.java:70-100`). Here the same wire format is SYNTHESIZED
+  * deterministically from the events table (each block of 7 ids is one
+  * thread, the same binary-tree relation as `Graph.s9_subtree_drop`: post 7k,
+  * top-level comments 7k+1 / 7k+2, replies 7k+3..7k+6), rendered as real
+  * post/comment CSV lines, re-parsed by the production parser, resolved with
+  * the pointer-doubling resolver, and aggregated into per-post per-hour
+  * activity counts (`ActivePostStatistician`'s W1 pre-counts).
+  *
+  * The DuckDB oracle computes the same counts in closed form — so any
+  * formatting, parsing, typing, or resolution defect in the round trip
+  * breaks the hash match.
+  *
+  * Scale: formatting and parsing are per-row projections at scan speed (no
+  * UDFs); resolution is ⌈log₂ depth⌉ shuffle joins; the final agg is one
+  * shuffle on (window, root). */
+object LdbcE2E {
+
+  def ldbc_e2e(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("cdate"),
+      (col("event_id") - (col("event_id") % 7)).as("block"),
+      (col("event_id") % 7).as("i"),
+      col("event_type"))
+
+    // post line: id|personId|creationDate|imageFile|locationIP|browserUsed|language|content|tags|forumId|placeId
+    val postLines = ev.filter(col("i") === 0).select(concat_ws("|",
+      col("event_id"), col("user_id"), col("cdate"), lit(""), lit("10.0.0.1"),
+      lit("Firefox"), lit("en"), col("event_type"), lit("[1, 2]"),
+      col("block"), lit("5")).as("value"))
+
+    // comment line: id|personId|creationDate|locationIP|browserUsed|content|reply_to_postId|reply_to_commentId|placeId
+    // i ∈ {1,2} ⇒ Comment (direct child of the post); i ≥ 3 ⇒ Reply to 7k+(i−1)/2
+    val commentLines = ev.filter(col("i") >= 1).select(concat_ws("|",
+      col("event_id"), col("user_id"), col("cdate"), lit("10.0.0.2"),
+      lit("Chrome"), col("event_type"),
+      when(col("i") <= 2, col("block").cast("string")).otherwise(lit("")),
+      when(col("i") >= 3, (col("block") + floor((col("i") - 1) / 2).cast("long")).cast("string"))
+        .otherwise(lit("")),
+      lit("7")).as("value"))
+
+    val unified = ActivityParser.unified(
+      ActivityParser.posts(postLines),
+      ActivityParser.comments(commentLines),
+      // the likes leg of the union is exercised with an empty frame — the
+      // testdata has no likes stream; schema compatibility still checked
+      ActivityParser.likes(postLines.limit(0)))
+
+    val edges = unified.select(
+      col("event_id").cast("long").as("event_id"),
+      when(col("type") === "post", lit(null).cast("long"))
+        .when(col("type") === "comment", col("post_id").cast("long"))
+        .otherwise(col("parent_id").cast("long")).as("parent_id"))
+
+    val roots = Graph.resolveRoots(edges)
+
+    unified.select(col("event_id").cast("long").as("event_id"), col("creation_ts"))
+      .join(roots, Seq("event_id"))
+      .groupBy(window(col("creation_ts"), "1 hour"), col("root_id"))
+      .agg(count(lit(1)).as("n_activities"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+              col("root_id"), col("n_activities"))
+      .orderBy("win_start", "root_id")
+  }
+
+  /** Closed-form twin: root = the id-block's post, hour bucket from the raw
+    * timestamp (second-floored by the wire format, which cannot move an
+    * event across an hour boundary). */
+  val ldbcSql: String =
+    """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS win_start,
+      |       event_id - (event_id % 7) AS root_id,
+      |       count(*) AS n_activities
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ldbc_e2e" -> (ldbc_e2e _))
+
+  val oracles: Map[String, String] = Map(
+    "ldbc_e2e" -> ldbcSql)
+}
