@@ -46,8 +46,9 @@ object Replay {
   private def jitterSql(bound: Long): String =
     s"(((event_id % 100003) * 31 + 7) % $bound)"
 
-  /** events + event-time seconds + deterministic arrival time. */
-  private def arrivals(s: SparkSession, dir: String, bound: Long): DataFrame =
+  /** events + event-time seconds + deterministic arrival time. Public so the
+    * streaming twins can replay the same schedule (`Streams.x3_timer_resolver`). */
+  def arrivals(s: SparkSession, dir: String, bound: Long = 1800L): DataFrame =
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
       .withColumn("arrival_s", col("es") + jitter(bound))

@@ -90,7 +90,17 @@ object Streams {
       .select(col("event_id"), col("user_id"),
               unix_micros(col("ts")).as("tsMicros"), col("value"))
       .as[Ev]
-    val out = ds.groupByKey(_.user_id)
+    runToMemory(runningSumStateful(ds).toDF(), OutputMode.Update(),
+        s"x2_mem_${System.nanoTime()}")
+      .orderBy("event_id")
+  }
+
+  /** The x2 stateful core, shared with `CheckpointRestartSpec` — the
+    * per-user (sum, n) `ValueState` whose contents the state store
+    * checkpoints and restores across restarts. */
+  def runningSumStateful(ds: Dataset[Ev]): Dataset[RunOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[RunState, RunOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: Long, it: Iterator[Ev], state: GroupState[RunState]) =>
@@ -107,8 +117,6 @@ object Streams {
           state.update(st)
           outs.iterator
       }
-    runToMemory(out.toDF(), OutputMode.Update(), s"x2_mem_${System.nanoTime()}")
-      .orderBy("event_id")
   }
 
   case class Edge(event_id: Long, parentOrSelf: Long, isRoot: Boolean, chain: Long)
@@ -154,6 +162,120 @@ object Streams {
           emitted.iterator
       }
     runToMemory(out.toDF(), OutputMode.Update(), s"x3_mem_${System.nanoTime()}")
+      .orderBy("event_id")
+  }
+
+  case class TEdge(event_id: Long, ts: java.sql.Timestamp, arrival_s: Long)
+  case class TimerState(resolved: Map[Long, Long], parked: List[(Long, Long)])
+
+  /** Build (once per sf-dir) a stream directory replaying `events` in the
+    * deterministic jittered ARRIVAL order of `Replay.arrivals` — 4 parquet
+    * chunk files in arrival order plus a far-future sentinel, so
+    * `maxFilesPerTrigger 1` yields micro-batches whose watermark advances
+    * exactly like the reference's replayed Kafka topic. */
+  private def replayStreamDir(s: SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "events_replay")
+    val doneMarker = streamDir.resolve("9_sentinel.parquet")
+    if (!Files.exists(doneMarker)) {
+      Files.createDirectories(streamDir)
+      import org.apache.spark.sql.expressions.Window
+      val arr = graft.queries.Replay.arrivals(s, dir)
+        .select(col("event_id"), col("arrival_s"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+        .join(arr, Seq("event_id"))
+        .withColumn("_rk", row_number().over( // test-harness setup, not a query plan
+          Window.orderBy(col("arrival_s"), col("event_id"))))
+      val n = ev.count()
+      val farFuture = Tables.events(s, dir)
+        .select(max(col("ts")).as("mx")).head().getTimestamp(0).toInstant
+        .plusSeconds(30 * 24 * 3600)
+      val sentinel = s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(-1L, java.sql.Timestamp.from(farFuture), Long.MaxValue)),
+        org.apache.spark.sql.types.StructType(ev.drop("_rk").schema.fields))
+      val chunks = (0 until 4).map { k =>
+        val lo = k * n / 4 + 1; val hi = (k + 1) * n / 4
+        (s"${k}_chunk.parquet",
+         ev.filter(col("_rk").between(lo, hi)).drop("_rk"))
+      } :+ ("9_sentinel.parquet", sentinel)
+      chunks.foreach { case (name, df) => // sequential: mtime order = name order
+        val tmp = streamDir.resolve(s"_build_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+        Files.move(part, streamDir.resolve(name))
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    streamDir
+  }
+
+  /** X3-timer: the reference's ACTUAL resolver protocol (PostIdResolver.java:
+    * 138-214) — chain-walk on arrival; on a miss, save progress, PARK the
+    * reply and register an EVENT-TIME TIMER at the reply's own timestamp
+    * (`:167-169`); when the watermark passes, `onTimer` re-walks the chain
+    * (`:186-214`). The stream replays events in the deterministic jittered
+    * arrival order (out-of-order children really do arrive before their
+    * parents), keyed by chain, with `GroupStateTimeout.EventTimeTimeout`
+    * driving the retries. Final output = the batch st1 oracle. */
+  def x3_timer_resolver(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = replayStreamDir(s, dir)
+    val schema = s.read.parquet(streamDir.resolve("0_chunk.parquet").toString).schema
+    val ds = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("event_id"), col("ts"), col("arrival_s"))
+      .withWatermark("ts", "30 minutes")
+      .as[TEdge]
+    val out = ds.groupByKey(e => if (e.event_id < 0) -1L else e.event_id / 7)
+      .flatMapGroupsWithState[TimerState, ResOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, it: Iterator[TEdge], state: GroupState[TimerState]) =>
+          var st = state.getOption.getOrElse(TimerState(Map.empty, Nil))
+          val emitted = scala.collection.mutable.ListBuffer[ResOut]()
+          def emit(id: Long, root: Long): Unit = {
+            st = TimerState(st.resolved + (id -> root), st.parked)
+            emitted += ResOut(id, root)
+          }
+          if (state.hasTimedOut) {
+            // onTimer: re-walk every parked reply; the fixpoint loop plays
+            // the reference's repeated per-timer retries
+            var progress = true
+            while (progress && st.parked.nonEmpty) {
+              progress = false
+              val (ready, still) = st.parked.partition { case (_, p) => st.resolved.contains(p) }
+              if (ready.nonEmpty) {
+                progress = true
+                st = TimerState(st.resolved, still)
+                ready.sortBy(_._1).foreach { case (id, p) => emit(id, st.resolved(p)) }
+              }
+            }
+            if (st.parked.nonEmpty) // not yet resolvable: retry at next watermark
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 30 * 60 * 1000L)
+          } else {
+            var maxTsMs = Long.MinValue
+            it.toSeq.filter(_.event_id >= 0).sortBy(e => (e.arrival_s, e.event_id))
+              .foreach { e =>
+                maxTsMs = math.max(maxTsMs, e.ts.getTime)
+                val isRoot = e.event_id % 7 == 0
+                val parent = e.event_id - 1
+                if (isRoot) emit(e.event_id, e.event_id)
+                else st.resolved.get(parent) match {
+                  case Some(root) => emit(e.event_id, root) // chain-walk hit
+                  case None => // miss: park + event-time timer at own ts
+                    st = TimerState(st.resolved, (e.event_id, parent) :: st.parked)
+                }
+              }
+            if (st.parked.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(maxTsMs, state.getCurrentWatermarkMs() + 1))
+          }
+          state.update(st)
+          emitted.iterator
+      }
+    runToMemory(out.toDF(), OutputMode.Update(), s"x3t_mem_${System.nanoTime()}")
       .orderBy("event_id")
   }
 
@@ -249,6 +371,7 @@ object Streams {
     "x1_stream_sliding_counts" -> (x1_sliding_counts _),
     "x2_stream_running_sum"    -> (x2_running_user_sum _),
     "x3_stream_resolver"       -> (x3_stream_resolver _),
+    "x3_timer_resolver"        -> (x3_timer_resolver _),
     "x4_stream_sessions"       -> (x4_stream_sessions _),
     "x5_stream_static_join"    -> (x5_stream_static_join _))
 
@@ -258,6 +381,7 @@ object Streams {
     "x1_stream_sliding_counts" -> graft.queries.Windows.w2Sql,
     "x2_stream_running_sum"    -> graft.queries.Stateful.st4Sql,
     "x3_stream_resolver"       -> graft.queries.Graph.st1Sql,
+    "x3_timer_resolver"        -> graft.queries.Graph.st1Sql,
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
     "x5_stream_static_join"    -> x5Sql)
 }

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Paths, Path}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+/** L6 checkpoint/restart: the reference checkpoints RocksDB state every 10 s
+  * with fixed-delay restart (session-9/wiki-edits FlinkKafkaConsumer
+  * enableCheckpointing + RocksDBStateBackend); the Structured Streaming
+  * equivalent is `checkpointLocation` + the state store. These specs
+  * exercise it for real: a stateful running-sum query is KILLED mid-replay,
+  * restarted from its checkpoint, and the union of all committed
+  * micro-batch outputs must still equal the batch st4 result exactly —
+  * no lost state, no double-counted events. A second run uses the RocksDB
+  * state-store provider.
+  */
+class CheckpointRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** events split into `n` parquet chunk files in (ts, event_id) order —
+    * multiple micro-batches with per-user order preserved across batches. */
+  private def chunkedStreamDir(n: Int): Path = {
+    val streamDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), s"events_chunked_$n")
+    val doneMarker = streamDir.resolve(s"${n - 1}_chunk.parquet")
+    if (!Files.exists(doneMarker)) {
+      Files.createDirectories(streamDir)
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("_rk", row_number().over( // test setup, not a query plan
+          Window.orderBy(col("ts"), col("event_id"))))
+      val total = ev.count()
+      (0 until n).foreach { k => // sequential writes: mtime order = name order
+        val lo = k * total / n + 1; val hi = (k + 1) * total / n
+        val tmp = streamDir.resolve(s"_build_$k")
+        ev.filter(col("_rk").between(lo, hi)).drop("_rk")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, streamDir.resolve(s"${k}_chunk.parquet"))
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    streamDir
+  }
+
+  /** Start the stateful running-sum over the chunked source with a
+    * checkpoint, sinking each micro-batch IDEMPOTENTLY (overwrite by batch
+    * id — the production exactly-once discipline for replayed batches). */
+  private def startQuery(src: Path, ckpt: String, out: String,
+                         availableNow: Boolean) = {
+    val schema = spark.read.parquet(src.resolve("0_chunk.parquet").toString).schema
+    val ds: Dataset[Ev] = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[Ev]
+    Streams.runningSumStateful(ds).toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/batch_$id")
+      }
+      // 500 ms between triggers leaves a wide window to kill the query
+      // between micro-batches while files are still pending
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(500))
+      .start()
+  }
+
+  private def committedBatches(out: String): Seq[String] = {
+    val d = new java.io.File(out)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getAbsolutePath)
+  }
+
+  private def batchResult(out: String): Set[Seq[Any]] =
+    spark.read.parquet(committedBatches(out): _*)
+      .collect().map(_.toSeq).toSet
+
+  private lazy val expected: Set[Seq[Any]] =
+    queries.Stateful.st4_running_user_sum(spark, dir)
+      .collect().map(_.toSeq).toSet
+
+  test("stateful query killed mid-replay resumes from checkpoint exactly-once") {
+    val src = chunkedStreamDir(4)
+    val base = Files.createTempDirectory("graft_ckpt_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    // run 1: kill after ≥2 of the 4 micro-batches committed
+    val q1 = startQuery(src, ckpt, out, availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    val afterKill = batchResult(out)
+    assert(afterKill != expected, "kill happened too late to test restart")
+    // run 2: restart from the SAME checkpoint; state must be restored
+    val q2 = startQuery(src, ckpt, out, availableNow = true)
+    q2.awaitTermination()
+    assert(batchResult(out) == expected)
+  }
+
+  test("same flow under the RocksDB state-store provider") {
+    val src = chunkedStreamDir(4)
+    val base = Files.createTempDirectory("graft_rocks_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q1 = startQuery(src, ckpt, out, availableNow = false)
+      val deadline = System.currentTimeMillis() + 120000
+      while (q1.isActive && committedBatches(out).size < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      val q2 = startQuery(src, ckpt, out, availableNow = true)
+      q2.awaitTermination()
+      assert(batchResult(out) == expected)
+      // the checkpoint really carries RocksDB state artifacts
+      val stateFiles = Files.walk(Paths.get(ckpt, "state")).iterator()
+      val hasRocks = scala.jdk.CollectionConverters.IteratorHasAsScala(stateFiles)
+        .asScala.exists(p => p.toString.endsWith(".zip") ||
+                             p.toString.contains("rocksdb") ||
+                             p.toString.endsWith(".sst"))
+      assert(hasRocks, "no RocksDB artifacts under the checkpoint state dir")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+}

@@ -109,4 +109,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("event-time-timer resolver resolves the full relation under replay") {
+    // Replayed in jittered arrival order, children arriving before their
+    // parents can ONLY be emitted from the EventTimeTimeout callback — a
+    // complete result proves the timers fired and retried the parked set.
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streams.x3_timer_resolver(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Graph.st1_resolve_roots(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
 }
