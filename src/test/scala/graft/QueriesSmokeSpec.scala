@@ -44,6 +44,29 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("round-robin sink partitioner balances output partitions (S8)") {
+    // The reference's Kafka sink cycles partitions per record
+    // (session-4-kafka FlinkKafkaProducer custom partitioner). The Spark
+    // analog is repartition(n) — RoundRobinPartitioning — ahead of the
+    // partitioned sink; no broker in this sandbox, so the write goes to a
+    // partitioned file sink and the test asserts the balance property the
+    // partitioner exists to provide.
+    val out = java.nio.file.Files.createTempDirectory("graft_s8_").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val nIn = ev.rdd.getNumPartitions
+    ev.repartition(8).write.mode("overwrite").parquet(out)
+    val sizes = spark.read.parquet(out)
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+      .count().collect().map(_.getLong(1))
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 8, s"expected 8 round-robin output partitions, got $files")
+    // round-robin balance: partition sizes differ by at most the number of
+    // upstream partitions (each input partition deals its rows evenly)
+    assert(sizes.max - sizes.min <= nIn,
+      s"unbalanced round-robin output: ${sizes.mkString(",")}")
+  }
+
   test("filter + projection push into the parquet scan (q2)") {
     val plan = graft.queries.Relational.q2_filter_project(spark, dir)
       .queryExecution.executedPlan.toString
