@@ -182,15 +182,89 @@ object Graph {
       |WHERE top_id NOT IN (SELECT top_id FROM v)
       |ORDER BY event_id""".stripMargin
 
+  /** S9 recursive timestamp repair (OrderedFileGenerator.java:38-56
+    * `recursiveFix`): walking each thread TOP-DOWN, a child whose timestamp
+    * does not strictly follow its (already-repaired) parent is pushed past
+    * it — `child' = child + 2·(parent − child)` = `2·parent − child`, or
+    * `child + 20 s` when exactly equal (the reference's `2 × 10 s` floor).
+    * The repaired value PROPAGATES: grandchildren compare against the fixed
+    * parent, not the raw one.
+    *
+    * Spark plan: level-synchronous frontier iteration over the same
+    * binary-tree thread relation as [[s9_subtree_drop]] — each round joins
+    * the unrepaired children of the current frontier (one shuffle join),
+    * applies the repair arithmetic, and checkpoints; rounds = tree depth,
+    * the same wavefront shape a 100 TB comment forest needs. Second-floored
+    * timestamps (documented divergence from the reference's millisecond
+    * arithmetic: the engines only agree above Spark's µs truncation). */
+  def s9_ts_repair(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir).select(
+      col("event_id"), unix_timestamp(col("ts")).as("sec"),
+      (col("event_id") - (col("event_id") % 7)).as("block"),
+      (col("event_id") % 7).as("i"))
+    val comments = c.filter(col("i") >= 1)
+      .withColumn("parent_id", col("block") + floor((col("i") - 1) / 2).cast("long"))
+      .localCheckpoint() // consumed once per wavefront round
+    var frontier = c.filter(col("i") === 0)
+      .select(col("event_id"), col("sec").as("fixed")).localCheckpoint()
+    var repaired = frontier.limit(0).localCheckpoint() // comments only
+    var n = frontier.count()
+    while (n > 0) {
+      val parents = frontier.select(col("event_id").as("p_id"), col("fixed").as("p_fixed"))
+      frontier = comments
+        .join(parents, col("parent_id") === col("p_id"))
+        .withColumn("fixed",
+          when(col("p_fixed") > col("sec"), lit(2L) * col("p_fixed") - col("sec"))
+            .when(col("p_fixed") === col("sec"), col("sec") + 20L)
+            .otherwise(col("sec")))
+        .select(col("event_id"), col("fixed")).localCheckpoint()
+      n = frontier.count()
+      if (n > 0) repaired = repaired.union(frontier).localCheckpoint()
+    }
+    comments.select(col("event_id"), col("sec"))
+      .join(repaired, Seq("event_id"))
+      .select(col("event_id"), col("sec").as("orig_s"), col("fixed").as("fixed_s"),
+              when(col("fixed") =!= col("sec"), lit(1)).otherwise(lit(0)).as("repaired"))
+      .orderBy("event_id")
+  }
+
+  /** Closed-form oracle for the depth-2 thread tree. */
+  val s9RepairSql: String =
+    """WITH c AS (
+      |  SELECT event_id, floor(epoch(ts))::BIGINT AS sec,
+      |         event_id - (event_id % 7) AS block, event_id % 7 AS i
+      |  FROM events),
+      |p AS (SELECT block, sec AS post_sec FROM c WHERE i = 0),
+      |d1 AS (
+      |  SELECT c.event_id, c.block, c.sec,
+      |    CASE WHEN post_sec > sec THEN 2 * post_sec - sec
+      |         WHEN post_sec = sec THEN sec + 20
+      |         ELSE sec END AS fixed
+      |  FROM c JOIN p USING (block) WHERE i IN (1, 2)),
+      |d2 AS (
+      |  SELECT c.event_id, c.sec,
+      |    CASE WHEN d1.fixed > c.sec THEN 2 * d1.fixed - c.sec
+      |         WHEN d1.fixed = c.sec THEN c.sec + 20
+      |         ELSE c.sec END AS fixed
+      |  FROM c JOIN d1 ON d1.event_id = c.block + CASE WHEN c.i IN (3, 4) THEN 1 ELSE 2 END
+      |  WHERE c.i >= 3)
+      |SELECT event_id, sec AS orig_s, fixed AS fixed_s,
+      |       CASE WHEN fixed <> sec THEN 1 ELSE 0 END AS repaired
+      |FROM (SELECT event_id, sec, fixed FROM d1
+      |      UNION ALL SELECT event_id, sec, fixed FROM d2)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_resolve_roots" -> (st1_resolve_roots _),
     "j4_ts_violations"  -> (j4_ts_violations _),
     "s9_order_audit"    -> (s9_order_audit _),
-    "s9_subtree_drop"   -> (s9_subtree_drop _))
+    "s9_subtree_drop"   -> (s9_subtree_drop _),
+    "s9_ts_repair"      -> (s9_ts_repair _))
 
   val oracles: Map[String, String] = Map(
     "st1_resolve_roots" -> st1Sql,
     "j4_ts_violations"  -> j4Sql,
     "s9_order_audit"    -> s9Sql,
-    "s9_subtree_drop"   -> s9SubtreeSql)
+    "s9_subtree_drop"   -> s9SubtreeSql,
+    "s9_ts_repair"      -> s9RepairSql)
 }

@@ -165,6 +165,62 @@ object Streams {
       .orderBy("event_id")
   }
 
+  case class FEv(event_id: Long, user_id: Long, tsMicros: Long, value: Double,
+                 event_type: String, props: String)
+  case class FOut(event_id: Long, user_id: Long, freq: Double, prev_value: Double,
+                  comment_len: Long, post_len: Long,
+                  comment_ratio: Double, post_ratio: Double)
+  /** last-3-timestamp shift register + previous measure — the reference's
+    * `userLastThreeActivities` + `Features` ValueStates. */
+  case class FState(t1: Long, t2: Long, nSeen: Long, prevValue: Double)
+
+  /** X7: streaming ComputeFeatures — the ST2 feature vector emitted per
+    * event from per-user state (`AnomalousUserDetector.ComputeFeatures`,
+    * the reference's `ValueState` shift register), via
+    * `flatMapGroupsWithState`. Content features are stateless per event;
+    * the state carries the last two activity timestamps (for the 3-event
+    * moving frequency) and the previous measure. Final output equals the
+    * batch st2 oracle. */
+  def x7_stream_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def round4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val ds = eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsMicros"), col("value"),
+              col("event_type"), col("props"))
+      .as[FEv]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FState, FOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[FEv], state: GroupState[FState]) =>
+          var st = state.getOption.getOrElse(FState(-1L, -1L, 0L, -1.0))
+          val outs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+            val sec = math.floorDiv(e.tsMicros, 1000000L)
+            val freq = if (st.nSeen >= 2)
+              round4(3.0 * 3600.0 / math.max(sec - st.t2, 1L)) else -1.0
+            // same content derivation as the batch `withFeatures`
+            val k = "([0-9]+)".r.findFirstIn(e.props).map(_.toInt).getOrElse(0)
+            val content = if (k % 3 == 0) s"${e.event_type} ${e.event_type} ${e.props}"
+                          else s"${e.event_type} ${e.props}"
+            val isComment = e.event_type == "click" || e.event_type == "view"
+            val isPost = e.event_type == "purchase"
+            val toks = content.split(" ", -1)
+            val uwr = round4(toks.distinct.length.toDouble / toks.length)
+            val o = FOut(e.event_id, e.user_id, freq, st.prevValue,
+              if (isComment) content.length.toLong else -1L,
+              if (isPost) content.length.toLong else -1L,
+              if (isComment) uwr else -1.0,
+              if (isPost) uwr else -1.0)
+            st = FState(sec, st.t1, st.nSeen + 1, e.value)
+            o
+          }
+          state.update(st)
+          outs.iterator
+      }
+    runToMemory(out.toDF(), OutputMode.Update(), s"x7_mem_${System.nanoTime()}")
+      .orderBy("event_id")
+  }
+
   case class TEdge(event_id: Long, ts: java.sql.Timestamp, arrival_s: Long)
   case class TimerState(resolved: Map[Long, Long], parked: List[(Long, Long)])
 
@@ -372,6 +428,7 @@ object Streams {
     "x2_stream_running_sum"    -> (x2_running_user_sum _),
     "x3_stream_resolver"       -> (x3_stream_resolver _),
     "x3_timer_resolver"        -> (x3_timer_resolver _),
+    "x7_stream_features"       -> (x7_stream_features _),
     "x4_stream_sessions"       -> (x4_stream_sessions _),
     "x5_stream_static_join"    -> (x5_stream_static_join _))
 
@@ -382,6 +439,7 @@ object Streams {
     "x2_stream_running_sum"    -> graft.queries.Stateful.st4Sql,
     "x3_stream_resolver"       -> graft.queries.Graph.st1Sql,
     "x3_timer_resolver"        -> graft.queries.Graph.st1Sql,
+    "x7_stream_features"       -> graft.queries.Stateful.st2Sql,
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
     "x5_stream_static_join"    -> x5Sql)
 }
