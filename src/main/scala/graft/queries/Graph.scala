@@ -197,21 +197,21 @@ object Graph {
     * the same wavefront shape a 100 TB comment forest needs. Second-floored
     * timestamps (documented divergence from the reference's millisecond
     * arithmetic: the engines only agree above Spark's µs truncation). */
-  def s9_ts_repair(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.events(s, dir).select(
-      col("event_id"), unix_timestamp(col("ts")).as("sec"),
-      (col("event_id") - (col("event_id") % 7)).as("block"),
-      (col("event_id") % 7).as("i"))
-    val comments = c.filter(col("i") >= 1)
-      .withColumn("parent_id", col("block") + floor((col("i") - 1) / 2).cast("long"))
+  /** The repair wavefront over an arbitrary (event_id, parent_id, sec)
+    * forest — parent_id null ⇒ root (timestamp kept). Returns the repaired
+    * seconds of every NON-root node. Reusable core shared by the query entry
+    * and the deep-chain unit test; rounds = forest depth, one shuffle join
+    * per round, lineage cut with localCheckpoint. */
+  def repairTimestamps(nodes: DataFrame): DataFrame = {
+    val children = nodes.filter(col("parent_id").isNotNull)
       .localCheckpoint() // consumed once per wavefront round
-    var frontier = c.filter(col("i") === 0)
+    var frontier = nodes.filter(col("parent_id").isNull)
       .select(col("event_id"), col("sec").as("fixed")).localCheckpoint()
-    var repaired = frontier.limit(0).localCheckpoint() // comments only
+    var repaired = frontier.limit(0).localCheckpoint() // non-roots only
     var n = frontier.count()
     while (n > 0) {
       val parents = frontier.select(col("event_id").as("p_id"), col("fixed").as("p_fixed"))
-      frontier = comments
+      frontier = children
         .join(parents, col("parent_id") === col("p_id"))
         .withColumn("fixed",
           when(col("p_fixed") > col("sec"), lit(2L) * col("p_fixed") - col("sec"))
@@ -221,8 +221,19 @@ object Graph {
       n = frontier.count()
       if (n > 0) repaired = repaired.union(frontier).localCheckpoint()
     }
-    comments.select(col("event_id"), col("sec"))
-      .join(repaired, Seq("event_id"))
+    repaired
+  }
+
+  def s9_ts_repair(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir).select(
+      col("event_id"), unix_timestamp(col("ts")).as("sec"),
+      (col("event_id") - (col("event_id") % 7)).as("block"),
+      (col("event_id") % 7).as("i"))
+    val nodes = c.select(col("event_id"), col("sec"),
+      when(col("i") === 0, lit(null).cast("long"))
+        .otherwise(col("block") + floor((col("i") - 1) / 2).cast("long")).as("parent_id"))
+    c.filter(col("i") >= 1).select(col("event_id"), col("sec"))
+      .join(repairTimestamps(nodes), Seq("event_id"))
       .select(col("event_id"), col("sec").as("orig_s"), col("fixed").as("fixed_s"),
               when(col("fixed") =!= col("sec"), lit(1)).otherwise(lit(0)).as("repaired"))
       .orderBy("event_id")

@@ -31,6 +31,27 @@ class GraphSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 30L -> 30L))
   }
 
+  test("timestamp repair propagates down a deep chain (depth 6)") {
+    // root at t=1000; every child also stamped 1000 ⇒ each level must be
+    // pushed past its REPAIRED parent, compounding: the reference's
+    // recursiveFix semantics, beyond the oracle's depth-2 closed form.
+    val nodes = (0L to 6L)
+      .map(i => (i, if (i == 0) None else Some(i - 1), 1000L))
+      .toDF("event_id", "parent_id", "sec")
+    val fixed = Graph.repairTimestamps(nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected: sequential fold of (parent>sec → 2*parent−sec; ==sec → +20)
+    var parent = 1000L
+    val expected = (1L to 6L).map { i =>
+      val sec = 1000L
+      parent = if (parent > sec) 2 * parent - sec
+               else if (parent == sec) sec + 20 else sec
+      i -> parent
+    }.toMap
+    assert(fixed == expected)
+    assert(fixed(6L) == 1000L + 20 * 32) // doubling cascade reached the leaf
+  }
+
   test("fails loudly on an unresolvable (cyclic) relation") {
     val edges = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("event_id", "parent_id")
     intercept[Exception] { Graph.resolveRoots(edges, maxIters = 4).count() }
