@@ -35,22 +35,39 @@ object Similarity {
   private val D = 64 // embedding dimensionality (TESTDATA.md)
   private val DEC = "decimal(30,20)"
 
-  /** Exact-decimal dot product of two float-array columns. */
-  private def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
-      lit(0).cast(DEC),
-      (acc, x) => (acc + x).cast(DEC)).cast("double")
+  /** Production-precision switch: exact-decimal folds (default) make every
+    * dot product bit-identical across engines and execution orders — the
+    * determinism the DuckDB oracle hashes against — at ~a few× the cost of
+    * plain doubles. A production deployment that does not need cross-engine
+    * hash equality sets `spark.graft.exactDecimals=false` and gets the
+    * plain-double fold; `SimilaritySpec` asserts the two paths agree on the
+    * result set. */
+  private def exactDecimals(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.exactDecimals", "true").toBoolean
+
+  /** Dot product of two float-array columns — exact-decimal or plain-double
+    * accumulation per the flag. */
+  private def dot(a: Column, b: Column, exact: Boolean): Column =
+    if (exact)
+      aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
+        lit(0).cast(DEC),
+        (acc, x) => (acc + x).cast(DEC)).cast("double")
+    else
+      aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
 
   /** S1 brute-force cosine top-k: queries = vec_id ≡ 0 (mod 100), k = 5. */
   def s1_ann_topk(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
-              dotDec(col("embedding"), col("embedding")).as("n2"))
+              dot(col("embedding"), col("embedding"), ex).as("n2"))
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
     emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("dp", dotDec(col("embedding"), col("qemb")))
+      .withColumn("dp", dot(col("embedding"), col("qemb"), ex))
       .withColumn("cosine", round4(col("dp") / sqrt(col("qn2") * col("n2"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
@@ -94,14 +111,19 @@ object Similarity {
   /** Sign-bit fingerprint as an array-native expression: bit_j = sign of
     * <v, r_j> with r_j[i] = ((a_j·(i+1) + b_j) mod 1009)/1009 − 0.5. The
     * projection accumulates exact decimals, so the sign is deterministic. */
-  private def fingerprint16(emb: Column): Column =
+  private def fingerprint16(emb: Column, exact: Boolean): Column =
     (0 until 16).map { j =>
       val (a, b) = hyper(j)
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(1), lit(D)), (x, i) =>
-          (x.cast("double") *
-            (((lit(a) * i + lit(b)) % 1009).cast("double") / 1009.0 - 0.5)).cast(DEC)),
-        lit(0).cast(DEC), (acc, x) => (acc + x).cast(DEC))
+      def plane(i: Column) = ((lit(a) * i + lit(b)) % 1009).cast("double") / 1009.0 - 0.5
+      val proj =
+        if (exact) aggregate(
+          zip_with(emb, sequence(lit(1), lit(D)), (x, i) =>
+            (x.cast("double") * plane(i)).cast(DEC)),
+          lit(0).cast(DEC), (acc, x) => (acc + x).cast(DEC)).cast("double")
+        else aggregate(
+          zip_with(emb, sequence(lit(1), lit(D)), (x, i) =>
+            x.cast("double") * plane(i)),
+          lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -114,11 +136,11 @@ object Similarity {
     * here `localCheckpoint` plays that role. `Bench` clears the cache before
     * each timed run (`clearShared`) so benchmark numbers stay cold-cost. */
   def s2Pairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((System.identityHashCode(s), dir),
+    pairsCache.computeIfAbsent((System.identityHashCode(s), dir, exactDecimals(s)),
       _ => s2PairsUncached(s, dir).localCheckpoint())
 
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Boolean), DataFrame]()
 
   /** Drop all shared materialized intermediates (bench isolation). */
   def clearShared(): Unit = pairsCache.clear()
@@ -130,8 +152,9 @@ object Similarity {
     s2Pairs(s, dir).orderBy("va", "vb")
 
   private def s2PairsUncached(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val fp = emb.select(col("vec_id"), fingerprint16(col("embedding")).as("fp"))
+    val fp = emb.select(col("vec_id"), fingerprint16(col("embedding"), ex).as("fp"))
     val bnd = fp.select(col("vec_id"),
       explode(array((0 until 2).map(k =>
         struct(lit(k).as("k"), (shiftright(col("fp"), 8 * k) % 256).as("bv"))): _*)).as("nb"))
@@ -145,12 +168,14 @@ object Similarity {
     val ea = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
     cand.join(broadcast(ea), Seq("va")).join(broadcast(eb), Seq("vb"))
-      .withColumn("cosine", round4(dotDec(col("ea"), col("eb"))))
+      .withColumn("cosine", round4(dot(col("ea"), col("eb"), ex)))
       .filter(col("cosine") >= 0.4)
       .select(col("va"), col("vb"), col("cosine"))
   }
 
-  val s2Sql: String = {
+  // lazy: computed on first use — Dedup.d5Sql references this while the two
+  // companions otherwise deadlock in <clinit> when Similarity loads first
+  lazy val s2Sql: String = {
     val bitSums = (0 until 16).map { j =>
       val (a, b) = hyper(j)
       s"CASE WHEN sum((v * ((($a * (i + 1) + $b) % 1009)::DOUBLE / 1009.0 - 0.5))::DECIMAL(30,20)) >= 0 THEN ${1L << j} ELSE 0 END"
@@ -180,6 +205,7 @@ object Similarity {
     * cell. k = 3. The corpus side is filtered to one cell before any pair
     * work — the partition-pruned ANN shape. */
   def s3_ivf_topk(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"))
     // centroids via explode (cheap: N×D rows, exact-decimal means)
@@ -194,7 +220,7 @@ object Similarity {
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
     val q2c = q.crossJoin(broadcast(cent))
-      .withColumn("cdp", dotDec(col("qemb"), col("cemb")))
+      .withColumn("cdp", dot(col("qemb"), col("cemb"), ex))
     val routed = q2c
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cdp").desc, col("label"))))
@@ -202,7 +228,7 @@ object Similarity {
       .select(col("q_id"), col("qemb"), col("label"))
     emb.join(broadcast(routed), Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round4(dotDec(col("embedding"), col("qemb"))))
+      .withColumn("cosine", round4(dot(col("embedding"), col("qemb"), ex)))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= 3)

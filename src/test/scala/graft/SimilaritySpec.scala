@@ -1,0 +1,34 @@
+package graft
+
+import graft.queries.Similarity
+
+/** The `spark.graft.exactDecimals=false` production path (plain-double dot
+  * products, several-fold cheaper than the exact-decimal folds) must find
+  * the same near-duplicate pairs as the oracle-hashed exact path — the
+  * flag trades cross-engine bit-equality for speed, never results. */
+class SimilaritySpec extends SparkSpec {
+
+  test("plain-double production path finds the same LSH near-dup pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.graft.exactDecimals"
+    def pairs(): Map[(Long, Long), Double] = {
+      Similarity.clearShared()
+      Similarity.s2_lsh_neardup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    val exact = pairs()
+    spark.conf.set(key, "false")
+    try {
+      val fast = pairs()
+      assert(fast.keySet == exact.keySet,
+        s"pair sets diverge: only-exact=${exact.keySet -- fast.keySet}, " +
+          s"only-fast=${fast.keySet -- exact.keySet}")
+      val maxDiff = exact.map { case (k, v) => math.abs(fast(k) - v) }.max
+      assert(maxDiff <= 1e-4, s"cosine drift $maxDiff exceeds rounding width")
+      assert(exact.nonEmpty)
+    } finally {
+      spark.conf.unset(key)
+      Similarity.clearShared()
+    }
+  }
+}
