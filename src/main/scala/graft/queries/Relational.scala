@@ -285,7 +285,59 @@ object Relational {
       |SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM s)
       |ORDER BY cohort, user_id""".stripMargin
 
+  /** Correlated EXISTS (TPC-H Q4 shape): order-priority counts over orders
+    * having at least one high-quantity line item. Catalyst rewrites the
+    * correlated subquery to a LEFT SEMI hash join on the correlation key —
+    * one shuffle on orderkey, never a per-row subquery execution. */
+  def q12_exists(s: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Scalar correlated subquery (TPC-H Q17 shape): revenue of line items
+    * whose quantity is below 20% of their part's average quantity. The
+    * per-part average is a tiny grouped aggregate joined back — the
+    * decorrelated two-scan plan Catalyst produces for the subquery form,
+    * written directly. Exact-decimal mean and sum so both engines agree. */
+  def q13_small_quantity_revenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("avg_qty"))
+    li.join(avgQ, Seq("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((floor(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                  / 7.0 * 100.0 + 0.5) / 100.0).as("avg_yearly"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q13Sql: String =
+    """WITH a AS (
+      |  SELECT l_partkey,
+      |         sum(CAST(l_quantity AS DECIMAL(18,6)))::DOUBLE / count(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT floor(sum(CAST(l_extendedprice AS DECIMAL(18,6)))::DOUBLE
+      |             / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN a USING (l_partkey)
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_exists"         -> (q12_exists _),
+    "q13_small_quantity_revenue" -> (q13_small_quantity_revenue _),
     "q8_salted_distinct" -> (q8_salted_distinct _),
     "q9_rollup"          -> (q9_rollup _),
     "q10_pivot"          -> (q10_pivot _),
@@ -299,6 +351,8 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q12_exists"         -> q12Sql,
+    "q13_small_quantity_revenue" -> q13Sql,
     "q8_salted_distinct" -> q8Sql,
     "q9_rollup"          -> q9Sql,
     "q10_pivot"          -> q10Sql,

@@ -15,6 +15,8 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.warehouse.dir", // keep saveAsTable out of the repo
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
