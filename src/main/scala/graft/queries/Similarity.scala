@@ -266,13 +266,96 @@ object Similarity {
       |SELECT q_id, cell, n_id, cosine, rank FROM ranked
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** Squared euclidean distance between two float-array columns, exact-
+    * decimal accumulated ((x−c)² is computed in double — identical in both
+    * engines — and each addend quantized before the order-independent
+    * sum). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, c) => {
+        val d = x.cast("double") - c
+        (d * d).cast(DEC)
+      }),
+      lit(0).cast(DEC), (acc, x) => (acc + x).cast(DEC)).cast("double")
+
+  /** Rebuild (cluster, cemb array) rows from long-form (cluster, i, cv). */
+  private def toArrays(longForm: DataFrame): DataFrame =
+    longForm.groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("p"))
+      .select(col("cluster"), transform(col("p"), x => x.getField("cv")).as("cemb"))
+
+  /** S4: IVF coarse-quantizer TRAINING — k-means (Lloyd) run entirely in
+    * the engine: k = 10 centroids seeded from vec_id 0..9, two iterations of
+    * assign-to-nearest (squared euclidean, ties to the lower cluster id) and
+    * per-dimension exact-decimal mean recomputation. Fully relational — the
+    * corpus is never collected; each iteration is one broadcast of the 10
+    * centroid rows against the scan (corpus ×10 intermediate, array-native
+    * distances — never ×64) plus one (cluster, dim) aggregation. This is the
+    * training loop that produces s3-style IVF cells at 100 TB; the DuckDB
+    * oracle unrolls both iterations symbolically. Output: the trained
+    * centroids in long form (cluster, i, cv). */
+  def s4_kmeans_train(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    var centroids = emb.filter(col("vec_id") < 10) // deterministic seed
+      .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cemb"))
+      .localCheckpoint()
+    for (_ <- 1 to 2) {
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("dist", sqDist(col("embedding"), col("cemb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("embedding"))
+      val longForm = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg((sum(col("v").cast("double").cast("decimal(38,30)")).cast("double")
+              / count(lit(1))).as("cv"))
+      centroids = toArrays(longForm).localCheckpoint()
+    }
+    centroids
+      .select(col("cluster"), posexplode(col("cemb")).as(Seq("i", "cv")))
+      .select(col("cluster"), col("i").cast("long").as("i"), round4(col("cv")).as("cv"))
+      .orderBy("cluster", "i")
+  }
+
+  val s4Sql: String = {
+    // one Lloyd iteration as SQL over element CTEs: cN = centroids, returns
+    // the next centroid CTE body given the names
+    def assignAndMean(cPrev: String): String =
+      s"""  SELECT a.cluster, e.i,
+         |         sum(e.v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
+         |  FROM (
+         |    SELECT vec_id, cluster FROM (
+         |      SELECT e.vec_id, c.cluster,
+         |        row_number() OVER (PARTITION BY e.vec_id
+         |          ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+         |                   c.cluster) AS rn
+         |      FROM e JOIN $cPrev c USING (i)
+         |      GROUP BY e.vec_id, c.cluster)
+         |    WHERE rn = 1) a
+         |  JOIN e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2""".stripMargin
+    s"""WITH $elemsSqlCte, c0 AS (
+       |  SELECT vec_id AS cluster, i, v AS cv FROM e WHERE vec_id < 10
+       |), c1 AS (
+       |${assignAndMean("c0")}
+       |), c2 AS (
+       |${assignAndMean("c1")}
+       |)
+       |SELECT cluster, i, floor(cv * 10000.0 + 0.5) / 10000.0 AS cv
+       |FROM c2 ORDER BY cluster, i""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_topk"    -> (s1_ann_topk _),
     "s2_lsh_neardup" -> (s2_lsh_neardup _),
-    "s3_ivf_topk"    -> (s3_ivf_topk _))
+    "s3_ivf_topk"    -> (s3_ivf_topk _),
+    "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
     "s1_ann_topk"    -> s1Sql,
     "s2_lsh_neardup" -> s2Sql,
-    "s3_ivf_topk"    -> s3Sql)
+    "s3_ivf_topk"    -> s3Sql,
+    "s4_kmeans_train" -> s4Sql)
 }
