@@ -395,6 +395,23 @@ object Streams {
       .orderBy("user_id", "sess_start")
   }
 
+  /** X8: streaming exact deduplication — `dropDuplicates` over the event
+    * stream keyed by (user_id, event_type): the stateful first-arrival
+    * dedup a training-data ingest pipeline runs on the fly (batch twin: the
+    * d1 exact-dedup family). State = one marker per distinct key in the
+    * state store; the final emitted set equals the batch DISTINCT. */
+  def x8_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(dedup, OutputMode.Append(), s"x8_mem_${System.nanoTime()}")
+      .orderBy("user_id", "event_type")
+  }
+
+  val x8Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** X5: stream-static join — the reference broadcasts its five static CSV
     * tables into the stream operators (FriendRecommender.java:54-57, SURVEY
     * §1.3); here the event stream joins the static `customer` dimension
@@ -429,6 +446,7 @@ object Streams {
     "x3_stream_resolver"       -> (x3_stream_resolver _),
     "x3_timer_resolver"        -> (x3_timer_resolver _),
     "x7_stream_features"       -> (x7_stream_features _),
+    "x8_stream_dedup"          -> (x8_stream_dedup _),
     "x4_stream_sessions"       -> (x4_stream_sessions _),
     "x5_stream_static_join"    -> (x5_stream_static_join _))
 
@@ -440,6 +458,7 @@ object Streams {
     "x3_stream_resolver"       -> graft.queries.Graph.st1Sql,
     "x3_timer_resolver"        -> graft.queries.Graph.st1Sql,
     "x7_stream_features"       -> graft.queries.Stateful.st2Sql,
+    "x8_stream_dedup"          -> x8Sql,
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
     "x5_stream_static_join"    -> x5Sql)
 }
