@@ -81,7 +81,10 @@ object Graph {
     val parents = ev.select(col("event_id").as("p_id"), col("ts").as("p_ts"))
     ev.filter(col("parent_id").isNotNull)
       .join(parents, col("parent_id") === col("p_id"))
-      .filter(col("ts") < col("p_ts"))
+      // compare at µs — the engines' COARSEST common precision (Spark
+      // truncates the parquet ns to µs; raw comparisons would diverge on
+      // pairs that differ only below a microsecond)
+      .filter(unix_micros(col("ts")) < unix_micros(col("p_ts")))
       .select(col("event_id"), col("parent_id"))
       .orderBy("event_id")
   }
@@ -89,7 +92,7 @@ object Graph {
   val j4Sql: String =
     """SELECT c.event_id AS event_id, c.event_id - 1 AS parent_id
       |FROM events c JOIN events p ON c.event_id - 1 = p.event_id
-      |WHERE c.event_id % 7 <> 0 AND c.ts < p.ts
+      |WHERE c.event_id % 7 <> 0 AND epoch_ns(c.ts) // 1000 < epoch_ns(p.ts) // 1000
       |ORDER BY event_id""".stripMargin
 
   /** S9 OrderedFileChecker twin: per-user monotone-timestamp audit — count
@@ -101,9 +104,10 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .filter(col("prev_ts").isNotNull && col("ts") < col("prev_ts"))
+      // µs — the engines' coarsest common precision (see j4)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull && col("us") < col("prev_us"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_out_of_order"))
       .orderBy("user_id")
@@ -111,11 +115,11 @@ object Graph {
 
   val s9Sql: String =
     """WITH o AS (
-      |  SELECT user_id, ts,
-      |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
       |  FROM events)
       |SELECT user_id, count(*) AS n_out_of_order
-      |FROM o WHERE prev_ts IS NOT NULL AND ts < prev_ts
+      |FROM o WHERE prev_us IS NOT NULL AND us < prev_us
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** S9 subtree-drop cleaning (StreamsCleaner.java:23-204): the reference
