@@ -91,7 +91,7 @@ object Stateful {
       |                     THEN event_type || ' ' || event_type || ' ' || props
       |                     ELSE event_type || ' ' || props END AS content
       |      FROM events))
-      |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+      |  WINDOW u AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id))""".stripMargin
 
   /** ST2 ComputeFeatures: the full reference feature vector per activity —
     * 3-event moving frequency (3·HOUR/max(1, t0−t2), −1 until 3 events
@@ -115,7 +115,7 @@ object Stateful {
       |SELECT event_id, user_id,
       |  CASE WHEN freq = -1.0 THEN -1.0
       |       ELSE floor(freq * 10000.0 + 0.5) / 10000.0 END AS freq,
-      |  coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0) AS prev_value,
+      |  coalesce(lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id), -1.0) AS prev_value,
       |  comment_len, post_len,
       |  CASE WHEN comment_ratio = -1.0 THEN -1.0
       |       ELSE floor(comment_ratio * 10000.0 + 0.5) / 10000.0 END AS comment_ratio,
@@ -151,7 +151,7 @@ object Stateful {
       |    sum(CAST(value AS DECIMAL(18,6))) OVER w::DOUBLE
       |      / count(*) OVER w AS run_avg
       |  FROM events
-      |  WINDOW w AS (ORDER BY ts, event_id
+      |  WINDOW w AS (ORDER BY epoch_ns(ts) // 1000, event_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |SELECT event_id, user_id, value,
       |       floor(run_avg * 10000.0 + 0.5) / 10000.0 AS run_avg
@@ -218,7 +218,7 @@ object Stateful {
       |  floor(sum(CAST(value AS DECIMAL(18,6))) OVER w::DOUBLE * 100.0 + 0.5) / 100.0 AS run_sum,
       |  count(*) OVER w AS run_n
       |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
   /** ST5: global running average (Timely `average` custom unary operator,
@@ -238,7 +238,7 @@ object Stateful {
       |  floor(sum(CAST(value AS DECIMAL(18,6))) OVER w::DOUBLE
       |        / count(*) OVER w * 10000.0 + 0.5) / 10000.0 AS run_avg
       |FROM events
-      |WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |WINDOW w AS (ORDER BY epoch_ns(ts) // 1000, event_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
   /** The five feature columns the conditional signature tracks, with their
@@ -328,7 +328,7 @@ object Stateful {
     s"""WITH $featSql, sig AS (
       |  SELECT event_id, user_id, freq, comment_len, post_len, comment_ratio, post_ratio,
       |$means
-      |  FROM feat WINDOW g AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+      |  FROM feat WINDOW g AS (ORDER BY epoch_ns(ts) // 1000, event_id ROWS UNBOUNDED PRECEDING)),
       |$st6TailSql""".stripMargin
   }
 

@@ -101,15 +101,20 @@ object Windows {
               col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "sess_start")
 
+  // gap arithmetic on µs (the engines' coarsest common precision): Spark's
+  // session_window sees µs-truncated timestamps, so a gap a few ns short of
+  // 30 min must break (or not) identically in the oracle
   val w9Sql: String =
     """WITH o AS (
-      |  SELECT user_id, ts, value,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |  SELECT user_id, ts, value, epoch_ns(ts) // 1000 AS us, event_id,
+      |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+      |         OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w
+      |            >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
       |), sess AS (
       |  SELECT user_id, ts, value,
-      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM o)
       |SELECT floor(epoch(min(ts)))::BIGINT AS sess_start, user_id,
       |       count(*) AS n_events, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
