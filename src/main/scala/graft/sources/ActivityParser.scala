@@ -129,14 +129,29 @@ object ActivityParser {
     nstr.as("browser"), nstr.as("language"), emptyTags.as("tags"),
     nint.as("forum_id"), nint.as("place_id"))
 
+  /** A line with an unknown tag → error-channel row (the reference throws
+    * `"Invalid activity"` in `Activity.fromString` and routes failures to
+    * the error `OutputTag`, `PostIdResolver.java:42-52`); the raw line is
+    * preserved in `content` for the audit sink. */
+  def parseErrorLine(line: Column): Column = struct(
+    lit("error").as("type"),
+    nint.as("event_id"), nint.as("person_id"), nint.as("post_id"),
+    nint.as("parent_id"),
+    lit(null).cast("timestamp").as("creation_ts"),
+    line.as("content"), nstr.as("image_file"), nstr.as("location_ip"),
+    nstr.as("browser"), nstr.as("language"), emptyTags.as("tags"),
+    nint.as("forum_id"), nint.as("place_id"))
+
   /** Kafka-topic wire line with 1-char type tag: dispatch on the tag
-    * (`Activity.fromString`, `Activity.java:62-73`). */
+    * (`Activity.fromString`, `Activity.java:62-73`); unknown tags go to the
+    * error channel rather than silently vanishing. */
   def parseTagged(line: Column): Column = {
     val tag = substring(line, 1, 1)
     when(tag === "P", parsePostLine(line))
       .when(tag === "C", parseCommentLine(line))
       .when(tag === "L", parseLikeLine(line))
-      .otherwise(parseTombstoneLine(line))
+      .when(tag === "T", parseTombstoneLine(line))
+      .otherwise(parseErrorLine(line))
   }
 
   private def unnest(df: DataFrame, parsed: Column): DataFrame =
@@ -157,8 +172,20 @@ object ActivityParser {
   def unified(posts: DataFrame, comments: DataFrame, likes: DataFrame): DataFrame =
     posts.unionByName(comments).unionByName(likes)
 
-  /** Tagged Kafka-style lines (column `value`) → unified, tombstones
-    * dropped (L4: bounded replay ends naturally). */
+  /** Tagged Kafka-style lines (column `value`) → unified, tombstones AND
+    * malformed lines dropped (L4: bounded replay ends naturally; use
+    * [[fromTaggedWithErrors]] when the error channel matters). */
   def fromTagged(lines: DataFrame): DataFrame =
-    unnest(lines, parseTagged(col("value"))).filter(col("type") =!= "tombstone")
+    unnest(lines, parseTagged(col("value")))
+      .filter(col("type") =!= "tombstone" && col("type") =!= "error")
+
+  /** S5 error side output: the split-predicate form of the reference's
+    * error `OutputTag` — one pass computes the discriminator, the caller
+    * writes the two filtered outputs. Returns (good, errors); `errors`
+    * carries the raw offending line in `content`. */
+  def fromTaggedWithErrors(lines: DataFrame): (DataFrame, DataFrame) = {
+    val all = unnest(lines, parseTagged(col("value")))
+    (all.filter(col("type") =!= "tombstone" && col("type") =!= "error"),
+     all.filter(col("type") === "error"))
+  }
 }

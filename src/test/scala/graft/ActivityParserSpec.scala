@@ -70,6 +70,18 @@ class ActivityParserSpec extends SparkSpec {
       === Array("comment", "like", "post", "reply"))
   }
 
+  test("malformed lines route to the error channel, not silently dropped") {
+    val lines = Seq(
+      s"P|$postLine", "garbage with no tag", "X|unknown|tag",
+      "T|-1|2012-02-03T00:00:00Z").toDF("value")
+    val (good, errors) = ActivityParser.fromTaggedWithErrors(lines)
+    assert(good.count() == 1)
+    val errLines = errors.select("content").as[String].collect().sorted
+    assert(errLines === Array("X|unknown|tag", "garbage with no tag"))
+    // the lenient entry point still drops them
+    assert(ActivityParser.fromTagged(lines).count() == 1)
+  }
+
   test("unified union keeps one schema across variants") {
     val u = ActivityParser.unified(
       ActivityParser.posts(Seq(postLine).toDF("value")),
