@@ -24,11 +24,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional knobs for one-off experiments (driver runs use the defaults):
+    // SPARK_GRAFT_ONLY=q1,q2 filters the query set; SPARK_GRAFT_EXACT_DECIMALS
+    // toggles the similarity production-precision flag
+    sys.env.get("SPARK_GRAFT_EXACT_DECIMALS")
+      .foreach(v => spark.conf.set("spark.graft.exactDecimals", v))
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // untimed warmup: JVM/codegen/parquet-footer caches
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         queries.Similarity.clearShared()
         val t0 = System.nanoTime()
