@@ -165,6 +165,58 @@ object Streams {
       .orderBy("event_id")
   }
 
+  /** The [[x2_running_user_sum]] state machine on Spark 4's
+    * `transformWithState` API — the successor to `flatMapGroupsWithState`:
+    * typed named state handles (`ValueState`), explicit `TimeMode`, and a
+    * RocksDB-only state store. Same per-user (sum, n) semantics. */
+  private class RunningSumProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, RunOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[RunState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[RunState]("runState",
+        Encoders.product[RunState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RunOut] = {
+      var cur = if (st.exists()) st.get() else RunState(BigDecimal(0), 0L)
+      val outs = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+        val addend = BigDecimal.valueOf(e.value)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        cur = RunState(cur.sum + addend, cur.n + 1)
+        RunOut(e.event_id, e.user_id,
+          math.floor(cur.sum.toDouble * 100.0 + 0.5) / 100.0, cur.n)
+      }
+      st.update(cur)
+      outs.iterator
+    }
+  }
+
+  /** X9: the running sum via `transformWithState` (TWS). TWS mandates the
+    * RocksDB state-store provider, so the query sets it for its own run and
+    * restores the previous provider after. Final output = the batch st4
+    * oracle, like x2. */
+  def x9_tws_running_sum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[Ev] = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("tsMicros"), col("value"))
+        .as[Ev]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new RunningSumProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      runToMemory(out.toDF(), OutputMode.Update(), s"x9_mem_${System.nanoTime()}")
+        .orderBy("event_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   case class FEv(event_id: Long, user_id: Long, tsMicros: Long, value: Double,
                  event_type: String, props: String)
   case class FOut(event_id: Long, user_id: Long, freq: Double, prev_value: Double,
@@ -447,6 +499,7 @@ object Streams {
     "x3_timer_resolver"        -> (x3_timer_resolver _),
     "x7_stream_features"       -> (x7_stream_features _),
     "x8_stream_dedup"          -> (x8_stream_dedup _),
+    "x9_tws_running_sum"       -> (x9_tws_running_sum _),
     "x4_stream_sessions"       -> (x4_stream_sessions _),
     "x5_stream_static_join"    -> (x5_stream_static_join _))
 
@@ -459,6 +512,7 @@ object Streams {
     "x3_timer_resolver"        -> graft.queries.Graph.st1Sql,
     "x7_stream_features"       -> graft.queries.Stateful.st2Sql,
     "x8_stream_dedup"          -> x8Sql,
+    "x9_tws_running_sum"       -> graft.queries.Stateful.st4Sql,
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
     "x5_stream_static_join"    -> x5Sql)
 }
