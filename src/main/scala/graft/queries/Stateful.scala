@@ -241,6 +241,34 @@ object Stateful {
       |WINDOW w AS (ORDER BY epoch_ns(ts) // 1000, event_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
+  /** ST5, scalable form with IDENTICAL results — the same exact two-pass
+    * decomposition as [[st6_scalable]] (running sum/count are associative):
+    * per-hour-bucket totals + prefix window over bucket totals + an
+    * INCLUDE-CURRENT intra-bucket window partitioned by bucket. Shares
+    * [[st5Sql]] verbatim. */
+  def st5_scalable(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+      .withColumn("bucket", (unix_timestamp(col("ts")) / lit(3600L)).cast("long"))
+    val perBucket = ev.groupBy(col("bucket"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("bsum"), count(lit(1)).as("bcnt"))
+    val prior = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perBucket
+      .withColumn("psum", sum(col("bsum")).over(prior))
+      .withColumn("pcnt", sum(col("bcnt")).over(prior))
+      .select(col("bucket"), col("psum"), col("pcnt"))
+    val intra = Window.partitionBy(col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.join(broadcast(prefix), Seq("bucket"))
+      .withColumn("run_avg", round4(
+        (coalesce(col("psum"), lit(0).cast("decimal(18,6)"))
+           + sum(col("value").cast("decimal(18,6)")).over(intra)).cast("double")
+          / (coalesce(col("pcnt"), lit(0L)) + count(lit(1)).over(intra))))
+      .select(col("event_id"), col("value"), col("run_avg"))
+      .orderBy("event_id")
+  }
+
   /** The five feature columns the conditional signature tracks, with their
     * `reasons` bitmask bit. */
   private val sigFeatures: Seq[(String, Int)] = Seq(
@@ -375,7 +403,8 @@ object Stateful {
     "st3_anomaly_exact"     -> (st3_anomaly_exact _),
     "st3_anomaly_scalable"  -> (st3_anomaly_scalable _),
     "st4_running_user_sum"  -> (st4_running_user_sum _),
-    "st5_running_avg"       -> (st5_running_avg _))
+    "st5_running_avg"       -> (st5_running_avg _),
+    "st5_scalable"          -> (st5_scalable _))
 
   val oracles: Map[String, String] = Map(
     "st6_conditional_signature" -> st6Sql,
@@ -384,5 +413,6 @@ object Stateful {
     "st3_anomaly_exact"     -> st3Sql,
     "st3_anomaly_scalable"  -> st3ScalableSql,
     "st4_running_user_sum"  -> st4Sql,
-    "st5_running_avg"       -> st5Sql)
+    "st5_running_avg"       -> st5Sql,
+    "st5_scalable"          -> st5Sql)
 }
