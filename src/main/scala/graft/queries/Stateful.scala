@@ -241,6 +241,40 @@ object Stateful {
       |WINDOW w AS (ORDER BY epoch_ns(ts) // 1000, event_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY event_id""".stripMargin
 
+  /** ST3, EXACT scalable form — unlike [[st3_anomaly_scalable]] (which is
+    * deliberately bucket-granular: each event vs completed-bucket prefixes),
+    * this is the identical-result decomposition of the exact per-event
+    * prior mean: prefix of per-bucket totals + an EXCLUDE-CURRENT
+    * intra-bucket window partitioned by bucket. Shares [[st3Sql]]
+    * verbatim — with this, every global sequential fold in the engine has
+    * an identical-result parallel form. */
+  def st3_exact_scalable(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("bucket", (unix_timestamp(col("ts")) / lit(3600L)).cast("long"))
+    val perBucket = ev.groupBy(col("bucket"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("bsum"), count(lit(1)).as("bcnt"))
+    val prior = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perBucket
+      .withColumn("psum", sum(col("bsum")).over(prior))
+      .withColumn("pcnt", sum(col("bcnt")).over(prior))
+      .select(col("bucket"), col("psum"), col("pcnt"))
+    val intra = Window.partitionBy(col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.join(broadcast(prefix), Seq("bucket"))
+      .withColumn("priorSum",
+        coalesce(col("psum"), lit(0).cast("decimal(18,6)"))
+          + coalesce(sum(col("value").cast("decimal(18,6)")).over(intra),
+                     lit(0).cast("decimal(18,6)")))
+      .withColumn("priorCnt", coalesce(col("pcnt"), lit(0L)) + count(lit(1)).over(intra))
+      .withColumn("run_avg",
+        when(col("priorCnt") > 0, col("priorSum").cast("double") / col("priorCnt")))
+      .filter(col("run_avg").isNotNull && col("value") > lit(2.0) * col("run_avg"))
+      .select(col("event_id"), col("user_id"), col("value"),
+              round4(col("run_avg")).as("run_avg"))
+      .orderBy("event_id")
+  }
+
   /** ST5, scalable form with IDENTICAL results — the same exact two-pass
     * decomposition as [[st6_scalable]] (running sum/count are associative):
     * per-hour-bucket totals + prefix window over bucket totals + an
@@ -402,6 +436,7 @@ object Stateful {
     "st2_user_features"     -> (st2_user_features _),
     "st3_anomaly_exact"     -> (st3_anomaly_exact _),
     "st3_anomaly_scalable"  -> (st3_anomaly_scalable _),
+    "st3_exact_scalable"    -> (st3_exact_scalable _),
     "st4_running_user_sum"  -> (st4_running_user_sum _),
     "st5_running_avg"       -> (st5_running_avg _),
     "st5_scalable"          -> (st5_scalable _))
@@ -412,6 +447,7 @@ object Stateful {
     "st2_user_features"     -> st2Sql,
     "st3_anomaly_exact"     -> st3Sql,
     "st3_anomaly_scalable"  -> st3ScalableSql,
+    "st3_exact_scalable"    -> st3Sql,
     "st4_running_user_sum"  -> st4Sql,
     "st5_running_avg"       -> st5Sql,
     "st5_scalable"          -> st5Sql)
