@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.UniqueWordsRatio
+import graft.functions.{DotProduct, UniqueWordsRatio}
 
 /** Session-extensions installer — the production path for shipping this
   * library's custom Catalyst pieces to every session on a cluster:
@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("unique_words_ratio"),
       new ExpressionInfo(classOf[UniqueWordsRatio].getName, "unique_words_ratio"),
       (exprs: Seq[Expression]) => UniqueWordsRatio(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_f32"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }

@@ -42,11 +42,18 @@ object Similarity {
     * hash equality sets `spark.graft.exactDecimals=false` and gets the
     * plain-double fold; `SimilaritySpec` asserts the two paths agree on the
     * result set. */
-  private def exactDecimals(s: SparkSession): Boolean =
-    s.conf.get("spark.graft.exactDecimals", "true").toBoolean
+  private def exactDecimals(s: SparkSession): Boolean = {
+    val exact = s.conf.get("spark.graft.exactDecimals", "true").toBoolean
+    // the production path calls the native codegen'd expression
+    if (!exact) graft.functions.DotProduct.register(s)
+    exact
+  }
 
-  /** Dot product of two float-array columns — exact-decimal or plain-double
-    * accumulation per the flag. */
+  /** Dot product of two float-array columns — exact-decimal accumulation
+    * (order-independent, the oracle default) or the native codegen'd
+    * `dot_f32` expression (one fused loop over the raw array buffers, same
+    * ascending accumulation order as the fold it replaces — the production
+    * path). */
   private def dot(a: Column, b: Column, exact: Boolean): Column =
     if (exact)
       aggregate(
@@ -54,9 +61,7 @@ object Similarity {
         lit(0).cast(DEC),
         (acc, x) => (acc + x).cast(DEC)).cast("double")
     else
-      aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+      call_function("dot_f32", a, b)
 
   /** S1 brute-force cosine top-k: queries = vec_id ≡ 0 (mod 100), k = 5. */
   def s1_ann_topk(s: SparkSession, dir: String): DataFrame = {

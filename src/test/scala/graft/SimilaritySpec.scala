@@ -8,6 +8,20 @@ import graft.queries.Similarity
   * flag trades cross-engine bit-equality for speed, never results. */
 class SimilaritySpec extends SparkSpec {
 
+  test("native dot_f32 equals the composed plain-double fold bit-for-bit") {
+    graft.functions.DotProduct.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("embedding").as("a"))
+    val paired = emb.limit(200).crossJoin(
+      emb.limit(7).withColumnRenamed("a", "b"))
+    val diff = paired.selectExpr(
+      "dot_f32(a, b) AS native",
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS folded")
+      .filter("native <> folded").count()
+    assert(diff == 0)
+  }
+
   test("plain-double production path finds the same LSH near-dup pairs") {
     val dir = "/root/testdata/sf0.001"
     val key = "spark.graft.exactDecimals"
