@@ -191,7 +191,75 @@ object TextAnalysis {
       |        / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0 AS uniq_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** T6 quality-percentile curation: documents binned into EXACT global
+    * quality deciles — the "keep the top X% by quality score" filter every
+    * corpus-curation pipeline runs. The global rank is computed WITHOUT a
+    * global sort: scores bucket into 101 fixed ranges (floor(q·100)), and
+    * exact rank = prefix count of earlier buckets (a tiny broadcast table)
+    * + row_number within the bucket (a PARTITIONED window, parallel across
+    * buckets) — the same associative decomposition as the st5/st6 scalable
+    * twins, applied to ranking. Output: per decile, the doc count and exact
+    * decimal mean quality. */
+  def t6_quality_deciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(toks).cast("double")
+    val stopwords = array(lit("a"), lit("the"), lit("of"), lit("and"))
+    val nStop = size(filter(toks, t => array_contains(stopwords, t))).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n / lit(60.0), lit(1.0))
+    val score = least(greatest(
+      lit(0.4) * lenScore + lit(0.4) * uniq + lit(0.2) * (lit(1.0) - nStop / n),
+      lit(0.0)), lit(1.0))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), score.as("q"))
+      .withColumn("bkt", floor(col("q") * 100).cast("long"))
+    val perBucket = scored.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+    val prior = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val pre = perBucket
+      .withColumn("off", coalesce(sum(col("bn")).over(prior), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val intra = Window.partitionBy(col("bkt")).orderBy(col("q"), col("doc_id"))
+    val total = scored.agg(count(lit(1)).as("c"))
+    scored.join(broadcast(pre), Seq("bkt"))
+      .withColumn("rn", col("off") + row_number().over(intra))
+      .crossJoin(broadcast(total))
+      .withColumn("decile", expr("((rn - 1) * 10) div c"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           round4(sum(col("q").cast("decimal(30,20)")).cast("double")
+                  / count(lit(1))).as("mean_quality"))
+      .orderBy("decile")
+  }
+
+  val t6Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' '))::DOUBLE AS n,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('a', 'the', 'of', 'and')))::DOUBLE AS n_stop,
+      |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS n_uniq
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    least(greatest(0.4 * least(n / 60.0, 1.0) + 0.4 * (n_uniq / n)
+      |          + 0.2 * (1.0 - n_stop / n), 0.0), 1.0) AS q
+      |  FROM d),
+      |s AS (SELECT doc_id, q, floor(q * 100)::BIGINT AS bkt FROM sc),
+      |pb AS (SELECT bkt, count(*) AS bn FROM s GROUP BY 1),
+      |pre AS (
+      |  SELECT bkt, coalesce(sum(bn) OVER (ORDER BY bkt
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM pb),
+      |r AS (
+      |  SELECT s.doc_id, s.q,
+      |    pre.off + row_number() OVER (PARTITION BY s.bkt ORDER BY s.q, s.doc_id) AS rn
+      |  FROM s JOIN pre USING (bkt)),
+      |t AS (SELECT count(*) AS c FROM s)
+      |SELECT ((rn - 1) * 10) // c AS decile, count(*) AS n_docs,
+      |  floor(sum(q::DECIMAL(30,20))::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_quality
+      |FROM r, t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t6_quality_deciles" -> (t6_quality_deciles _),
     "t1_token_stats"   -> (t1_token_stats _),
     "t2_quality_score" -> (t2_quality_score _),
     "t3_lang_id"       -> (t3_lang_id _),
@@ -199,6 +267,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t6_quality_deciles" -> t6Sql,
     "t1_token_stats"   -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_lang_id"       -> t3Sql,
