@@ -331,7 +331,82 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** D6 content-defined chunking dedup: the blob-level dedup technique —
+    * chunk boundaries where a w=4 rolling hash of the character window hits
+    * `h % 64 == 0`, so boundaries survive insertions/deletions (unlike
+    * fixed-size blocks), then chunk-content hashes deduplicated across the
+    * corpus. Output: every chunk appearing more than once (hash, length,
+    * distinct docs, occurrences).
+    *
+    * Relational formulation (the oracle-verifiable twin): one row per
+    * character via `sequence`/`unnest`, the rolling hash from three `lag`s
+    * over a per-doc window (one shuffle on doc_id), boundary prefix-sums as
+    * chunk ids, `collect_list` reassembly, md5. Per-character rows are the
+    * honest cost of CDC — the production path at 100 TB is the same logic
+    * fused into a native expression or `mapPartitions` over raw bytes, which
+    * changes no downstream plan. ASCII-only guard documented: `ascii()` is
+    * only engine-portable on ASCII (the corpus is; non-ASCII docs are
+    * filtered, not silently mis-hashed). */
+  def d6_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("text").rlike("^[\\x01-\\x7f]*$"))
+    val chars = docs
+      .select(col("doc_id"), col("text"),
+              explode(sequence(lit(1), length(col("text")))).as("i"))
+      .withColumn("ch", expr("substr(text, i, 1)"))
+      .withColumn("code", ascii(col("ch")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val h = lag(col("code"), 3).over(w) * lit(29791L) +
+            lag(col("code"), 2).over(w) * lit(961L) +
+            lag(col("code"), 1).over(w) * lit(31L) + col("code")
+    val withBrk = chars.withColumn("brk",
+      when(col("i") === 1 || (col("i") >= 4 && h % 64 === 0), lit(1)).otherwise(lit(0)))
+    val withCid = withBrk.withColumn("chunk_id",
+      sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val chunks = withCid.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(md5(concat_ws("",
+             transform(array_sort(collect_list(struct(col("i"), col("ch")))),
+                       x => x.getField("ch"))).cast("binary")).as("chunk_hash"),
+           count(lit(1)).as("chunk_len"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_len")).as("chunk_len"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .orderBy("chunk_hash")
+  }
+
+  val d6Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, u.i AS i,
+      |         substr(text, u.i::INT, 1) AS ch,
+      |         ascii(substr(text, u.i::INT, 1)) AS code
+      |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+      |  WHERE regexp_matches(text, '^[\x01-\x7f]*$')
+      |), rolled AS (
+      |  SELECT *, lag(code, 3) OVER w * 29791 + lag(code, 2) OVER w * 961
+      |            + lag(code, 1) OVER w * 31 + code AS h
+      |  FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |), brk AS (
+      |  SELECT *, CASE WHEN i = 1 OR (i >= 4 AND h % 64 = 0) THEN 1 ELSE 0 END AS b
+      |  FROM rolled
+      |), cids AS (
+      |  SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY i
+      |                         ROWS UNBOUNDED PRECEDING) AS chunk_id
+      |  FROM brk
+      |), chunks AS (
+      |  SELECT doc_id, chunk_id,
+      |         md5(string_agg(ch, '' ORDER BY i)) AS chunk_hash,
+      |         count(*) AS chunk_len
+      |  FROM cids GROUP BY 1, 2)
+      |SELECT chunk_hash, min(chunk_len)::BIGINT AS chunk_len,
+      |       count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+      |FROM chunks GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY chunk_hash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d6_cdc_chunks"    -> (d6_cdc_chunks _),
     "d1_exact_dedup"   -> (d1_exact_dedup _),
     "d2_ngram_jaccard" -> (d2_ngram_jaccard _),
     "d3_minhash_lsh"   -> (d3_minhash_lsh _),
@@ -339,6 +414,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
+    "d6_cdc_chunks"    -> d6Sql,
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
     "d3_minhash_lsh"   -> d3Sql,
