@@ -217,6 +217,103 @@ object Streams {
     }
   }
 
+  case class ParkedEdge(id: Long, parent: Long)
+
+  /** The park-and-retry resolver protocol on the `transformWithState` API:
+    * resolved mappings live in a `MapState` (the memcached replacement),
+    * parked replies in a `ListState`, and retries are EVENT-TIME TIMERS
+    * registered through the handle and delivered to `handleExpiredTimer` —
+    * the reference's `registerEventTimeTimer`/`onTimer` pair
+    * (PostIdResolver.java:167-169,186-214) expressed in the modern state
+    * API. */
+  private class TimerResolverProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TEdge, ResOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, TimerValues, TTLConfig, TimeMode}
+    @transient private var resolved: MapState[Long, Long] = _
+    @transient private var parked: ListState[ParkedEdge] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      resolved = getHandle.getMapState[Long, Long]("resolved",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      parked = getHandle.getListState[ParkedEdge]("parked",
+        Encoders.product[ParkedEdge], TTLConfig.NONE)
+    }
+    private def resolve(id: Long, root: Long): ResOut = {
+      resolved.updateValue(id, root)
+      ResOut(id, root)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TEdge],
+        timerValues: TimerValues): Iterator[ResOut] = {
+      val out = scala.collection.mutable.ListBuffer[ResOut]()
+      var maxTsMs = Long.MinValue
+      var anyParked = false
+      rows.toSeq.filter(_.event_id >= 0).sortBy(e => (e.arrival_s, e.event_id))
+        .foreach { e =>
+          maxTsMs = math.max(maxTsMs, e.ts.getTime)
+          val parent = e.event_id - 1
+          if (e.event_id % 7 == 0) out += resolve(e.event_id, e.event_id)
+          else if (resolved.containsKey(parent))
+            out += resolve(e.event_id, resolved.getValue(parent))
+          else { parked.appendValue(ParkedEdge(e.event_id, parent)); anyParked = true }
+        }
+      if (anyParked)
+        getHandle.registerTimer(
+          math.max(maxTsMs, timerValues.getCurrentWatermarkInMs() + 1))
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ResOut] = {
+      val out = scala.collection.mutable.ListBuffer[ResOut]()
+      var still = parked.get().toList
+      var progress = true
+      while (progress && still.nonEmpty) {
+        progress = false
+        val (ready, rest) = still.partition(p => resolved.containsKey(p.parent))
+        if (ready.nonEmpty) {
+          progress = true
+          ready.sortBy(_.id).foreach(p => out += resolve(p.id, resolved.getValue(p.parent)))
+          still = rest
+        }
+      }
+      parked.clear()
+      if (still.nonEmpty) {
+        still.foreach(parked.appendValue)
+        getHandle.registerTimer(
+          timerValues.getCurrentWatermarkInMs() + 30 * 60 * 1000L)
+      }
+      out.iterator
+    }
+  }
+
+  /** X10: [[x3_timer_resolver]] on `transformWithState` with
+    * `TimeMode.EventTime` — same jittered arrival-order replay, same parked
+    * children resolvable only from the timer callback; RocksDB-mandatory.
+    * Final output = the batch st1 oracle. */
+  def x10_tws_timer_resolver(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamDir = replayStreamDir(s, dir)
+      val schema = s.read.parquet(streamDir.resolve("0_chunk.parquet").toString).schema
+      val ds = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .select(col("event_id"), col("ts"), col("arrival_s"))
+        .withWatermark("ts", "30 minutes")
+        .as[TEdge]
+      val out = ds.groupByKey(e => if (e.event_id < 0) -1L else e.event_id / 7)
+        .transformWithState(new TimerResolverProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update())
+      runToMemory(out.toDF(), OutputMode.Update(), s"x10_mem_${System.nanoTime()}")
+        .orderBy("event_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   case class FEv(event_id: Long, user_id: Long, tsMicros: Long, value: Double,
                  event_type: String, props: String)
   case class FOut(event_id: Long, user_id: Long, freq: Double, prev_value: Double,
@@ -500,6 +597,7 @@ object Streams {
     "x7_stream_features"       -> (x7_stream_features _),
     "x8_stream_dedup"          -> (x8_stream_dedup _),
     "x9_tws_running_sum"       -> (x9_tws_running_sum _),
+    "x10_tws_timer_resolver"   -> (x10_tws_timer_resolver _),
     "x4_stream_sessions"       -> (x4_stream_sessions _),
     "x5_stream_static_join"    -> (x5_stream_static_join _))
 
@@ -513,6 +611,7 @@ object Streams {
     "x7_stream_features"       -> graft.queries.Stateful.st2Sql,
     "x8_stream_dedup"          -> x8Sql,
     "x9_tws_running_sum"       -> graft.queries.Stateful.st4Sql,
+    "x10_tws_timer_resolver"   -> graft.queries.Graph.st1Sql,
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
     "x5_stream_static_join"    -> x5Sql)
 }
