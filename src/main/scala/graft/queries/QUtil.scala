@@ -13,6 +13,10 @@ object QUtil {
     * `floor(x * 10000.0 + 0.5) / 10000.0`. */
   def round4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
   def round2(c: Column): Column = floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+  /** 6-dp variant — used to pin transcendental intermediates (ln/exp differ
+    * by ≤1 ulp across libm implementations) to a cross-engine-stable grid
+    * BEFORE further arithmetic, so downstream products stay bit-identical. */
+  def round6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 
   /** Number of dictionary buckets for [[denseIds]] / [[denseIdsSqlCte]]. */
   val DictBuckets = 64

@@ -335,7 +335,103 @@ object Relational {
       |FROM lineitem JOIN a USING (l_partkey)
       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  /** CUBE over (status, priority): all 2^2 grouping combinations in one
+    * pass. Like q9's ROLLUP this is a single Expand (4 copies of each row
+    * tagged with its grouping-set id) followed by ONE shuffle on the
+    * expanded keys — not four scans. At 100 TB the expand quadruples
+    * map-side rows but partial aggregation collapses them before the
+    * exchange, so the shuffle stays proportional to the distinct key count
+    * (here ≤ 3·5·4 cells), not the input. */
+  def q14_cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round2(sum(col("o_totalprice").cast("decimal(25,8)")).cast("double")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val q14Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** As-of join — an operator Spark has no built-in for (reference analog:
+    * joining each activity event to the latest preceding state snapshot;
+    * DuckDB spells it ASOF JOIN). For each purchase event, attach the most
+    * recent order (by o_orderdate ≤ event time) of the same user.
+    *
+    * NOT implemented as a range join (which explodes to |events|·|orders per
+    * user| before filtering) but by the union-merge trick: tag both sides,
+    * union them on a shared schema, and run ONE window per user ordered by
+    * (time, side-tag, orderkey) carrying `last(order cols, ignoreNulls)`
+    * forward. Each event row picks up exactly the latest order at or before
+    * its timestamp. Cost: one shuffle on user_id + one sort — the same plan
+    * shape as a windowed aggregate, scale-safe at 100 TB (no cross-product,
+    * no per-row subquery). Orders sort before ties via tag 0 < 1 so an order
+    * at the exact event timestamp is visible (≤ semantics, like ASOF JOIN).
+    * The window carries (epoch-µs, orderkey, price) through a single struct
+    * so one `last()` keeps all order columns atomically consistent. */
+  def q15_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+              lit(1).as("tag"), col("event_id"),
+              lit(null).cast("long").as("o_orderkey"),
+              lit(null).cast("double").as("o_totalprice"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey").as("k"),
+              // parquet ms-timestamps load as TIMESTAMP_NTZ; the session is
+              // pinned UTC so the cast is the identity wall-clock mapping
+              unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+              lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+              col("o_orderkey"), col("o_totalprice"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("tag"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("_o", last(
+        when(col("tag") === 0,
+          struct(col("o_orderkey"), col("o_totalprice"))), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+              col("_o.o_orderkey").as("last_orderkey"),
+              col("_o.o_totalprice").as("last_orderprice"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle spelled with the identical union-merge formulation (portable
+    * ANSI window SQL; DuckDB's native ASOF JOIN would pick an arbitrary
+    * order on o_orderdate ties — the explicit orderkey tiebreak here makes
+    * the comparison deterministic). */
+  val q15Sql: String =
+    """WITH u AS (
+      |  SELECT user_id AS k, epoch_ns(ts) // 1000 AS t, 1 AS tag, event_id,
+      |         NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 0 AS tag,
+      |         NULL::BIGINT AS event_id, o_orderkey, o_totalprice
+      |  FROM orders
+      |), m AS (
+      |  SELECT event_id, k,
+      |    last_value(CASE WHEN tag = 0 THEN o_orderkey END IGNORE NULLS)
+      |      OVER w AS last_orderkey,
+      |    last_value(CASE WHEN tag = 0 THEN o_totalprice END IGNORE NULLS)
+      |      OVER w AS last_orderprice,
+      |    tag
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY k ORDER BY t, tag, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, k AS user_id, last_orderkey, last_orderprice
+      |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_cube"           -> (q14_cube _),
+    "q15_asof_join"      -> (q15_asof_join _),
     "q12_exists"         -> (q12_exists _),
     "q13_small_quantity_revenue" -> (q13_small_quantity_revenue _),
     "q8_salted_distinct" -> (q8_salted_distinct _),
@@ -351,6 +447,8 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q14_cube"           -> q14Sql,
+    "q15_asof_join"      -> q15Sql,
     "q12_exists"         -> q12Sql,
     "q13_small_quantity_revenue" -> q13Sql,
     "q8_salted_distinct" -> q8Sql,

@@ -258,7 +258,93 @@ object TextAnalysis {
       |  floor(sum(q::DECIMAL(30,20))::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_quality
       |FROM r, t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** T7 TF-IDF: the canonical distinctive-terms measure every corpus
+    * pipeline computes (search relevance, keyword extraction, topic drift
+    * monitoring). Emits each document's top-3 terms by tf·idf.
+    *
+    * Dataflow (the canonical shape, nothing collected or broadcast except
+    * the one-row corpus count): tf = groupBy(doc, term) over the exploded
+    * tokens (shuffle 1); df = groupBy(term) over the tf table — already
+    * (doc,term)-distinct, so df is a plain count (shuffle 2); df joins back
+    * onto tf by term (co-partitioned with shuffle 2's output); the top-3
+    * filter is a per-doc PARTITIONED window. The vocabulary is never
+    * broadcast (unbounded with the corpus — same rule as t4's dictionary).
+    *
+    * idf = ln(N/df) is rounded to 6 dp BEFORE multiplying by tf: ln differs
+    * by ≤1 ulp between JVM Math.log and DuckDB's libm, and tf·(6-dp idf)·10⁴
+    * stays well inside exact-double range, so the 4-dp score is bit-stable
+    * cross-engine. */
+  def t7_tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val idf = round6(log(col("n").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round4(col("tf") * idf))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+              col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val t7Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+      |), nd AS (SELECT count(*) AS n FROM documents),
+      |sc AS (
+      |  SELECT doc_id, term, tf, df,
+      |    floor(tf * (floor(ln(n::DOUBLE / df) * 1000000.0 + 0.5) / 1000000.0)
+      |          * 10000.0 + 0.5) / 10000.0 AS score
+      |  FROM tf JOIN df USING (term), nd
+      |), r AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM sc)
+      |SELECT doc_id, term, tf, df, score, rk
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** T8 deterministic stratified sampling: the reproducible "keep X% of
+    * each language" subset every training-data pipeline versions. The
+    * sampling decision is a pure function of the ROW KEY — md5 of the
+    * rendered doc_id, first 4 hex chars compared against a per-stratum
+    * threshold — so the sample is identical across engines, runs, partition
+    * layouts, and cluster sizes (unlike `df.sample`, which is seed- and
+    * partitioning-dependent). A scan-level filter: no shuffle, no state;
+    * at 100 TB this is a pushed predicate away from free. Rates: en 25%
+    * (< '4000'), de 50% (< '8000'), other strata 12.5% (< '2000'). */
+  def t8_doc_sample(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val thresh = when(col("lang") === "en", lit("4000"))
+      .when(col("lang") === "de", lit("8000"))
+      .otherwise(lit("2000"))
+    Tables.documents(s, dir)
+      .withColumn("h4", h)
+      .filter(col("h4") < thresh)
+      .select(col("doc_id"), col("lang"), col("h4"))
+      .orderBy("doc_id")
+  }
+
+  val t8Sql: String =
+    """SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 4) AS h4
+      |FROM documents
+      |WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+      |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000' ELSE '2000' END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_tfidf"         -> (t7_tfidf _),
+    "t8_doc_sample"    -> (t8_doc_sample _),
     "t6_quality_deciles" -> (t6_quality_deciles _),
     "t1_token_stats"   -> (t1_token_stats _),
     "t2_quality_score" -> (t2_quality_score _),
@@ -267,6 +353,8 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t7_tfidf"         -> t7Sql,
+    "t8_doc_sample"    -> t8Sql,
     "t6_quality_deciles" -> t6Sql,
     "t1_token_stats"   -> t1Sql,
     "t2_quality_score" -> t2Sql,
