@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, UniqueWordsRatio}
+import graft.functions.{DotProduct, SqDist, UniqueWordsRatio}
 
 /** Session-extensions installer — the production path for shipping this
   * library's custom Catalyst pieces to every session on a cluster:
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_f32"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sq_dist"),
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
   }
 }

@@ -44,8 +44,11 @@ object Similarity {
     * result set. */
   private def exactDecimals(s: SparkSession): Boolean = {
     val exact = s.conf.get("spark.graft.exactDecimals", "true").toBoolean
-    // the production path calls the native codegen'd expression
-    if (!exact) graft.functions.DotProduct.register(s)
+    // the production path calls the native codegen'd expressions
+    if (!exact) {
+      graft.functions.DotProduct.register(s)
+      graft.functions.SqDist.register(s)
+    }
     exact
   }
 
@@ -271,17 +274,21 @@ object Similarity {
       |SELECT q_id, cell, n_id, cosine, rank FROM ranked
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
-  /** Squared euclidean distance between two float-array columns, exact-
+  /** Squared euclidean distance between two float-array columns — exact-
     * decimal accumulated ((x−c)² is computed in double — identical in both
-    * engines — and each addend quantized before the order-independent
-    * sum). */
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, c) => {
-        val d = x.cast("double") - c
-        (d * d).cast(DEC)
-      }),
-      lit(0).cast(DEC), (acc, x) => (acc + x).cast(DEC)).cast("double")
+    * engines — and each addend quantized before the order-independent sum),
+    * or the native codegen'd `sq_dist` expression (one fused loop over the
+    * raw buffers) on the production path. */
+  private def sqDist(a: Column, b: Column, exact: Boolean): Column =
+    if (exact)
+      aggregate(
+        zip_with(a, b, (x, c) => {
+          val d = x.cast("double") - c
+          (d * d).cast(DEC)
+        }),
+        lit(0).cast(DEC), (acc, x) => (acc + x).cast(DEC)).cast("double")
+    else
+      call_function("sq_dist", a, b)
 
   /** Rebuild (cluster, cemb array) rows from long-form (cluster, i, cv). */
   private def toArrays(longForm: DataFrame): DataFrame =
@@ -300,13 +307,17 @@ object Similarity {
     * oracle unrolls both iterations symbolically. Output: the trained
     * centroids in long form (cluster, i, cv). */
   def s4_kmeans_train(s: SparkSession, dir: String): DataFrame = {
+    // distance loop honors the production-precision switch (the per-dim
+    // means stay exact-decimal on both paths — they are one aggregate per
+    // iteration, not the corpus × k hot path)
+    val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     var centroids = emb.filter(col("vec_id") < 10) // deterministic seed
       .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cemb"))
       .localCheckpoint()
     for (_ <- 1 to 2) {
       val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("dist", sqDist(col("embedding"), col("cemb")))
+        .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
         .filter(col("rn") === 1)

@@ -8,5 +8,14 @@ class GraftExtensionsSpec extends SparkSpec {
   test("spark.sql.extensions installs the native function surface") {
     val r = spark.sql("SELECT unique_words_ratio('a b a') AS r").head().getDouble(0)
     assert(math.abs(r - 2.0 / 3.0) < 1e-15)
+    val d = spark.sql(
+      "SELECT dot_f32(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(2 AS FLOAT), CAST(0.5 AS FLOAT)))").head().getDouble(0)
+    assert(d == 4.0)
+    // mixed float/double operands — the k-means iteration-2 shape
+    val sq = spark.sql(
+      "SELECT sq_dist(array(CAST(3 AS FLOAT), CAST(1 AS FLOAT)), " +
+        "array(CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)))").head().getDouble(0)
+    assert(sq == 5.0)
   }
 }

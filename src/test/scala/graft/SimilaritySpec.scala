@@ -22,6 +22,23 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native sq_dist production path trains identical k-means centroids") {
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.graft.exactDecimals"
+    def train(): Seq[(Long, Long, Double)] =
+      Similarity.s4_kmeans_train(spark, dir).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = train()
+    spark.conf.set(key, "false")
+    try {
+      // per-dim means stay exact-decimal on both paths, so identical
+      // assignments must reproduce the exact path's centroids bit-for-bit
+      val fast = train()
+      assert(fast == exact)
+      assert(exact.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("plain-double production path finds the same LSH near-dup pairs") {
     val dir = "/root/testdata/sf0.001"
     val key = "spark.graft.exactDecimals"
