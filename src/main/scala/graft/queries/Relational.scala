@@ -429,7 +429,55 @@ object Relational {
       |SELECT event_id, k AS user_id, last_orderkey, last_orderprice
       |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin
 
+  /** Interval (range) join via bin bucketing — the scale-safe form of a
+    * join with NO equi key. Each high-value purchase opens a 30-minute
+    * window [ts, ts+30min); the query counts all activity (any user — no
+    * shared key with the window) inside each window.
+    *
+    * Written naively (`ev.join(iv, t >= lo && t < hi)`) Spark has no equi
+    * condition and plans a BroadcastNestedLoopJoin — O(|events|·|windows|)
+    * comparisons, a 100 TB death sentence. The bucketing trick manufactures
+    * the equi key: time is cut into bins of the window width, each interval
+    * is replicated to the ≤2 bins it can overlap (`sequence(lo div W,
+    * (hi−1) div W)`), each event maps to its single bin, and the join
+    * becomes a hash/sort-merge EQUI-join on `bin` with the range predicate
+    * as a residual filter. An event's one bin meets each interval's copy at
+    * most once, so no dedup step is needed. `QueriesSmokeSpec` asserts the
+    * plan contains no nested-loop/cartesian join. */
+  def q16_interval_join(s: SparkSession, dir: String): DataFrame = {
+    val W = 1800L * 1000000L // bin width = window width, µs
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("bin", expr(s"t div ${W}L"))
+    val iv = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") >= 200.0)
+      .select(col("event_id").as("window_id"), unix_micros(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + lit(W))
+      .withColumn("bin", explode(expr(s"sequence(lo div ${W}L, (hi - 1) div ${W}L)")))
+    ev.join(iv, Seq("bin"))
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+           count_distinct(col("user_id")).as("n_users"))
+      .orderBy("window_id")
+  }
+
+  /** Oracle spelled as the direct range join — DuckDB's IEJoin handles it;
+    * the Spark side must NOT take this shape (see scaladoc). */
+  val q16Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t FROM events
+      |), iv AS (
+      |  SELECT event_id AS window_id, epoch_ns(ts) // 1000 AS lo,
+      |         epoch_ns(ts) // 1000 + 1800000000 AS hi
+      |  FROM events WHERE event_type = 'purchase' AND value >= 200.0
+      |)
+      |SELECT window_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM iv JOIN ev ON ev.t >= iv.lo AND ev.t < iv.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_interval_join"  -> (q16_interval_join _),
     "q14_cube"           -> (q14_cube _),
     "q15_asof_join"      -> (q15_asof_join _),
     "q12_exists"         -> (q12_exists _),
@@ -447,6 +495,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q16_interval_join"  -> q16Sql,
     "q14_cube"           -> q14Sql,
     "q15_asof_join"      -> q15Sql,
     "q12_exists"         -> q12Sql,

@@ -83,6 +83,15 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
   }
 
+  test("bin-bucketed interval join plans as an equi-join, not a nested loop (q16)") {
+    val plan = graft.queries.Relational.q16_interval_join(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected an equi join on bin in:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
