@@ -561,6 +561,50 @@ object Streams {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** X11: stream-STREAM join — two unbounded sides joined with per-side
+    * watermarks and a time-range condition: each purchase matched to the
+    * same user's clicks in the preceding 30 minutes (attribution, the
+    * canonical stream-stream shape). Spark keeps both sides' unmatched rows
+    * in the state store and the time bound + watermarks let it EVICT state
+    * older than the range — without the range condition the state grows
+    * unboundedly, the #1 production stream-join mistake. Inner join ⇒
+    * matches emit as soon as both sides arrive (append mode). Both sides'
+    * event times are µs-truncated, so the range compare equals the oracle's
+    * integer-µs compare. */
+  def x11_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+              ((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+                / lit(1000000L)).cast("long").as("lag_s"))
+    runToMemory(joined, OutputMode.Append(), s"x11_mem_${System.nanoTime()}")
+      .orderBy("p_id", "c_id")
+  }
+
+  val x11Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+      |)
+      |SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+      |       (p.t - c.t) // 1000000 AS lag_s
+      |FROM e p JOIN e c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.t <= p.t AND c.t >= p.t - 1800000000
+      |ORDER BY p_id, c_id""".stripMargin
+
   /** X5: stream-static join — the reference broadcasts its five static CSV
     * tables into the stream operators (FriendRecommender.java:54-57, SURVEY
     * §1.3); here the event stream joins the static `customer` dimension
@@ -599,7 +643,8 @@ object Streams {
     "x9_tws_running_sum"       -> (x9_tws_running_sum _),
     "x10_tws_timer_resolver"   -> (x10_tws_timer_resolver _),
     "x4_stream_sessions"       -> (x4_stream_sessions _),
-    "x5_stream_static_join"    -> (x5_stream_static_join _))
+    "x5_stream_static_join"    -> (x5_stream_static_join _),
+    "x11_stream_stream_join"   -> (x11_stream_stream_join _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
@@ -613,5 +658,6 @@ object Streams {
     "x9_tws_running_sum"       -> graft.queries.Stateful.st4Sql,
     "x10_tws_timer_resolver"   -> graft.queries.Graph.st1Sql,
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
-    "x5_stream_static_join"    -> x5Sql)
+    "x5_stream_static_join"    -> x5Sql,
+    "x11_stream_stream_join"   -> x11Sql)
 }
