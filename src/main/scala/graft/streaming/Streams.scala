@@ -493,44 +493,8 @@ object Streams {
     * (`maxFilesPerTrigger 1` keeps file order = batch order). Final output
     * equals batch w9. */
   def x4_stream_sessions(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    // a dedicated stream dir: 0_events.parquet (symlink) + 1_sentinel.parquet
-    val streamDir = Paths.get("/tmp/graft_stream",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"), "events_sessions")
-    val sentinelDone = streamDir.resolve("1_sentinel.parquet")
-    if (!Files.exists(sentinelDone)) {
-      Files.createDirectories(streamDir)
-      val link = streamDir.resolve("0_events.parquet")
-      if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(Tables.path(dir, "events")))
-      val farFuture = Tables.events(s, dir)
-        .select(max(col("ts")).as("mx")).head().getTimestamp(0).toInstant
-        .plusSeconds(30 * 24 * 3600)
-      val tmp = Paths.get(streamDir.toString, "_sentinel_build")
-      val schema0 = s.read.parquet(Tables.path(dir, "events")).schema
-      val tsVal: Any = // ts reads as LongType nanos under nanosAsLong
-        if (schema0("ts").dataType == org.apache.spark.sql.types.LongType)
-          farFuture.getEpochSecond * 1000000000L
-        else java.sql.Timestamp.from(farFuture)
-      s.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(
-            -1L, tsVal, -1L, "sentinel", 0.0, "")),
-          schema0)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
-      Files.move(part, sentinelDone)
-      // clean build dir so the file source sees exactly two parquet files
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-    val schema = s.read.parquet(Tables.path(dir, "events")).schema
-    val raw = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-    val ev =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val ev = sentinelEventsStream(s, dir, "events_sessions",
+      (_, tsVal) => Seq(Row(-1L, tsVal, -1L, "sentinel", 0.0, "")))
     val agg = ev
       .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -605,6 +569,106 @@ object Streams {
       | AND c.t <= p.t AND c.t >= p.t - 1800000000
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** Build (once per sf-dir) a two-file stream directory: the events table
+    * followed by far-future sentinel rows in a second file — with
+    * `maxFilesPerTrigger 1` the sentinel batch pushes the watermark past
+    * every real event, flushing results that only emit at watermark
+    * (append-mode windows, outer-join nulls). `sentinels` receives the
+    * far-future instant and builds the rows in the RAW parquet schema
+    * (ts is LongType nanos under nanosAsLong). */
+  private def sentinelStreamDir(s: SparkSession, dir: String, name: String,
+      sentinels: (org.apache.spark.sql.types.StructType, Any) => Seq[Row]): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), name)
+    val sentinelDone = streamDir.resolve("1_sentinel.parquet")
+    if (!Files.exists(sentinelDone)) {
+      Files.createDirectories(streamDir)
+      val link = streamDir.resolve("0_events.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(Tables.path(dir, "events")))
+      val farFuture = Tables.events(s, dir)
+        .select(max(col("ts")).as("mx")).head().getTimestamp(0).toInstant
+        .plusSeconds(30 * 24 * 3600)
+      val schema0 = s.read.parquet(Tables.path(dir, "events")).schema
+      val tsVal: Any =
+        if (schema0("ts").dataType == org.apache.spark.sql.types.LongType)
+          farFuture.getEpochSecond * 1000000000L
+        else java.sql.Timestamp.from(farFuture)
+      val tmp = Paths.get(streamDir.toString, "_sentinel_build")
+      s.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(sentinels(schema0, tsVal)).asJava,
+          schema0)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, sentinelDone)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    streamDir
+  }
+
+  /** Events as a 2-micro-batch stream (events file, then sentinel file). */
+  private def sentinelEventsStream(s: SparkSession, dir: String, name: String,
+      sentinels: (org.apache.spark.sql.types.StructType, Any) => Seq[Row]): DataFrame = {
+    val streamDir = sentinelStreamDir(s, dir, name, sentinels)
+    val schema = s.read.parquet(Tables.path(dir, "events")).schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** X12: stream-stream LEFT OUTER join — x11's attribution shape, but
+    * purchases with NO click in the window must still come out, null-
+    * extended. Subtler than the inner join: an outer result may only emit
+    * once the click-side watermark proves no matching click can still
+    * arrive (c_ts ≤ p_ts, so: watermark past p_ts), which on a bounded
+    * replay never happens for the tail — a far-future sentinel row per
+    * side (filtered from the result) pushes the final watermark, the same
+    * flush discipline as the append-mode session windows (x4). */
+  def x12_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
+    def sentinels(schema0: org.apache.spark.sql.types.StructType, tsVal: Any): Seq[Row] =
+      Seq(Row(-1L, tsVal, -1L, "purchase", 0.0, ""),
+          Row(-2L, tsVal, -1L, "click", 0.0, ""))
+    def side() = sentinelEventsStream(s, dir, "events_outer", sentinels)
+    val purchases = side()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = side()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+              ((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+                / lit(1000000L)).cast("long").as("lag_s"))
+    runToMemory(joined, OutputMode.Append(), s"x12_mem_${System.nanoTime()}")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("p_id", "c_id")
+  }
+
+  val x12Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+      |)
+      |SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+      |       (p.t - c.t) // 1000000 AS lag_s
+      |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.t <= p.t AND c.t >= p.t - 1800000000
+      |ORDER BY p_id, c_id""".stripMargin
+
   /** X5: stream-static join — the reference broadcasts its five static CSV
     * tables into the stream operators (FriendRecommender.java:54-57, SURVEY
     * §1.3); here the event stream joins the static `customer` dimension
@@ -644,7 +708,8 @@ object Streams {
     "x10_tws_timer_resolver"   -> (x10_tws_timer_resolver _),
     "x4_stream_sessions"       -> (x4_stream_sessions _),
     "x5_stream_static_join"    -> (x5_stream_static_join _),
-    "x11_stream_stream_join"   -> (x11_stream_stream_join _))
+    "x11_stream_stream_join"   -> (x11_stream_stream_join _),
+    "x12_stream_outer_join"    -> (x12_stream_outer_join _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
@@ -659,5 +724,6 @@ object Streams {
     "x10_tws_timer_resolver"   -> graft.queries.Graph.st1Sql,
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
     "x5_stream_static_join"    -> x5Sql,
-    "x11_stream_stream_join"   -> x11Sql)
+    "x11_stream_stream_join"   -> x11Sql,
+    "x12_stream_outer_join"    -> x12Sql)
 }
