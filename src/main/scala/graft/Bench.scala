@@ -39,6 +39,7 @@ object Bench {
       .map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         queries.Similarity.clearShared()
+        queries.Dedup.clearShared()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -151,7 +151,25 @@ object Dedup {
   /** D3 MinHash + LSH: 8 hash permutations over a dense shingle dictionary,
     * signature banded 4×2, candidates = pairs sharing a band bucket, verified
     * with exact Jaccard (computed only for candidates). */
-  def d3_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+  def d3_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    d3Pairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** d3's verified pair table, MATERIALIZED once per (session, sf-dir) and
+    * shared by `d3_minhash_lsh` and the `d8_dup_clusters` clustering step —
+    * the same staging-table discipline as `Similarity.s2Pairs` (the
+    * signature computation is the expensive step; consumers must not re-run
+    * it). `Bench.clearShared` drops the cache before each timed run. */
+  def d3Pairs(s: SparkSession, dir: String): DataFrame =
+    d3Cache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => d3PairsUncached(s, dir).localCheckpoint())
+
+  private val d3Cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Drop all shared materialized intermediates (bench isolation). */
+  def clearShared(): Unit = d3Cache.clear()
+
+  private def d3PairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     // bucketed distributed dense ids — no single-partition global sort
     // shuffle equi-join on sh: the dictionary is one row per distinct shingle
@@ -183,10 +201,11 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("jaccard", jaccard(col("inter"), col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
-  val d3Sql: String =
+  /** d3's pair relation without the presentation ORDER BY — reused verbatim
+    * as a CTE body by the d8 clustering oracle. */
+  private val d3SqlBody: String =
     s"""WITH $shinglesSqlCte, dsrc AS (
       |  SELECT DISTINCT sh FROM sh
       |), dict AS (
@@ -219,8 +238,9 @@ object Dedup {
       |FROM cand c
       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
       |JOIN sizes sa ON sa.doc_id = c.doc_a
-      |JOIN sizes sb ON sb.doc_id = c.doc_b
-      |ORDER BY 1, 2""".stripMargin
+      |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin
+
+  val d3Sql: String = d3SqlBody + "\nORDER BY 1, 2"
 
   /** Per-bit hash params: quadratic (a·id + b)·id + (a+b) mod P, middle bit
     * (bit 15) extracted — a linear hash's low bit is parity-structured and
@@ -405,7 +425,69 @@ object Dedup {
       |FROM chunks GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY chunk_hash""".stripMargin
 
+  /** D8 duplicate-cluster assembly: pairwise near-dup detection (d3) only
+    * yields EDGES; to keep one representative per duplicate group a pipeline
+    * needs the connected components of that pair graph. Components are
+    * computed by min-label propagation: every node starts labeled with
+    * itself, each round takes the min of its own and its neighbors' labels
+    * (one shuffle join + one aggregation per round), until a fixpoint. Dup
+    * clusters have tiny diameter (near-dup similarity is near-transitive),
+    * so rounds ≈ 2-3; for adversarial long-chain graphs the round count is
+    * the graph diameter and the log-round shortcut is pointer doubling over
+    * the current labels — the `Graph.resolveRoots` machinery. The per-round
+    * driver action is a single converged-count (inherent to iterative
+    * fixpoint, lineage cut via `localCheckpoint` — same discipline as
+    * resolveRoots). Consumes the MATERIALIZED d3 pair table; the signature
+    * pipeline is not re-run. Output: every clustered doc with its component
+    * id (= min doc_id in the component) and the component size. */
+  def d8_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d3Pairs(s, dir).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v").localCheckpoint()
+    var labels = edges.select(col("u").as("n")).distinct()
+      .withColumn("lbl", col("n")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels.withColumnRenamed("n", "v"), Seq("v"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin.withColumnRenamed("u", "n"), Seq("n"), "left")
+        .select(col("n"), col("lbl"),
+                least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("nlbl"))
+        .localCheckpoint()
+      changed = next.filter(col("nlbl") < col("lbl")).count()
+      labels = next.select(col("n"), col("nlbl").as("lbl")).localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("n").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same components via a recursive reachability CTE over the
+    * identical d3 pair relation (spliced in verbatim as `pairs`), component
+    * id = min reachable node. */
+  val d8Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |$d3SqlBody
+      |), ed AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= 0.5
+      |  UNION
+      |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5
+      |), reach(src, node) AS (
+      |  SELECT u, u FROM ed
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN ed e ON r.node = e.u
+      |), comp AS (
+      |  SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1
+      |)
+      |SELECT doc_id, cluster_id,
+      |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |FROM comp ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_dup_clusters"  -> (d8_dup_clusters _),
     "d6_cdc_chunks"    -> (d6_cdc_chunks _),
     "d1_exact_dedup"   -> (d1_exact_dedup _),
     "d2_ngram_jaccard" -> (d2_ngram_jaccard _),
@@ -414,6 +496,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
+    "d8_dup_clusters"  -> d8Sql,
     "d6_cdc_chunks"    -> d6Sql,
     "d1_exact_dedup"   -> d1Sql,
     "d2_ngram_jaccard" -> d2Sql,
