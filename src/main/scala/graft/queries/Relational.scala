@@ -476,7 +476,54 @@ object Relational {
       |FROM iv JOIN ev ON ev.t >= iv.lo AND ev.t < iv.hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension type 2) construction: turn an event
+    * log into validity-interval history — for each user, the runs of their
+    * purchase `value`, collapsed across consecutive repeats, with
+    * [valid_from, valid_to) bounds and an open (null) end for the current
+    * row. The canonical warehouse dimension build.
+    *
+    * Two per-key windows, each riding the SAME partitioning (one shuffle on
+    * user_id total): `lag` marks change points (drop rows equal to their
+    * predecessor), `lead` over the survivors supplies each run's end bound.
+    * No self-join, no driver state; at 100 TB this is exactly the windowed
+    * aggregate plan shape. */
+  def q17_scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+              unix_micros(col("ts")).as("t"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val changes = ev
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("value"))
+    changes
+      .withColumn("t_end", lead(col("t"), 1).over(w))
+      .select(col("user_id"), col("value"),
+              expr("t div 1000000").as("valid_from_s"),
+              expr("t_end div 1000000").as("valid_to_s"))
+      .orderBy("user_id", "valid_from_s")
+  }
+
+  val q17Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS t
+      |  FROM events WHERE event_type = 'purchase'
+      |), marked AS (
+      |  SELECT user_id, event_id, value, t,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+      |  FROM ev
+      |), changes AS (
+      |  SELECT user_id, event_id, value, t FROM marked
+      |  WHERE prev IS NULL OR prev <> value
+      |)
+      |SELECT user_id, value, t // 1000000 AS valid_from_s,
+      |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) // 1000000
+      |    AS valid_to_s
+      |FROM changes ORDER BY user_id, valid_from_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_scd2"           -> (q17_scd2 _),
     "q16_interval_join"  -> (q16_interval_join _),
     "q14_cube"           -> (q14_cube _),
     "q15_asof_join"      -> (q15_asof_join _),
@@ -495,6 +542,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q17_scd2"           -> q17Sql,
     "q16_interval_join"  -> q16Sql,
     "q14_cube"           -> q14Sql,
     "q15_asof_join"      -> q15Sql,
