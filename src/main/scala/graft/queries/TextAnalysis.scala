@@ -342,7 +342,26 @@ object TextAnalysis {
       |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000' ELSE '2000' END
       |ORDER BY doc_id""".stripMargin
 
+  /** T9 quantile SKETCH: per-language length quantiles via
+    * `approx_percentile` (Greenwald-Khanna), the mergeable-sketch path for
+    * "length percentile" corpus filters at 100 TB — one pass, bounded
+    * memory, partial sketches merged map-side (vs t6's exact two-pass
+    * ranking, which needs a second pass over the data). Approximate by
+    * design ⇒ rows-only driver check (like `w4_unique_users_approx`); the
+    * GK rank-error contract (≤ n/accuracy ranks) is asserted against the
+    * exact order statistics in `QueriesSmokeSpec`. */
+  def t9_len_quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9), lit(0.99)),
+             lit(1000)).as("q"),
+           count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("q")(0).as("p50"), col("q")(1).as("p90"),
+              col("q")(2).as("p99"), col("n_docs"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_len_quantiles" -> (t9_len_quantiles _),
     "t7_tfidf"         -> (t7_tfidf _),
     "t8_doc_sample"    -> (t8_doc_sample _),
     "t6_quality_deciles" -> (t6_quality_deciles _),

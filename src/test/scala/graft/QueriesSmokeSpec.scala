@@ -27,7 +27,7 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every query has an oracle (approx ops excepted, rows-only checked)") {
-    val rowsOnly = Set("w4_unique_users_approx") // approximate by design
+    val rowsOnly = Set("w4_unique_users_approx", "t9_len_quantiles") // approximate by design
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: ${missing.mkString(", ")}")
   }
@@ -41,6 +41,27 @@ class QueriesSmokeSpec extends SparkSpec {
     exact.foreach { case (k, e) =>
       val a = approx(k)
       assert(math.abs(a - e) <= math.max(3, 0.1 * e), s"window $k: exact=$e approx=$a")
+    }
+  }
+
+  test("approx quantiles honor the GK rank-error contract (t9)") {
+    val probs = Seq(0.5, 0.9, 0.99)
+    val approx = graft.queries.TextAnalysis.t9_len_quantiles(spark, dir)
+      .collect().map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("lang"),
+              org.apache.spark.sql.functions.col("n_chars"))
+      .collect().groupBy(_.getString(0))
+      .map { case (lang, rows) => lang -> rows.map(_.getLong(1)).sorted }
+    assert(approx.keySet == exact.keySet)
+    for ((lang, sorted) <- exact; (p, i) <- probs.zipWithIndex) {
+      val n = sorted.length
+      val err = math.max(1, n / 1000) // accuracy = 1000 ⇒ rank error ≤ n/1000
+      val lo = sorted(math.max(0, (p * n).toInt - err - 1))
+      val hi = sorted(math.min(n - 1, (p * n).toInt + err))
+      val a = approx(lang)(i)
+      assert(a >= lo && a <= hi,
+        s"$lang p$p: approx $a outside exact-rank band [$lo, $hi] (n=$n)")
     }
   }
 
