@@ -88,6 +88,54 @@ class QueriesSmokeSpec extends SparkSpec {
       s"unbalanced round-robin output: ${sizes.mkString(",")}")
   }
 
+  test("keyed frame sink: one partition per key, time order within partitions (S8)") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_s8k_").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    graft.sources.FrameSink.writeKeyed(
+      ev, col("user_id"), concat_ws(",", col("event_id"), col("t")), col("t"),
+      n = 8, outDir = out)
+    // parse every partition file back in file order
+    val partDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("part="))
+    // an empty hash partition is legal (no key mapped to it) — the written
+    // dirs must be exactly the partitions some key hashes to, checked below
+    val frames = partDirs.flatMap { d =>
+      val p = d.getName.stripPrefix("part=").toLong
+      d.listFiles().filter(_.getName.endsWith(".txt")).sortBy(_.getName).flatMap { f =>
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(f.toPath)).asScala
+          .map { line =>
+            val Array(k, v) = line.split("\\|", 2)
+            val Array(eid, t) = v.split(",", 2)
+            (p, k.toLong, eid.toLong, t.toLong)
+          }
+      }
+    }
+    // Kafka contract 1: every key lives in exactly one partition, the hash one
+    val keyParts = frames.groupBy(_._2).map { case (k, fs) => k -> fs.map(_._1).distinct }
+    assert(keyParts.values.forall(_.length == 1), "a key spans multiple partitions")
+    // ...and that partition is the declared hash partition (recomputed via
+    // the same pmod(xxhash64(k), 8) expression)
+    val expected = ev.select(col("user_id"),
+        graft.sources.FrameSink.partitionOf(col("user_id"), 8).as("p"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keyParts.foreach { case (k, ps) =>
+      assert(ps.head == expected(k), s"key $k in part ${ps.head}, expected ${expected(k)}")
+    }
+    assert(partDirs.map(_.getName.stripPrefix("part=").toLong).toSet ==
+      expected.values.toSet, "written partition dirs != hash-mapped partitions")
+    // Kafka contract 2: append order within a partition file = time order
+    frames.groupBy(f => (f._1, partDirs.length)).foreach { case ((p, _), fs) =>
+      val ts = fs.map(_._4).toSeq
+      assert(ts == ts.sorted, s"partition $p not in time order")
+    }
+    // round trip: nothing lost, nothing duplicated
+    val in = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(frames.map(f => (f._2, f._3, f._4)).toSet == in)
+    assert(frames.length == in.size)
+  }
+
   test("filter + projection push into the parquet scan (q2)") {
     val plan = graft.queries.Relational.q2_filter_project(spark, dir)
       .queryExecution.executedPlan.toString
