@@ -269,7 +269,68 @@ object Graph {
       |      UNION ALL SELECT event_id, sec, fixed FROM d2)
       |ORDER BY event_id""".stripMargin
 
+  /** G1 PageRank (2 unrolled power iterations, d = 0.85) over the reply
+    * forest — the influence measure of the social-graph family the
+    * reference analyzes. Each iteration is one shuffle join (rank flows
+    * child → parent along the st1 edge set) plus one aggregation: the
+    * standard sparse mat-vec shape that scales linearly with |E| and never
+    * materializes anything denser than the edge list. Root comments are
+    * dangling (no out-edge); their leaked mass is NOT redistributed — the
+    * documented simplification, identical in the oracle.
+    *
+    * Cross-engine determinism with NO floating point: ranks live on an
+    * integer 10¹² grid — seed = SCALE div N, step = (15·seed) div 100 +
+    * (85·Σ child ranks) div 100, all floor divisions. Out-degree is 1 for
+    * every non-root, so the contribution sum needs no division. Exact
+    * 64-bit arithmetic in both engines (DuckDB's HUGEINT sum is reduced
+    * back by the div). */
+  def g1_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val SCALE = 1000000000000L
+    val ev = graft.Tables.events(s, dir).select(col("event_id"))
+    val nodes = ev.select(col("event_id").as("n"))
+    val edges = ev.filter(col("event_id") % 7 =!= 0)
+      .select(col("event_id").as("src"), (col("event_id") - 1).as("dst"))
+      .localCheckpoint() // reused by both iterations
+    val nRows = ev.agg(count(lit(1)).as("nn"))
+    var pr = nodes.crossJoin(broadcast(nRows))
+      .select(col("n"), expr(s"${SCALE}L div nn").as("pr"),
+              expr(s"(15 * (${SCALE}L div nn)) div 100").as("base"))
+      .localCheckpoint()
+    for (_ <- 1 to 2) {
+      val contrib = edges.join(pr.withColumnRenamed("n", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("pr")).as("c"))
+      pr = pr.drop("pr")
+        .join(contrib.withColumnRenamed("dst", "n"), Seq("n"), "left")
+        .select(col("n"),
+                (col("base") + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"),
+                col("base"))
+        .localCheckpoint()
+    }
+    pr.select(col("n").as("event_id"), col("pr")).orderBy("event_id")
+  }
+
+  val g1Sql: String =
+    """WITH nodes AS (SELECT event_id AS n FROM events),
+      |cnt AS (SELECT count(*) AS nn FROM events),
+      |edges AS (
+      |  SELECT event_id AS src, event_id - 1 AS dst FROM events
+      |  WHERE event_id % 7 <> 0
+      |), seed AS (
+      |  SELECT (1000000000000 // nn) AS s0,
+      |         (15 * (1000000000000 // nn)) // 100 AS base FROM cnt
+      |), pr0 AS (SELECT n, s0 AS pr FROM nodes CROSS JOIN seed),
+      |c1 AS (SELECT dst, sum(pr) AS c FROM edges JOIN pr0 ON src = n GROUP BY 1),
+      |pr1 AS (
+      |  SELECT n, (base + (85 * coalesce(c, 0)) // 100)::BIGINT AS pr
+      |  FROM nodes CROSS JOIN seed LEFT JOIN c1 ON c1.dst = n
+      |), c2 AS (SELECT dst, sum(pr) AS c FROM edges JOIN pr1 ON src = n GROUP BY 1)
+      |SELECT n AS event_id,
+      |       (base + (85 * coalesce(c, 0)) // 100)::BIGINT AS pr
+      |FROM nodes CROSS JOIN seed LEFT JOIN c2 ON c2.dst = n
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_pagerank"       -> (g1_pagerank _),
     "st1_resolve_roots" -> (st1_resolve_roots _),
     "j4_ts_violations"  -> (j4_ts_violations _),
     "s9_order_audit"    -> (s9_order_audit _),
@@ -277,6 +338,7 @@ object Graph {
     "s9_ts_repair"      -> (s9_ts_repair _))
 
   val oracles: Map[String, String] = Map(
+    "g1_pagerank"       -> g1Sql,
     "st1_resolve_roots" -> st1Sql,
     "j4_ts_violations"  -> j4Sql,
     "s9_order_audit"    -> s9Sql,
