@@ -525,6 +525,33 @@ object Streams {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** X13: streaming dedup with BOUNDED state — `dropDuplicatesWithinWatermark`.
+    * x8's `dropDuplicates` keeps one marker per distinct key FOREVER (state
+    * grows with the key space — fine for a bounded key domain, fatal for an
+    * unbounded one). The `..WithinWatermark` variant evicts markers once the
+    * watermark passes them: state is bounded by the watermark horizon, the
+    * production form for unbounded keys whose duplicates arrive close
+    * together (retries, at-least-once upstreams). Here the key embeds the
+    * event's 1-hour bucket, so a key's duplicates span < 1 h ≤ the 2 h
+    * watermark delay and the streaming result provably equals the batch
+    * DISTINCT — the eviction saves state without changing the answer. */
+  def x13_stream_dedup_watermark(s: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(s, dir)
+      .withColumn("hour_s", expr("(unix_micros(ts) div 3600000000) * 3600"))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_type"), col("hour_s"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_s")
+      .select(col("user_id"), col("event_type"), col("hour_s"))
+    runToMemory(dedup, OutputMode.Append(), s"x13_mem_${System.nanoTime()}")
+      .orderBy("user_id", "event_type", "hour_s")
+  }
+
+  val x13Sql: String =
+    """SELECT DISTINCT user_id, event_type,
+      |  (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS hour_s
+      |FROM events
+      |ORDER BY user_id, event_type, hour_s""".stripMargin
+
   /** X11: stream-STREAM join — two unbounded sides joined with per-side
     * watermarks and a time-range condition: each purchase matched to the
     * same user's clicks in the preceding 30 minutes (attribution, the
@@ -709,7 +736,8 @@ object Streams {
     "x4_stream_sessions"       -> (x4_stream_sessions _),
     "x5_stream_static_join"    -> (x5_stream_static_join _),
     "x11_stream_stream_join"   -> (x11_stream_stream_join _),
-    "x12_stream_outer_join"    -> (x12_stream_outer_join _))
+    "x12_stream_outer_join"    -> (x12_stream_outer_join _),
+    "x13_stream_dedup_watermark" -> (x13_stream_dedup_watermark _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
@@ -725,5 +753,6 @@ object Streams {
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
     "x5_stream_static_join"    -> x5Sql,
     "x11_stream_stream_join"   -> x11Sql,
-    "x12_stream_outer_join"    -> x12Sql)
+    "x12_stream_outer_join"    -> x12Sql,
+    "x13_stream_dedup_watermark" -> x13Sql)
 }
