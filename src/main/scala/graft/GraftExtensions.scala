@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sq_dist"),
       new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
       (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
+    // rewrite composed plain-double aggregate(zip_with(..)) dot products to
+    // the fused native expression — bit-exact, one codegen'd loop
+    ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)
   }
 }

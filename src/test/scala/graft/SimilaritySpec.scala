@@ -8,18 +8,59 @@ import graft.queries.Similarity
   * flag trades cross-engine bit-equality for speed, never results. */
 class SimilaritySpec extends SparkSpec {
 
-  test("native dot_f32 equals the composed plain-double fold bit-for-bit") {
+  test("native dot_f32 equals the ascending-index double fold bit-for-bit") {
+    // the fold baseline is computed in the DRIVER: the FuseDotProduct
+    // optimizer rule (installed on this session) rewrites the composed
+    // aggregate(zip_with(..)) spelling to dot_f32, so an in-engine fold
+    // would compare the expression against itself
     graft.functions.DotProduct.register(spark)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .select(org.apache.spark.sql.functions.col("embedding").as("a"))
-    val paired = emb.limit(200).crossJoin(
-      emb.limit(7).withColumnRenamed("a", "b"))
-    val diff = paired.selectExpr(
-      "dot_f32(a, b) AS native",
-      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS folded")
-      .filter("native <> folded").count()
-    assert(diff == 0)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("embedding").as("a"))
+      .limit(200).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1))
+    val q = emb.take(7)
+    def fold(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val expected = for ((_, a) <- emb; (_, b) <- q) yield fold(a, b)
+    val embDf = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("embedding").as("a")).limit(200)
+    val qDf = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("embedding").as("b")).limit(7)
+    val native = embDf.crossJoin(qDf)
+      .selectExpr("dot_f32(a, b) AS dp").collect().map(_.getDouble(0))
+    assert(native.sorted.toSeq == expected.sorted.toSeq)
+  }
+
+  test("FuseDotProduct rewrites the composed fold to the native expression") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("embedding").as("a"),
+              org.apache.spark.sql.functions.col("embedding").as("b"))
+      .selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS dp")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("dot_f32"), s"rewrite did not fire:\n$opt")
+    // the exact-decimal oracle spelling must NOT be rewritten
+    val dec = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("embedding").as("a"),
+              org.apache.spark.sql.functions.col("embedding").as("b"))
+      .selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,20))), " +
+          "CAST(0 AS DECIMAL(30,20)), (acc, x) -> CAST(acc + x AS DECIMAL(30,20))) AS dp")
+    val decPlan = dec.queryExecution.optimizedPlan.toString
+    assert(!decPlan.contains("dot_f32"), s"decimal fold wrongly rewritten:\n$decPlan")
+    // rewritten result = driver-computed ascending fold (sample row)
+    val row = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("embedding")).head()
+      .getAs[scala.collection.Seq[Float]](0)
+    var acc = 0.0
+    row.foreach(f => acc += f.toDouble * f.toDouble)
+    val got = df.head().getDouble(0)
+    assert(got == acc)
   }
 
   test("native sq_dist production path trains identical k-means centroids") {
