@@ -360,7 +360,61 @@ object TextAnalysis {
               col("q")(2).as("p99"), col("n_docs"))
       .orderBy("lang")
 
+  /** T10 n-gram language-model scoring: each document's mean bigram
+    * log-probability under the corpus's own bigram model — the LM-quality
+    * filter (CCNet-style) that web-scale pipelines run to rank text by
+    * fluency. P(w2|w1) = c(w1 w2) / c(w1 ·), both counts from the corpus.
+    *
+    * Dataflow: tokens exploded with positions, bigrams by a (doc, pos+1)
+    * self-join, counts via two grouped aggregates, probabilities joined
+    * back by (w1, w2) and (w1) — shuffle equi-joins on the n-gram keys,
+    * the model is never broadcast or collected (unbounded vocabulary).
+    *
+    * Determinism: each bigram's log-prob is pinned to an INTEGER micro-nat
+    * grid (`floor(ln(c2/c1)·10⁶ + 0.5)` as BIGINT) before aggregation, so
+    * the per-doc sum is exact 64-bit integer arithmetic — immune to both
+    * libm last-ulp differences and double summation order. */
+  def t10_bigram_lm(s: SparkSession, dir: String): DataFrame = {
+    val tokPos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val bi = tokPos.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+      .join(tokPos.select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("w2")),
+            Seq("doc_id", "pos"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scored = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("lp_micro",
+        floor(log(col("c2").cast("double") / col("c1")) * 1000000.0 + 0.5).cast("long"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+              round4(col("sum_lp").cast("double") / 1000000.0 / col("n_bigrams"))
+                .as("avg_lp"))
+      .orderBy("doc_id")
+  }
+
+  val t10Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         unnest(range(len(string_split(text, ' ')))) AS pos
+      |  FROM documents
+      |), bi AS (
+      |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |), c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+      |scored AS (
+      |  SELECT bi.doc_id,
+      |    floor(ln(c2.c2::DOUBLE / c1.c1) * 1000000.0 + 0.5)::BIGINT AS lp_micro
+      |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  floor(sum(lp_micro)::DOUBLE / 1000000.0 / count(*) * 10000.0 + 0.5)
+      |    / 10000.0 AS avg_lp
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_bigram_lm"    -> (t10_bigram_lm _),
     "t9_len_quantiles" -> (t9_len_quantiles _),
     "t7_tfidf"         -> (t7_tfidf _),
     "t8_doc_sample"    -> (t8_doc_sample _),
@@ -372,6 +426,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t10_bigram_lm"    -> t10Sql,
     "t7_tfidf"         -> t7Sql,
     "t8_doc_sample"    -> t8Sql,
     "t6_quality_deciles" -> t6Sql,
