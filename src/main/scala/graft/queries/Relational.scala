@@ -522,7 +522,73 @@ object Relational {
       |    AS valid_to_s
       |FROM changes ORDER BY user_id, valid_from_s""".stripMargin
 
+  /** Gap-filling resample + forward fill: regularize each user's sparse
+    * purchase history onto a dense daily grid, carrying the last observed
+    * value forward — the time-series regularization every feature pipeline
+    * runs before training (a.k.a. resample + LOCF).
+    *
+    * Three moves, all shuffle-on-user_id and codegen-friendly:
+    * 1. per-user day span (one aggregate), 2. the dense grid via
+    * `sequence`+`explode` — generated, never read, so the grid costs rows
+    * proportional to the OUTPUT, 3. per-day last observation (row_number
+    * desc) left-joined onto the grid and forward-filled with
+    * `last(value, ignoreNulls)` over the user's day order. No driver
+    * loops; the grid explode is the only row amplification and it is the
+    * deliverable itself. */
+  def q18_resample_ffill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DAY = 86400L
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+              unix_micros(col("ts")).as("t"))
+      .withColumn("day", expr(s"(t div ${DAY * 1000000L}L)"))
+    val span = p.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val lastPerDay = p
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("t").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val ffillW = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerDay, Seq("user_id", "day"), "left")
+      .withColumn("ffill_value", last(col("value"), ignoreNulls = true).over(ffillW))
+      .withColumn("observed", col("value").isNotNull)
+      .select(col("user_id"), (col("day") * DAY).as("day_s"),
+              col("ffill_value"), col("observed"))
+      .orderBy("user_id", "day_s")
+  }
+
+  val q18Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS t,
+      |         epoch_ns(ts) // 1000 // 86400000000 AS day
+      |  FROM events WHERE event_type = 'purchase'
+      |), span AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM p GROUP BY 1
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span
+      |), lastday AS (
+      |  SELECT user_id, day, value FROM (
+      |    SELECT user_id, day, value,
+      |      row_number() OVER (PARTITION BY user_id, day
+      |                         ORDER BY t DESC, event_id DESC) AS rn
+      |    FROM p) WHERE rn = 1
+      |)
+      |SELECT g.user_id, g.day * 86400 AS day_s,
+      |  last_value(l.value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+      |  l.value IS NOT NULL AS observed
+      |FROM grid g LEFT JOIN lastday l ON l.user_id = g.user_id AND l.day = g.day
+      |ORDER BY g.user_id, day_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_resample_ffill" -> (q18_resample_ffill _),
     "q17_scd2"           -> (q17_scd2 _),
     "q16_interval_join"  -> (q16_interval_join _),
     "q14_cube"           -> (q14_cube _),
@@ -542,6 +608,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q18_resample_ffill" -> q18Sql,
     "q17_scd2"           -> q17Sql,
     "q16_interval_join"  -> q16Sql,
     "q14_cube"           -> q14Sql,
