@@ -587,7 +587,53 @@ object Relational {
       |FROM grid g LEFT JOIN lastday l ON l.user_id = g.user_id AND l.day = g.day
       |ORDER BY g.user_id, day_s""".stripMargin
 
+  /** Incremental aggregate maintenance: a materialized per-(user, type)
+    * aggregate is MERGED with a delta batch's partial aggregate instead of
+    * recomputed — the pattern that keeps a 100 TB rollup fresh for the cost
+    * of the day's delta. The timeline splits at its midpoint (computed
+    * relationally, as in q11): the first half plays the stored aggregate,
+    * the second half the arriving delta; a full outer join + coalesced
+    * merge (counts add, decimal sums add, maxes max) produces the
+    * maintained table.
+    *
+    * The ORACLE is the full recompute over all events — so the hash match
+    * PROVES the maintenance algebra (merge of partials ≡ recompute), which
+    * holds exactly because every merged measure is associative and the
+    * sums accumulate in exact decimal. */
+  def q19_incremental_agg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+              unix_timestamp(col("ts")).as("sec"))
+    val mid = ev.agg(((min(col("sec")) + max(col("sec"))) / 2).cast("long").as("mid"))
+    val split = ev.crossJoin(broadcast(mid))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,6)")).as("sv"),
+             max(col("value")).as("mx"))
+    val base  = partial(split.filter(col("sec") < col("mid")))
+    val delta = partial(split.filter(col("sec") >= col("mid")))
+    base.as("b").join(delta.as("d"), Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        round2((coalesce(col("b.sv"), lit(0).cast("decimal(18,6)"))
+               + coalesce(col("d.sv"), lit(0).cast("decimal(18,6)")))
+          .cast("double")).as("sum_value"),
+        greatest(coalesce(col("b.mx"), lit(Double.MinValue)),
+                 coalesce(col("d.mx"), lit(Double.MinValue))).as("max_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Full recompute — hash equality proves the incremental merge. */
+  val q19Sql: String =
+    """SELECT user_id, event_type, count(*) AS n,
+      |  floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0
+      |    AS sum_value,
+      |  max(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_incremental_agg" -> (q19_incremental_agg _),
     "q18_resample_ffill" -> (q18_resample_ffill _),
     "q17_scd2"           -> (q17_scd2 _),
     "q16_interval_join"  -> (q16_interval_join _),
@@ -608,6 +654,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q19_incremental_agg" -> q19Sql,
     "q18_resample_ffill" -> q18Sql,
     "q17_scd2"           -> q17Sql,
     "q16_interval_join"  -> q16Sql,
