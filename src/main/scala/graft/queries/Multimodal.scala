@@ -136,12 +136,40 @@ object Multimodal {
       |  AND frame_id % 4 = 0
       |ORDER BY doc_id, frame_id""".stripMargin
 
+  /** M4 media content-hash dedup: exact duplicate assets found by hashing
+    * the OPAQUE payload bytes — the first dedup pass every multimodal
+    * pipeline runs (same image uploaded twice ⇒ same bytes ⇒ same digest),
+    * no codec needed. One hash + one shuffle on the digest; the binary
+    * column itself never shuffles (only its 128-bit digest does) — at
+    * 100 TB of media that is the difference between shuffling terabytes
+    * and shuffling gigabytes. Canonical = min doc_id per digest, groups
+    * with ≥ 2 assets reported. (Oracle: payload is `encode(text)`, so
+    * `md5(payload)` ≡ DuckDB's `md5(text)` over the UTF-8 bytes.) */
+  def m4_media_dedup(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir)
+      .select(md5(col("payload")).as("content_hash"), col("doc_id"), col("n_bytes"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_assets"),
+           min(col("doc_id")).as("canonical_id"),
+           min(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("content_hash")
+
+  val m4Sql: String =
+    """SELECT md5(text) AS content_hash, count(*) AS n_assets,
+      |  min(doc_id) AS canonical_id, min(length(text))::BIGINT AS n_bytes
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY content_hash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m4_media_dedup"     -> (m4_media_dedup _),
     "m1_media_meta"      -> (m1_media_meta _),
     "m2_decode_features" -> (m2_decode_features _),
     "m3_frame_sample"    -> (m3_frame_sample _))
 
   val oracles: Map[String, String] = Map(
+    "m4_media_dedup"     -> m4Sql,
     "m1_media_meta"      -> m1Sql,
     "m2_decode_features" -> m2Sql,
     "m3_frame_sample"    -> m3Sql)
