@@ -632,7 +632,38 @@ object Relational {
       |  max(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Retention cohort analysis: users grouped by first-activity day
+    * (cohort), activity counted per day-offset from that cohort day — the
+    * triangle every growth dashboard draws. Two aggregations riding one
+    * user_id shuffle (first-seen day is a per-user min; the join back is
+    * co-partitioned), then a tiny (cohort × offset) rollup. No windows, no
+    * self-join — at 100 TB this is two map-side-combined passes. */
+  def q20_retention_cohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"),
+           count(lit(1)).as("n_events"))
+      .select((col("cohort_day") * 86400).as("cohort_day_s"), col("day_offset"),
+              col("active_users"), col("n_events"))
+      .orderBy("cohort_day_s", "day_offset")
+  }
+
+  val q20Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day FROM events
+      |), fd AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+      |)
+      |SELECT cohort_day * 86400 AS cohort_day_s, day - cohort_day AS day_offset,
+      |  count(DISTINCT ev.user_id) AS active_users, count(*) AS n_events
+      |FROM ev JOIN fd USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_retention_cohorts" -> (q20_retention_cohorts _),
     "q19_incremental_agg" -> (q19_incremental_agg _),
     "q18_resample_ffill" -> (q18_resample_ffill _),
     "q17_scd2"           -> (q17_scd2 _),
@@ -654,6 +685,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q20_retention_cohorts" -> q20Sql,
     "q19_incremental_agg" -> q19Sql,
     "q18_resample_ffill" -> q18Sql,
     "q17_scd2"           -> q17Sql,
