@@ -662,7 +662,73 @@ object Relational {
       |FROM ev JOIN fd USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Funnel analysis: view → click → purchase, each step within 24 hours
+    * of the one before. The naive shape is two range self-joins; this runs
+    * as ONE shuffle on user_id with cascaded carry-forward windows over the
+    * same sort order (Catalyst fuses them into a single Window chain, no
+    * second exchange): carry the last view time, a click within the horizon of
+    * it is step-2; carry the last step-2 click time, a purchase within
+    * the horizon of that is step-3. EXISTS semantics (a step counts once however
+    * many predecessors qualify); ties at the same microsecond order
+    * view < click < purchase. Output: per-user funnel step counts for users
+    * who completed at least one full funnel. */
+  def q21_funnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 86400000000L // step horizon: 24 h in µs
+    val tag = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+              tag.as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s2 = ev
+      .withColumn("last_view", max(when(col("tag") === 0, col("t"))).over(w))
+      .withColumn("is_step2",
+        col("tag") === 1 && coalesce(col("last_view") >= col("t") - L, lit(false)))
+    val s3 = s2
+      .withColumn("last_s2", max(when(col("is_step2"), col("t"))).over(w))
+      .withColumn("is_step3",
+        col("tag") === 2 && coalesce(col("last_s2") >= col("t") - L, lit(false)))
+    s3.groupBy(col("user_id"))
+      .agg(sum(when(col("tag") === 0, 1L).otherwise(0L)).as("n_views"),
+           sum(when(col("is_step2"), 1L).otherwise(0L)).as("n_step2"),
+           sum(when(col("is_step3"), 1L).otherwise(0L)).as("n_step3"))
+      .filter(col("n_step3") >= 1)
+      .orderBy("user_id")
+  }
+
+  val q21Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+      |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS tag
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |), s2 AS (
+      |  SELECT *,
+      |    (tag = 1 AND coalesce(max(CASE WHEN tag = 0 THEN t END)
+      |       OVER w >= t - 86400000000, false)) AS is_step2
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, tag, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), s3 AS (
+      |  SELECT *,
+      |    (tag = 2 AND coalesce(max(CASE WHEN is_step2 THEN t END)
+      |       OVER w >= t - 86400000000, false)) AS is_step3
+      |  FROM s2
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, tag, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id,
+      |  sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END)::BIGINT AS n_views,
+      |  sum(CASE WHEN is_step2 THEN 1 ELSE 0 END)::BIGINT AS n_step2,
+      |  sum(CASE WHEN is_step3 THEN 1 ELSE 0 END)::BIGINT AS n_step3
+      |FROM s3 GROUP BY 1 HAVING sum(CASE WHEN is_step3 THEN 1 ELSE 0 END) >= 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_funnel"         -> (q21_funnel _),
     "q20_retention_cohorts" -> (q20_retention_cohorts _),
     "q19_incremental_agg" -> (q19_incremental_agg _),
     "q18_resample_ffill" -> (q18_resample_ffill _),
@@ -685,6 +751,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q21_funnel"         -> q21Sql,
     "q20_retention_cohorts" -> q20Sql,
     "q19_incremental_agg" -> q19Sql,
     "q18_resample_ffill" -> q18Sql,
