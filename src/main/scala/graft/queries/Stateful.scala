@@ -430,7 +430,42 @@ object Stateful {
     flagAbnormal(withMeans)
   }
 
+  /** ST7 per-user exponential moving average — the decayed-memory variant
+    * of st5's running mean (α = 1/2): ewma₀ = x₀, ewmaᵢ = (ewmaᵢ₋₁ + xᵢ)/2.
+    * An EWMA is NOT associative (unlike sums/counts it has no two-pass
+    * decomposition), so the per-key sequential fold is inherent; what keeps
+    * it scale-safe is that the fold runs per USER over that user's own
+    * bounded history — one `collect_list` + in-row `aggregate` fold per
+    * key, one shuffle total, state O(per-user events) exactly like the
+    * reference's per-key ValueState ops.
+    *
+    * Cross-engine exactness with no floating point: values quantize to
+    * integer cents up front, and each step is `(acc + x) >> 1` — the
+    * floor-halving of non-negative longs, identical to the oracle's
+    * `(acc + x) // 2` inside DuckDB's `list_reduce`. */
+  def st7_ewma(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+              floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           aggregate(
+             transform(array_sort(collect_list(struct(col("t"), col("event_id"), col("cents")))),
+                       x => x.getField("cents")),
+             lit(-1L),
+             (acc, x) => when(acc < 0, x).otherwise(shiftright(acc + x, 1)))
+             .as("ewma_cents"))
+      .orderBy("user_id")
+  }
+
+  val st7Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  list_reduce(list(floor(value * 100.0 + 0.5)::BIGINT ORDER BY epoch_ns(ts) // 1000, event_id),
+      |              (acc, x) -> (acc + x) // 2) AS ewma_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st7_ewma"              -> (st7_ewma _),
     "st6_conditional_signature" -> (st6_conditional_signature _),
     "st6_scalable"          -> (st6_scalable _),
     "st2_user_features"     -> (st2_user_features _),
@@ -442,6 +477,7 @@ object Stateful {
     "st5_scalable"          -> (st5_scalable _))
 
   val oracles: Map[String, String] = Map(
+    "st7_ewma"              -> st7Sql,
     "st6_conditional_signature" -> st6Sql,
     "st6_scalable"          -> st6Sql,
     "st2_user_features"     -> st2Sql,
