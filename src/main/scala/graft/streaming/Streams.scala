@@ -370,6 +370,38 @@ object Streams {
       .orderBy("event_id")
   }
 
+  case class EwmaState(ewma: Long, n: Long)
+  case class EwmaOut(user_id: Long, n_events: Long, ewma_cents: Long)
+
+  /** X14: streaming twin of the st7 EWMA — per-user decayed mean held as
+    * integer cents in a `ValueState` (ewmaᵢ = (ewmaᵢ₋₁ + xᵢ) >> 1, the same
+    * floor-halving as the batch fold and the `list_reduce` oracle). Emits
+    * each user's CURRENT (n, ewma) once per micro-batch — bounded replay is
+    * one batch, so the final table is exactly the batch st7 result. */
+  def x14_stream_ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[Ev] = eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(-1L, 0L))
+          it.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            val cents = math.floor(e.value * 100.0 + 0.5).toLong
+            st = EwmaState(
+              if (st.n == 0) cents else (st.ewma + cents) >> 1,
+              st.n + 1)
+          }
+          state.update(st)
+          Iterator.single(EwmaOut(user, st.n, st.ewma))
+      }
+    runToMemory(out.toDF(), OutputMode.Update(), s"x14_mem_${System.nanoTime()}")
+      .orderBy("user_id")
+  }
+
   case class TEdge(event_id: Long, ts: java.sql.Timestamp, arrival_s: Long)
   case class TimerState(resolved: Map[Long, Long], parked: List[(Long, Long)])
 
@@ -737,7 +769,8 @@ object Streams {
     "x5_stream_static_join"    -> (x5_stream_static_join _),
     "x11_stream_stream_join"   -> (x11_stream_stream_join _),
     "x12_stream_outer_join"    -> (x12_stream_outer_join _),
-    "x13_stream_dedup_watermark" -> (x13_stream_dedup_watermark _))
+    "x13_stream_dedup_watermark" -> (x13_stream_dedup_watermark _),
+    "x14_stream_ewma"          -> (x14_stream_ewma _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
@@ -754,5 +787,6 @@ object Streams {
     "x5_stream_static_join"    -> x5Sql,
     "x11_stream_stream_join"   -> x11Sql,
     "x12_stream_outer_join"    -> x12Sql,
-    "x13_stream_dedup_watermark" -> x13Sql)
+    "x13_stream_dedup_watermark" -> x13Sql,
+    "x14_stream_ewma"          -> graft.queries.Stateful.st7Sql)
 }

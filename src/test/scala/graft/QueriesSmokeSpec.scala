@@ -21,7 +21,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // near-dup pairs may legitimately be empty at tiny scale; the invariant
     // audits are empty exactly when the invariant holds
     val allowedEmpty = Set("d2_ngram_jaccard", "d3_minhash_lsh", "s2_lsh_neardup",
-      "d5_embedding_neardup", "j4_ts_violations", "s9_order_audit")
+      "d5_embedding_neardup", "j4_ts_violations", "s9_order_audit",
+      // pair/dup/funnel results may legitimately be empty at tiny scale
+      "d8_dup_clusters", "m4_media_dedup", "q21_funnel",
+      "x11_stream_stream_join")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.mkString(", ")}")
   }
