@@ -727,7 +727,51 @@ object Relational {
       |FROM s3 GROUP BY 1 HAVING sum(CASE WHEN is_step3 THEN 1 ELSE 0 END) >= 1
       |ORDER BY user_id""".stripMargin
 
+  /** Event-transition (Markov) matrix: counts of consecutive
+    * (previous type → current type) steps per user journey — the path
+    * matrix behind "what do users do after X" analyses and simple
+    * next-event models. One `lag` window per user (single shuffle) and a
+    * tiny (from × to) rollup with map-side combine; the per-row
+    * transition probability is a decimal-exact share of the from-state's
+    * outgoing mass, floor-rounded identically in both engines. */
+  def q22_transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("t"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+           count_distinct(col("user_id")).as("n_users"))
+    val outMass = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("out_n"))
+    counts.join(outMass, Seq("from_type"))
+      .withColumn("p", round4(col("n").cast("double") / col("out_n")))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_users"), col("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q22Sql: String =
+    """WITH steps AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, count(*) AS n,
+      |         count(DISTINCT user_id) AS n_users
+      |  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |), m AS (SELECT from_type, sum(n) AS out_n FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n, n_users,
+      |  floor(n::DOUBLE / out_n * 10000.0 + 0.5) / 10000.0 AS p
+      |FROM c JOIN m USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_transitions"    -> (q22_transitions _),
     "q21_funnel"         -> (q21_funnel _),
     "q20_retention_cohorts" -> (q20_retention_cohorts _),
     "q19_incremental_agg" -> (q19_incremental_agg _),
@@ -751,6 +795,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q22_transitions"    -> q22Sql,
     "q21_funnel"         -> q21Sql,
     "q20_retention_cohorts" -> q20Sql,
     "q19_incremental_agg" -> q19Sql,
