@@ -770,7 +770,25 @@ object Relational {
       |FROM c JOIN m USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Global top-k WITHOUT a global sort: `orderBy(...).limit(k)` lowers to
+    * `TakeOrderedAndProject` — each partition keeps its local top-k heap
+    * and only k·partitions candidate rows ever reach the driver-side
+    * merge, never a range-partitioned full sort of the table. At 100 TB
+    * "give me the 100 largest" is the difference between a heap scan and
+    * a terabyte shuffle. Tie-broken on event_id so the result set is
+    * deterministic. Plan shape asserted in `QueriesSmokeSpec`. */
+  def q23_global_topk(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+
+  val q23Sql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY value DESC, event_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_global_topk"    -> (q23_global_topk _),
     "q22_transitions"    -> (q22_transitions _),
     "q21_funnel"         -> (q21_funnel _),
     "q20_retention_cohorts" -> (q20_retention_cohorts _),
@@ -795,6 +813,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q23_global_topk"    -> q23Sql,
     "q22_transitions"    -> q22Sql,
     "q21_funnel"         -> q21Sql,
     "q20_retention_cohorts" -> q20Sql,

@@ -164,6 +164,15 @@ class QueriesSmokeSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"expected an equi join on bin in:\n$plan")
   }
 
+  test("global top-k plans as TakeOrderedAndProject, not a full sort (q23)") {
+    val plan = graft.queries.Relational.q23_global_topk(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps in:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"global range-partitioned sort should not appear:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
