@@ -329,8 +329,75 @@ object Graph {
       |FROM nodes CROSS JOIN seed LEFT JOIN c2 ON c2.dst = n
       |ORDER BY event_id""".stripMargin
 
+  /** G2 triangle counting over the co-engagement graph — users are adjacent
+    * when they both touch the same thread (block of 7, the st1 relation);
+    * the output is each user's triangle participation count, the local
+    * clustering signal the reference's social-graph analyses
+    * (FriendRecommender.java similarity step) build on.
+    *
+    * Spark plan — the "forward" algorithm: orient every undirected edge from
+    * its lower-(degree, id) endpoint to the higher one, enumerate wedges as
+    * pairs of out-neighbors, and close each wedge against the oriented edge
+    * set. Orientation bounds every out-degree by O(√E), so the wedge join is
+    * O(E^1.5) instead of Σ deg² — the difference between feasible and not on
+    * a 100 TB power-law graph where a celebrity vertex would otherwise
+    * generate deg² ≈ 10¹² wedges. Three shuffle joins total, all
+    * key-partitioned; each triangle is enumerated exactly once.
+    *
+    * The DuckDB oracle enumerates triangles the naive way (a<b<c three-way
+    * join) — per-node counts are enumeration-order independent, so both
+    * formulations agree exactly. */
+  def g2_triangles(s: SparkSession, dir: String): DataFrame = {
+    val bu = Tables.events(s, dir)
+      .select((col("event_id") - (col("event_id") % 7)).as("block"), col("user_id"))
+      .distinct()
+    val pairs = bu.join(bu.select(col("block"), col("user_id").as("v")), Seq("block"))
+      .filter(col("user_id") < col("v"))
+      .select(col("user_id").as("u"), col("v"))
+      .distinct()
+      .localCheckpoint() // consumed by the degree count and the edge joins
+    val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low → high by (degree, id); carry the dst's ord for wedge pairing
+    val oriented = pairs
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint() // consumed three times below
+    val wedges = oriented.select(col("src"), col("dst").as("a"), col("dd").as("da"))
+      .join(oriented.select(col("src"), col("dst").as("b"), col("dd").as("db")), Seq("src"))
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+      .select(col("src").as("x"), col("a"), col("b"))
+    tris.select(explode(array(col("x"), col("a"), col("b"))).as("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("user_id")
+  }
+
+  val g2Sql: String =
+    """WITH bu AS (
+      |  SELECT DISTINCT event_id - (event_id % 7) AS block, user_id FROM events),
+      |e AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM bu a JOIN bu b ON a.block = b.block AND a.user_id < b.user_id),
+      |t AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT user_id, count(*) AS n_tri
+      |FROM (SELECT a AS user_id FROM t UNION ALL
+      |      SELECT b FROM t UNION ALL SELECT c FROM t)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank"       -> (g1_pagerank _),
+    "g2_triangles"      -> (g2_triangles _),
     "st1_resolve_roots" -> (st1_resolve_roots _),
     "j4_ts_violations"  -> (j4_ts_violations _),
     "s9_order_audit"    -> (s9_order_audit _),
@@ -339,6 +406,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "g1_pagerank"       -> g1Sql,
+    "g2_triangles"      -> g2Sql,
     "st1_resolve_roots" -> st1Sql,
     "j4_ts_violations"  -> j4Sql,
     "s9_order_audit"    -> s9Sql,
