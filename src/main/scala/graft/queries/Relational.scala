@@ -787,7 +787,52 @@ object Relational {
     """SELECT event_id, user_id, event_type, value FROM events
       |ORDER BY value DESC, event_id LIMIT 100""".stripMargin
 
+  /** Q24 CDC MERGE/upsert apply — the batch half of every
+    * change-data-capture pipeline: fold a keyed changes feed into a base
+    * table with MERGE semantics (matched ⇒ update, unmatched source ⇒
+    * insert, unmatched target ⇒ keep). The changes feed derives from
+    * `events`: each user's event count becomes its new balance (an update —
+    * every user_id is a live custkey), and even user_ids additionally create
+    * a NEW customer at key user_id + 100000 (disjoint from the base key
+    * space, so the insert branch is genuinely exercised).
+    *
+    * Spark plan: one full-outer sort-merge join on the primary key — both
+    * sides shuffle-partitioned by the key, which is exactly how a
+    * lakehouse MERGE executes at 100 TB (key-partitioned rewrite; with a
+    * bucketed/partitioned base table the base side's shuffle disappears).
+    * No row is driver-collected; the three MERGE branches are one
+    * coalesce/case projection over the joined row. */
+  def q24_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    val changes = agg.select(col("user_id").as("key"), col("n"))
+      .unionAll(agg.filter(col("user_id") % 2 === 0)
+        .select((col("user_id") + 100000L).as("key"), col("n")))
+    Tables.customer(s, dir)
+      .join(changes, col("c_custkey") === col("key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+        coalesce(col("c_name"),
+          concat(lit("Customer#new-"), col("key").cast("string"))).as("c_name"),
+        when(col("key").isNotNull, col("n").cast("double"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val q24Sql: String =
+    """WITH agg AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |ch AS (
+      |  SELECT user_id AS key, n FROM agg
+      |  UNION ALL
+      |  SELECT user_id + 100000, n FROM agg WHERE user_id % 2 = 0)
+      |SELECT coalesce(c_custkey, key) AS c_custkey,
+      |       coalesce(c_name, 'Customer#new-' || key::VARCHAR) AS c_name,
+      |       CASE WHEN key IS NOT NULL THEN n::DOUBLE ELSE c_acctbal END AS c_acctbal
+      |FROM customer FULL OUTER JOIN ch ON c_custkey = key
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_merge_upsert"   -> (q24_merge_upsert _),
     "q23_global_topk"    -> (q23_global_topk _),
     "q22_transitions"    -> (q22_transitions _),
     "q21_funnel"         -> (q21_funnel _),
@@ -813,6 +858,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q24_merge_upsert"   -> q24Sql,
     "q23_global_topk"    -> q23Sql,
     "q22_transitions"    -> q22Sql,
     "q21_funnel"         -> q21Sql,
