@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcSplit, DotProduct, SqDist, UniqueWordsRatio}
+import graft.functions.{CdcSplit, DotProduct, InterleaveBits, SqDist, UniqueWordsRatio}
 
 /** Session-extensions installer — the production path for shipping this
   * library's custom Catalyst pieces to every session on a cluster:
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sq_dist"),
       new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
       (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (exprs: Seq[Expression]) => InterleaveBits(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("cdc_split"),
       new ExpressionInfo(classOf[CdcSplit].getName, "cdc_split"),
