@@ -83,7 +83,7 @@ object Dedup {
     * do not share subplans — without this the whole scan+explode+window
     * pipeline re-executes per reference (measured: 73 exchanges → 8 in d3).
     * At cluster scale this is `persist(MEMORY_AND_DISK)` or a staged write. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def shingles(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -97,7 +97,7 @@ object Dedup {
       .localCheckpoint()
   }
 
-  private val shinglesSqlCte: String =
+  private[queries] val shinglesSqlCte: String =
     """tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
       |         unnest(range(len(string_split(text, ' ')))) AS pos

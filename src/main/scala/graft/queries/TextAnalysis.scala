@@ -413,7 +413,40 @@ object TextAnalysis {
       |    / 10000.0 AS avg_lp
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** T11 novelty / boilerplate scoring: the fraction of a document's
+    * word-3-gram shingles that occur in NO other document (corpus document
+    * frequency 1). Low novelty flags boilerplate (shingles shared across
+    * many pages); high novelty flags unique content worth keeping — the
+    * df-based curation signal web-scale corpus filters apply alongside
+    * near-dedup.
+    *
+    * Spark plan: reuses [[Dedup.shingles]] (one scan+explode, materialized),
+    * one shuffle aggregation for the corpus df table, one shuffle equi-join
+    * shingle→df (the df side is unbounded vocabulary — never broadcast, the
+    * d3/d4 lesson), one final per-doc aggregation. Linear in corpus size. */
+  def t11_novelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(s, dir)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", round4(col("n_unique").cast("double") / col("n_sh")))
+      .orderBy("doc_id")
+  }
+
+  val t11Sql: String =
+    s"""WITH ${Dedup.shinglesSqlCte},
+      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT doc_id, count(*)::BIGINT AS n_sh,
+      |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+      |  floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+      |        * 10000.0 + 0.5) / 10000.0 AS novelty
+      |FROM sh JOIN df USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_novelty"      -> (t11_novelty _),
     "t10_bigram_lm"    -> (t10_bigram_lm _),
     "t9_len_quantiles" -> (t9_len_quantiles _),
     "t7_tfidf"         -> (t7_tfidf _),
@@ -426,6 +459,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t11_novelty"      -> t11Sql,
     "t10_bigram_lm"    -> t10Sql,
     "t7_tfidf"         -> t7Sql,
     "t8_doc_sample"    -> t8Sql,
