@@ -43,6 +43,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops are observable in the progress metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val agg = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_metrics")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // advance the watermark to 03:30, then feed an event far behind it
+      mem.addData((1L, ts("2024-01-01T04:00:00Z")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01T01:00:00Z")))
+      q.processAllAvailable()
+      // the drop must be visible in the state-operator metrics — the
+      // monitoring channel an operator would alert on (the reference's
+      // late-side-output counter); the accepted row count must exclude it
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L, s"expected exactly the one late row dropped, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming sliding agg over bounded replay equals batch result") {
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.Streams.x1_sliding_counts(spark, dir)
