@@ -464,7 +464,72 @@ object Stateful {
       |              (acc, x) -> (acc + x) // 2) AS ewma_cents
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ST8 robust per-user outlier detection — median + MAD (median absolute
+    * deviation) instead of the mean/σ signature of st3: the robust scale
+    * estimator that a heavy-tailed 100 TB event stream needs, since a single
+    * extreme value shifts a mean but not a median.
+    *
+    * Cross-engine exactness: values quantize to an integer micro-grid
+    * (`floor(value·10⁶)`), and both medians are LOWER medians selected by
+    * row_number rank — never interpolated, so no engine-specific floating
+    * interpolation (`(a+b)/2` vs `a+(b−a)·0.5`) can diverge. Plan: two
+    * windowed passes + the final aggregation, ALL partitioned by user_id —
+    * one shuffle total, Exchange reused across the window and agg stages. */
+  def st8_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+              floor(col("value") * 1000000.0).cast("long").as("x"))
+    val wx = Window.partitionBy(col("user_id")).orderBy(col("x"), col("event_id"))
+    val n = Window.partitionBy(col("user_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(wx))
+      .withColumn("n", count(lit(1)).over(n))
+    val med = ranked.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("x").as("med"))
+    val dev = ev.join(med, Seq("user_id"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val wd = Window.partitionBy(col("user_id")).orderBy(col("dev"), col("event_id"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(n))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("dev").as("mad"))
+    dev.join(mad, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           first(col("med")).as("med_micro"),
+           first(col("mad")).as("mad_micro"),
+           sum(when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("user_id")
+  }
+
+  val st8Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, floor(value * 1000000.0)::BIGINT AS x
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY x, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM ev),
+      |med AS (SELECT user_id, x AS med FROM r WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT ev.user_id, ev.event_id, abs(ev.x - med.med) AS dv, med.med
+      |  FROM ev JOIN med USING (user_id)),
+      |rd AS (
+      |  SELECT user_id, dv,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY dv, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM dev),
+      |mad AS (SELECT user_id, dv AS mad FROM rd WHERE rn = (n + 1) // 2)
+      |SELECT user_id, count(*) AS n_events,
+      |  any_value(med) AS med_micro, any_value(mad) AS mad_micro,
+      |  sum(CASE WHEN dv > 3 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+      |FROM dev JOIN mad USING (user_id)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_mad_outliers"      -> (st8_mad_outliers _),
     "st7_ewma"              -> (st7_ewma _),
     "st6_conditional_signature" -> (st6_conditional_signature _),
     "st6_scalable"          -> (st6_scalable _),
@@ -477,6 +542,7 @@ object Stateful {
     "st5_scalable"          -> (st5_scalable _))
 
   val oracles: Map[String, String] = Map(
+    "st8_mad_outliers"      -> st8Sql,
     "st7_ewma"              -> st7Sql,
     "st6_conditional_signature" -> st6Sql,
     "st6_scalable"          -> st6Sql,
