@@ -173,6 +173,26 @@ class QueriesSmokeSpec extends SparkSpec {
       s"global range-partitioned sort should not appear:\n$plan")
   }
 
+  test("MERGE apply is one full-outer merge join on the key, never a nested loop (q24)") {
+    val plan = graft.queries.Relational.q24_merge_upsert(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"expected a full-outer join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"MERGE must stay a key equi-join:\n$plan")
+  }
+
+  test("median/MAD passes reuse one user_id shuffle (st8)") {
+    val plan = graft.queries.Stateful.st8_mad_outliers(spark, dir)
+      .queryExecution.executedPlan.toString
+    // every Exchange must be hash partitioning on user_id — the window
+    // ranks, the med/mad joins and the final agg all share that layout
+    val exchanges = "Exchange [a-z]+partitioning\\(([^,)]+)[,)]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$plan")
+    assert(exchanges.forall(_.startsWith("user_id")),
+      s"non-user_id shuffle found: $exchanges\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
