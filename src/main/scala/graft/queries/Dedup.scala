@@ -478,7 +478,45 @@ object Dedup {
       |       count(*) OVER (PARTITION BY cluster_id) AS n_members
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** D7 edit-distance verification — the exact-match stage of two-stage
+    * fuzzy dedup: LSH proposes candidates (cheap, recall-oriented), exact
+    * Levenshtein confirms them (precise, run ONLY on the candidate pairs,
+    * never all-pairs — at 100 TB the O(len²) DP is affordable precisely
+    * because the candidate set is LSH-bounded). Consumes the shared
+    * [[d3Pairs]] staging table; emits every candidate with its edit
+    * distance and a relative-threshold verdict (dist ≤ 30% of the longer
+    * text). Both engines implement classical Levenshtein — identical
+    * integers, no float anywhere. */
+  def d7_edit_verify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d3Pairs(s, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+              greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+      .withColumn("is_near",
+        (col("edit_dist") * 10 <= col("max_len") * 3).cast("int"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d7Sql: String =
+    s"""WITH pairs AS (
+      |$d3SqlBody
+      |)
+      |SELECT doc_a, doc_b,
+      |  levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+      |  greatest(length(da.text), length(db.text))::BIGINT AS max_len,
+      |  CASE WHEN levenshtein(da.text, db.text) * 10
+      |            <= greatest(length(da.text), length(db.text)) * 3
+      |       THEN 1 ELSE 0 END AS is_near
+      |FROM pairs
+      |JOIN documents da ON da.doc_id = doc_a
+      |JOIN documents db ON db.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_edit_verify"   -> (d7_edit_verify _),
     "d8_dup_clusters"  -> (d8_dup_clusters _),
     "d6_cdc_chunks"    -> (d6_cdc_chunks _),
     "d1_exact_dedup"   -> (d1_exact_dedup _),
@@ -488,6 +526,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
+    "d7_edit_verify"   -> d7Sql,
     "d8_dup_clusters"  -> d8Sql,
     "d6_cdc_chunks"    -> d6Sql,
     "d1_exact_dedup"   -> d1Sql,

@@ -232,7 +232,56 @@ object Windows {
       .orderBy("win_start", "event_type")
   }
 
+  /** W10 OHLC bars — the canonical time-series downsample: per user-hour
+    * open/high/low/close/volume over the event values, the summary a
+    * 100 TB tick/metric stream is stored as after ingest. Open and close
+    * are selected by row_number rank over (ts, event_id) — first_value/
+    * last_value semantics made explicit and tie-deterministic, never
+    * engine-default frame behavior. Values quantize to integer cents; both
+    * window passes and the final aggregation shuffle once on
+    * (user_id, hr). */
+  def w10_ohlc_bars(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("hr", expr("us div 3600000000")) // integer div — never double
+    val asc  = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    ev.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(max(when(col("rna") === 1, col("cents"))).as("open"),
+           max(col("cents")).as("high"),
+           min(col("cents")).as("low"),
+           max(when(col("rnd") === 1, col("cents"))).as("close"),
+           count(lit(1)).as("n"),
+           sum(col("cents")).as("volume_cents"))
+      .orderBy("user_id", "hr")
+  }
+
+  val w10Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+      |         (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+      |         floor(value * 100.0 + 0.5)::BIGINT AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, hr, cents,
+      |    row_number() OVER (PARTITION BY user_id, hr ORDER BY us, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY user_id, hr ORDER BY us DESC, event_id DESC) AS rnd
+      |  FROM ev)
+      |SELECT user_id, hr,
+      |  max(CASE WHEN rna = 1 THEN cents END) AS open,
+      |  max(cents) AS high, min(cents) AS low,
+      |  max(CASE WHEN rnd = 1 THEN cents END) AS close,
+      |  count(*) AS n, sum(cents)::BIGINT AS volume_cents
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_ohlc_bars"          -> (w10_ohlc_bars _),
     "w5_distinct_agg"        -> (w5_distinct_agg _),
     "w1_tumbling_counts"     -> (w1_tumbling_counts _),
     "w2_sliding_counts"      -> (w2_sliding_counts _),
@@ -244,6 +293,7 @@ object Windows {
     "w7_top5_blend"          -> (w7_top5_blend _))
 
   val oracles: Map[String, String] = Map(
+    "w10_ohlc_bars"        -> w10Sql,
     "w5_distinct_agg"      -> w4Sql, // identical semantics to w4, custom UDAF path
     "w1_tumbling_counts"   -> w1Sql,
     "w2_sliding_counts"    -> w2Sql,
