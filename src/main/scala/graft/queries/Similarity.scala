@@ -363,13 +363,94 @@ object Similarity {
        |FROM c2 ORDER BY cluster, i""".stripMargin
   }
 
+  /** S5 product-quantization ANN (the IVF-PQ compression half): split the
+    * 64-dim space into 8 subspaces of 8 dims, encode every vector as its
+    * nearest codebook centroid PER SUBSPACE (8 small codes instead of 64
+    * floats — the ~32× memory compression that lets a 100 TB corpus's index
+    * fit in RAM), and answer queries by Asymmetric Distance Computation:
+    * per-query lookup tables of query↔centroid subspace distances, scored
+    * by an integer table-lookup SUM — no float math at scan time.
+    *
+    * Codebook here = the subvectors of 4 fixed anchor vectors (deterministic
+    * stand-in for a trained codebook — s4 demonstrates in-engine k-means
+    * training; composing them is a parameter choice, not new machinery).
+    *
+    * Scale shape: encoding is one groupBy over (vec, subspace, centroid)
+    * candidates; the LUT is queries×8×4 rows — bounded, broadcast (same
+    * contract as s1's query side); the ADC scan is one equi-join on
+    * (subspace, code) + an integer-sum aggregation. Cross-engine exactness:
+    * per-subspace distances are exact-decimal sums; LUT entries floor to an
+    * integer micro-grid, so ADC scores are exact 64-bit sums. */
+  def s5_pq_topk(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), expr("i div 8").as("j"), col("i"),
+              col("v").cast("double").as("v"))
+    val cb = sub.filter(col("vec_id").isin(1, 2, 3, 4))
+      .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
+    // every (vector, subspace, centroid) candidate distance — shared by the
+    // encoder (argmin) and the query LUTs; materialized once
+    val cand = sub.join(cb, Seq("j", "i"))
+      .groupBy(col("vec_id"), col("j"), col("c"))
+      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
+        .cast("double").as("sqd"))
+      .localCheckpoint()
+    val enc = cand.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("j")).orderBy(col("sqd"), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("c"))
+    val lut = cand.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("j"), col("c"),
+              floor(col("sqd") * 1000000.0).cast("long").as("lm"))
+    enc.join(broadcast(lut), Seq("j", "c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lm")).as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("score_micro"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val s5Sql: String =
+    s"""WITH $elemsSqlCte, sub AS (
+      |  SELECT vec_id, i // 8 AS j, i, v FROM e
+      |), cb AS (
+      |  SELECT vec_id AS c, j, i, v AS cv FROM sub WHERE vec_id IN (1, 2, 3, 4)
+      |), cand AS (
+      |  SELECT d.vec_id, d.j, cb.c,
+      |         sum(((d.v - cb.cv) * (d.v - cb.cv))::DECIMAL(30,20))::DOUBLE AS sqd
+      |  FROM sub d JOIN cb ON cb.j = d.j AND cb.i = d.i
+      |  GROUP BY 1, 2, 3
+      |), enc AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY sqd, c) AS rn
+      |    FROM cand) WHERE rn = 1
+      |), lut AS (
+      |  SELECT vec_id AS q_id, j, c, floor(sqd * 1000000.0)::BIGINT AS lm
+      |  FROM cand WHERE vec_id % 100 = 0
+      |), sc AS (
+      |  SELECT l.q_id, e.vec_id AS n_id, sum(l.lm)::BIGINT AS score_micro
+      |  FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.c
+      |  WHERE e.vec_id <> l.q_id GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT q_id, n_id, score_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |  FROM sc)
+      |SELECT q_id, n_id, score_micro, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_pq_topk"     -> (s5_pq_topk _),
     "s1_ann_topk"    -> (s1_ann_topk _),
     "s2_lsh_neardup" -> (s2_lsh_neardup _),
     "s3_ivf_topk"    -> (s3_ivf_topk _),
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s5_pq_topk"     -> s5Sql,
     "s1_ann_topk"    -> s1Sql,
     "s2_lsh_neardup" -> s2Sql,
     "s3_ivf_topk"    -> s3Sql,
