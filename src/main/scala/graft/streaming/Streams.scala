@@ -402,6 +402,68 @@ object Streams {
       .orderBy("user_id")
   }
 
+  case class OEv(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
+  case class OhlcState(oUs: Long, oId: Long, open: Long, cUs: Long, cId: Long,
+                       close: Long, high: Long, low: Long, n: Long, vol: Long)
+  case class OhlcOut(user_id: Long, hr: Long, open: Long, high: Long, low: Long,
+                     close: Long, n: Long, volume_cents: Long)
+
+  /** X15: streaming OHLC bars — the w10 downsample maintained per
+    * (user, hour) key under genuinely OUT-OF-ORDER arrival (the jittered
+    * replay dir): open/close carry their event-time key in state, so the
+    * merge is order-insensitive — an early event arriving late still
+    * becomes the open. O(1) state per key (ten longs), no per-event buffer;
+    * emissions are running bars, the final one per key equaling the batch
+    * w10 oracle. */
+  def x15_stream_ohlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = replayStreamDirCols(s, dir, "events_replay_ohlc",
+      Seq("user_id", "value"))
+    val schema = s.read.parquet(streamDir.resolve("0_chunk.parquet").toString).schema
+    val ds = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withWatermark("ts", "30 minutes")
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[OEv]
+    val out = ds
+      .groupByKey(e => (e.user_id, math.floorDiv(e.tsMicros, 3600000000L)))
+      .flatMapGroupsWithState[OhlcState, OhlcOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), it: Iterator[OEv], state: GroupState[OhlcState]) =>
+          var st = state.getOption.getOrElse(OhlcState(
+            Long.MaxValue, Long.MaxValue, 0L, Long.MinValue, Long.MinValue, 0L,
+            Long.MinValue, Long.MaxValue, 0L, 0L))
+          it.foreach { e => // no sort: the merge is arrival-order-insensitive
+            val cents = math.floor(e.value * 100.0 + 0.5).toLong
+            val isEarlier = e.tsMicros < st.oUs ||
+              (e.tsMicros == st.oUs && e.event_id < st.oId)
+            val isLater = e.tsMicros > st.cUs ||
+              (e.tsMicros == st.cUs && e.event_id > st.cId)
+            st = OhlcState(
+              if (isEarlier) e.tsMicros else st.oUs,
+              if (isEarlier) e.event_id else st.oId,
+              if (isEarlier) cents else st.open,
+              if (isLater) e.tsMicros else st.cUs,
+              if (isLater) e.event_id else st.cId,
+              if (isLater) cents else st.close,
+              math.max(st.high, cents), math.min(st.low, cents),
+              st.n + 1, st.vol + cents)
+          }
+          state.update(st)
+          Iterator.single(OhlcOut(key._1, key._2, st.open, st.high, st.low,
+            st.close, st.n, st.vol))
+      }
+    val mem = runToMemory(out.toDF(), OutputMode.Update(), s"x15_mem_${System.nanoTime()}")
+    import org.apache.spark.sql.expressions.Window
+    mem.filter(col("user_id") =!= -1L)
+      .withColumn("_rn", row_number().over( // keep each key's final bar
+        Window.partitionBy(col("user_id"), col("hr")).orderBy(col("n").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .orderBy("user_id", "hr")
+  }
+
   case class TEdge(event_id: Long, ts: java.sql.Timestamp, arrival_s: Long)
   case class TimerState(resolved: Map[Long, Long], parked: List[(Long, Long)])
 
@@ -410,17 +472,25 @@ object Streams {
     * chunk files in arrival order plus a far-future sentinel, so
     * `maxFilesPerTrigger 1` yields micro-batches whose watermark advances
     * exactly like the reference's replayed Kafka topic. */
-  private def replayStreamDir(s: SparkSession, dir: String): java.nio.file.Path = {
+  private def replayStreamDir(s: SparkSession, dir: String): java.nio.file.Path =
+    replayStreamDirCols(s, dir, "events_replay", Nil)
+
+  /** Generalized replay dir: (event_id, ts, extra event columns, arrival_s)
+    * in jittered arrival order. Sentinel defaults per type: long → −1,
+    * double → 0.0, string → "". */
+  private def replayStreamDirCols(s: SparkSession, dir: String, name: String,
+      extra: Seq[String]): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val streamDir = Paths.get("/tmp/graft_stream",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"), "events_replay")
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), name)
     val doneMarker = streamDir.resolve("9_sentinel.parquet")
     if (!Files.exists(doneMarker)) {
       Files.createDirectories(streamDir)
       import org.apache.spark.sql.expressions.Window
       val arr = graft.queries.Replay.arrivals(s, dir)
         .select(col("event_id"), col("arrival_s"))
-      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      val ev = Tables.events(s, dir)
+        .select(("event_id" +: "ts" +: extra).map(col): _*)
         .join(arr, Seq("event_id"))
         .withColumn("_rk", row_number().over( // test-harness setup, not a query plan
           Window.orderBy(col("arrival_s"), col("event_id"))))
@@ -428,8 +498,21 @@ object Streams {
       val farFuture = Tables.events(s, dir)
         .select(max(col("ts")).as("mx")).head().getTimestamp(0).toInstant
         .plusSeconds(30 * 24 * 3600)
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val sentinelVals: Array[Any] = ev.drop("_rk").schema.fields.map { f =>
+        f.name match {
+          case "event_id"  => -1L
+          case "ts"        => java.sql.Timestamp.from(farFuture)
+          case "arrival_s" => Long.MaxValue
+          case _ => f.dataType match {
+            case LongType   => -1L
+            case DoubleType => 0.0
+            case _          => ""
+          }
+        }
+      }
       val sentinel = s.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(-1L, java.sql.Timestamp.from(farFuture), Long.MaxValue)),
+          org.apache.spark.sql.Row(sentinelVals: _*)),
         org.apache.spark.sql.types.StructType(ev.drop("_rk").schema.fields))
       val chunks = (0 until 4).map { k =>
         val lo = k * n / 4 + 1; val hi = (k + 1) * n / 4
@@ -770,7 +853,8 @@ object Streams {
     "x11_stream_stream_join"   -> (x11_stream_stream_join _),
     "x12_stream_outer_join"    -> (x12_stream_outer_join _),
     "x13_stream_dedup_watermark" -> (x13_stream_dedup_watermark _),
-    "x14_stream_ewma"          -> (x14_stream_ewma _))
+    "x14_stream_ewma"          -> (x14_stream_ewma _),
+    "x15_stream_ohlc"          -> (x15_stream_ohlc _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
@@ -788,5 +872,6 @@ object Streams {
     "x11_stream_stream_join"   -> x11Sql,
     "x12_stream_outer_join"    -> x12Sql,
     "x13_stream_dedup_watermark" -> x13Sql,
-    "x14_stream_ewma"          -> graft.queries.Stateful.st7Sql)
+    "x14_stream_ewma"          -> graft.queries.Stateful.st7Sql,
+    "x15_stream_ohlc"          -> graft.queries.Windows.w10Sql)
 }
