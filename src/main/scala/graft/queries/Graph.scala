@@ -347,15 +347,22 @@ object Graph {
     * The DuckDB oracle enumerates triangles the naive way (a<b<c three-way
     * join) — per-node counts are enumeration-order independent, so both
     * formulations agree exactly. */
-  def g2_triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct undirected co-engagement edges (u < v): users sharing a
+    * thread block. MATERIALIZED — shared by g2 (degree count + three edge
+    * joins) and g3 (per-level frontier joins). */
+  private def coengagementPairs(s: SparkSession, dir: String): DataFrame = {
     val bu = Tables.events(s, dir)
       .select((col("event_id") - (col("event_id") % 7)).as("block"), col("user_id"))
       .distinct()
-    val pairs = bu.join(bu.select(col("block"), col("user_id").as("v")), Seq("block"))
+    bu.join(bu.select(col("block"), col("user_id").as("v")), Seq("block"))
       .filter(col("user_id") < col("v"))
       .select(col("user_id").as("u"), col("v"))
       .distinct()
-      .localCheckpoint() // consumed by the degree count and the edge joins
+      .localCheckpoint()
+  }
+
+  def g2_triangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coengagementPairs(s, dir)
     val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient low → high by (degree, id); carry the dst's ord for wedge pairing
@@ -395,9 +402,59 @@ object Graph {
       |      SELECT b FROM t UNION ALL SELECT c FROM t)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** G3 BFS hop distances from user 0 over the co-engagement graph — the
+    * "degrees of separation" measure completing the graph family
+    * (reachability st1, components d8, PageRank g1, triangles g2).
+    *
+    * Spark plan: level-synchronous frontier expansion — per round, ONE
+    * shuffle join frontier→edges, an anti-join against the visited set
+    * (first-discovery = minimal hop count, so no per-node min needed), and
+    * a lineage cut. Rounds = graph diameter: the BSP wavefront every
+    * distributed BFS (Pregel et al.) uses, work O(diameter · |E|), never
+    * all-paths. The oracle's recursive CTE instead enumerates bounded
+    * (node, depth) pairs and takes the min — same result, declarative
+    * spelling. */
+  def g3_bfs_hops(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coengagementPairs(s, dir)
+    val ed = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // consumed once per BFS round
+    var visited = s.range(1).select(lit(0L).as("node"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = visited
+    var level = 0L
+    var more = true
+    while (more && level < 6) {
+      level += 1
+      val next = frontier.join(ed, frontier("node") === ed("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(level))
+        .localCheckpoint()
+      more = next.count() > 0
+      if (more) visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited.select(col("node").as("user_id"), col("hops")).orderBy("user_id")
+  }
+
+  val g3Sql: String =
+    """WITH RECURSIVE bu AS (
+      |  SELECT DISTINCT event_id - (event_id % 7) AS block, user_id FROM events),
+      |e0 AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM bu a JOIN bu b ON a.block = b.block AND a.user_id < b.user_id),
+      |ed AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |r(node, d) AS (
+      |  SELECT 0::BIGINT, 0::BIGINT
+      |  UNION
+      |  SELECT ed.v, r.d + 1 FROM r JOIN ed ON ed.u = r.node WHERE r.d < 6)
+      |SELECT node AS user_id, min(d) AS hops FROM r
+      |GROUP BY node ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank"       -> (g1_pagerank _),
     "g2_triangles"      -> (g2_triangles _),
+    "g3_bfs_hops"       -> (g3_bfs_hops _),
     "st1_resolve_roots" -> (st1_resolve_roots _),
     "j4_ts_violations"  -> (j4_ts_violations _),
     "s9_order_audit"    -> (s9_order_audit _),
@@ -407,6 +464,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "g1_pagerank"       -> g1Sql,
     "g2_triangles"      -> g2Sql,
+    "g3_bfs_hops"       -> g3Sql,
     "st1_resolve_roots" -> st1Sql,
     "j4_ts_violations"  -> j4Sql,
     "s9_order_audit"    -> s9Sql,
