@@ -869,7 +869,36 @@ object Relational {
       |SELECT event_id, (x | (y<<1))::BIGINT AS z FROM s5
       |ORDER BY z, event_id""".stripMargin
 
+  /** Q26 semi-structured extraction — schema-on-read over the JSON `props`
+    * column: `from_json` with an EXPLICIT struct schema (never
+    * schema inference, which would need a full extra pass at 100 TB) parses
+    * inside whole-stage codegen, the typed field feeds a plain grouped
+    * aggregation, and only (event_type, props) is read from the scan. The
+    * everyday shape of event-pipeline payload columns: typed extraction at
+    * the scan, relational algebra above it. */
+  def q26_json_extract(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+           countDistinct(col("k")).as("ndv_k"))
+      .orderBy("event_type")
+  }
+
+  val q26Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+      |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+      |  max(json_extract(props, '$.k')::BIGINT) AS max_k,
+      |  count(DISTINCT json_extract(props, '$.k')::BIGINT) AS ndv_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_json_extract"   -> (q26_json_extract _),
     "q25_zorder"         -> (q25_zorder _),
     "q24_merge_upsert"   -> (q24_merge_upsert _),
     "q23_global_topk"    -> (q23_global_topk _),
@@ -897,6 +926,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q26_json_extract"   -> q26Sql,
     "q25_zorder"         -> q25Sql,
     "q24_merge_upsert"   -> q24Sql,
     "q23_global_topk"    -> q23Sql,
