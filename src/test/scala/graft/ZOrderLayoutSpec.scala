@@ -35,6 +35,36 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(zFiles <= 4, s"z-order should confine the box to few files, got $zFiles")
   }
 
+  test("morton code round-trips and is monotone per dimension (property)") {
+    import graft.functions.InterleaveBits.{morton, spread}
+    import org.scalacheck.Gen
+    // inverse of spread: collapse even bit positions back to a 32-bit value
+    def unspread(z0: Long): Long = {
+      var v = z0 & 0x5555555555555555L
+      v = (v | (v >> 1))  & 0x3333333333333333L
+      v = (v | (v >> 2))  & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4))  & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8))  & 0x0000FFFF0000FFFFL
+      v = (v | (v >> 16)) & 0x00000000FFFFFFFFL
+      v
+    }
+    val coord = Gen.chooseNum(0L, (1L << 31) - 1)
+    val pairs = Gen.listOfN(500, Gen.zip(coord, coord)).sample.get
+    pairs.foreach { case (x, y) =>
+      val z = morton(x, y)
+      assert(unspread(z) == x && unspread(z >> 1) == y,
+        s"round-trip failed for ($x, $y)")
+      assert(z >= 0L, "31-bit inputs must yield a sign-safe code")
+    }
+    // fixing one dimension, the code is strictly monotone in the other
+    pairs.sliding(2).foreach {
+      case List((x1, y), (x2, _)) if x1 != x2 =>
+        assert((x1 < x2) == (morton(x1, y) < morton(x2, y)))
+        assert((x1 < x2) == (morton(y, x1) < morton(y, x2)))
+      case _ =>
+    }
+  }
+
   test("morton spread is exact and order-preserving per dimension") {
     import graft.functions.InterleaveBits.{morton, spread}
     assert(spread(0L) == 0L && spread(1L) == 1L && spread(2L) == 4L && spread(3L) == 5L)
