@@ -897,7 +897,37 @@ object Relational {
       |  count(DISTINCT json_extract(props, '$.k')::BIGINT) AS ndv_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Q27 unpivot/melt — the inverse of q10: the wide per-user counts matrix
+    * back to long (user, event_type, n) form via `stack` (Spark's
+    * generator-based UNPIVOT: a narrow row-expansion inside the projection,
+    * no shuffle beyond q10's own aggregation). Wide↔long reshaping is the
+    * everyday feature-table plumbing step; zero-count cells are kept —
+    * melt is lossless, the round-trip property a reshape must have. */
+  def q27_unpivot(s: SparkSession, dir: String): DataFrame =
+    q10_pivot(s, dir).select(col("user_id"),
+        expr("stack(5, 'click', `click`, 'view', `view`, 'purchase', `purchase`, " +
+             "'signup', `signup`, 'error', `error`) AS (event_type, n)"))
+      .orderBy("user_id", "event_type")
+
+  val q27Sql: String =
+    """WITH w AS (
+      |  SELECT user_id,
+      |    count(*) FILTER (WHERE event_type = 'click') AS c_click,
+      |    count(*) FILTER (WHERE event_type = 'view') AS c_view,
+      |    count(*) FILTER (WHERE event_type = 'purchase') AS c_purchase,
+      |    count(*) FILTER (WHERE event_type = 'signup') AS c_signup,
+      |    count(*) FILTER (WHERE event_type = 'error') AS c_error
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, event_type, n FROM (
+      |  SELECT user_id, 'click' AS event_type, c_click AS n FROM w
+      |  UNION ALL SELECT user_id, 'view', c_view FROM w
+      |  UNION ALL SELECT user_id, 'purchase', c_purchase FROM w
+      |  UNION ALL SELECT user_id, 'signup', c_signup FROM w
+      |  UNION ALL SELECT user_id, 'error', c_error FROM w)
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_unpivot"        -> (q27_unpivot _),
     "q26_json_extract"   -> (q26_json_extract _),
     "q25_zorder"         -> (q25_zorder _),
     "q24_merge_upsert"   -> (q24_merge_upsert _),
@@ -926,6 +956,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q27_unpivot"        -> q27Sql,
     "q26_json_extract"   -> q26Sql,
     "q25_zorder"         -> q25Sql,
     "q24_merge_upsert"   -> q24Sql,

@@ -528,7 +528,54 @@ object Stateful {
       |FROM dev JOIN mad USING (user_id)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ST9 correlation aggregate — per-user Pearson correlation between spend
+    * and hour-of-day (the time-of-day pattern signal next to st3's
+    * magnitude signature). Built from the five raw moment sums instead of
+    * `corr()`: the builtin accumulates doubles (merge-order-dependent at
+    * cluster scale), while integer-grid moment sums are EXACT under any
+    * partitioning — n·Σxy−ΣxΣy stays within int64 by construction (cents ≤
+    * 5·10⁴, hour ≤ 23), and the only floating ops are two sqrts and one
+    * division, identical IEEE in both engines. One shuffle on user_id. */
+  def st9_corr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+        col("user_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("x"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("y"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("user_id"), col("n"),
+        when(col("dx") > 0 && col("dy") > 0,
+          round4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                 (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double")))))
+          .as("corr_spend_hour")) // zero-variance user ⇒ undefined ⇒ null
+      .orderBy("user_id")
+  }
+
+  val st9Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, floor(value * 100.0 + 0.5)::BIGINT AS x,
+      |         ((epoch_ns(ts) // 1000) // 3600000000) % 24 AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+      |         sum(y * y)::BIGINT AS syy
+      |  FROM ev GROUP BY 1)
+      |SELECT user_id, n,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |    floor((n * sxy - sx * sy)::DOUBLE /
+      |          (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE))
+      |          * 10000.0 + 0.5) / 10000.0
+      |  END AS corr_spend_hour
+      |FROM m ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_corr"              -> (st9_corr _),
     "st8_mad_outliers"      -> (st8_mad_outliers _),
     "st7_ewma"              -> (st7_ewma _),
     "st6_conditional_signature" -> (st6_conditional_signature _),
@@ -542,6 +589,7 @@ object Stateful {
     "st5_scalable"          -> (st5_scalable _))
 
   val oracles: Map[String, String] = Map(
+    "st9_corr"              -> st9Sql,
     "st8_mad_outliers"      -> st8Sql,
     "st7_ewma"              -> st7Sql,
     "st6_conditional_signature" -> st6Sql,
