@@ -442,7 +442,109 @@ object Similarity {
       |SELECT q_id, n_id, score_micro, rank FROM ranked
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** S6 trained-codebook PQ — [[s5_pq_topk]] with the codebook TRAINED
+    * in-engine: one Lloyd step refines the anchor codebook (per-subspace
+    * k-means, the composition of s4's training machinery with s5's
+    * encode/ADC machinery). Assignment under the anchor codebook → new
+    * centroids = per-(subspace, code, dim) means of the assigned
+    * subvectors → re-encode and score against the refined codebook.
+    *
+    * Cross-engine exactness carries through training: subvector sums
+    * accumulate in exact decimal, the mean is ONE double division of the
+    * decimal-exact sum (cast first, divide second — replicated verbatim in
+    * the oracle), and refined distances re-enter the decimal fold. A
+    * centroid that attracts no vectors drops out in both engines (inner
+    * joins). Plan adds two shuffles over s5: the assignment join and the
+    * mean aggregation — still linear in corpus size. */
+  def s6_pq_trained(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), expr("i div 8").as("j"), col("i"),
+              col("v").cast("double").as("v"))
+      .localCheckpoint() // consumed by anchor distances, training, re-encode
+    val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
+      .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
+    val cand0 = sub.join(cb0, Seq("j", "i"))
+      .groupBy(col("vec_id"), col("j"), col("c"))
+      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
+        .cast("double").as("sqd"))
+    val enc0 = cand0.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("j")).orderBy(col("sqd"), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("c"))
+    // Lloyd step: refined centroid = mean of assigned subvectors per dim
+    val cb1 = sub.join(enc0, Seq("vec_id", "j"))
+      .groupBy(col("j"), col("c"), col("i"))
+      .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
+    val cand1 = sub.join(cb1, Seq("j", "i"))
+      .groupBy(col("vec_id"), col("j"), col("c"))
+      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
+        .cast("double").as("sqd"))
+      .localCheckpoint() // encoder + LUT both consume it
+    val enc1 = cand1.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("j")).orderBy(col("sqd"), col("c"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("c"))
+    val lut1 = cand1.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("j"), col("c"),
+              floor(col("sqd") * 1000000.0).cast("long").as("lm"))
+    enc1.join(broadcast(lut1), Seq("j", "c"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lm")).as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("score_micro"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val s6Sql: String =
+    s"""WITH $elemsSqlCte, sub AS (
+      |  SELECT vec_id, i // 8 AS j, i, v FROM e
+      |), cb0 AS (
+      |  SELECT vec_id AS c, j, i, v AS cv FROM sub WHERE vec_id IN (1, 2, 3, 4)
+      |), cand0 AS (
+      |  SELECT d.vec_id, d.j, cb0.c,
+      |         sum(((d.v - cb0.cv) * (d.v - cb0.cv))::DECIMAL(30,20))::DOUBLE AS sqd
+      |  FROM sub d JOIN cb0 ON cb0.j = d.j AND cb0.i = d.i
+      |  GROUP BY 1, 2, 3
+      |), enc0 AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY sqd, c) AS rn
+      |    FROM cand0) WHERE rn = 1
+      |), cb1 AS (
+      |  SELECT s.j, e.c, s.i,
+      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |  FROM sub s JOIN enc0 e ON e.vec_id = s.vec_id AND e.j = s.j
+      |  GROUP BY 1, 2, 3
+      |), cand1 AS (
+      |  SELECT d.vec_id, d.j, cb1.c,
+      |         sum(((d.v - cb1.cv) * (d.v - cb1.cv))::DECIMAL(30,20))::DOUBLE AS sqd
+      |  FROM sub d JOIN cb1 ON cb1.j = d.j AND cb1.i = d.i
+      |  GROUP BY 1, 2, 3
+      |), enc1 AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY sqd, c) AS rn
+      |    FROM cand1) WHERE rn = 1
+      |), lut1 AS (
+      |  SELECT vec_id AS q_id, j, c, floor(sqd * 1000000.0)::BIGINT AS lm
+      |  FROM cand1 WHERE vec_id % 100 = 0
+      |), sc AS (
+      |  SELECT l.q_id, e.vec_id AS n_id, sum(l.lm)::BIGINT AS score_micro
+      |  FROM enc1 e JOIN lut1 l ON l.j = e.j AND l.c = e.c
+      |  WHERE e.vec_id <> l.q_id GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT q_id, n_id, score_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |  FROM sc)
+      |SELECT q_id, n_id, score_micro, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_pq_trained"  -> (s6_pq_trained _),
     "s5_pq_topk"     -> (s5_pq_topk _),
     "s1_ann_topk"    -> (s1_ann_topk _),
     "s2_lsh_neardup" -> (s2_lsh_neardup _),
@@ -450,6 +552,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s6_pq_trained"  -> s6Sql,
     "s5_pq_topk"     -> s5Sql,
     "s1_ann_topk"    -> s1Sql,
     "s2_lsh_neardup" -> s2Sql,
