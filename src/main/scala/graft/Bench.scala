@@ -40,6 +40,7 @@ object Bench {
       val runs = (1 to 3).map { _ =>
         queries.Similarity.clearShared()
         queries.Dedup.clearShared()
+        queries.Graph.clearShared()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * exactly that: a box filter over a 16-file Z-ordered layout touches ≤4
   * files where the linearly-sorted layout touches ~all 16.
   *
-  * The bit spread is the standard 5-step magic-mask doubling; with both
-  * inputs below 2³¹ the result is non-negative, so signed-BIGINT engines
-  * (Spark, DuckDB) order it identically. Codegen'd via a static call — one
+  * The bit spread is the standard 5-step magic-mask doubling over the LOW
+  * 32 BITS of each operand (higher bits are masked off — a key wider than
+  * 32 bits must be bucketed or split before interleaving, and the q25
+  * oracle applies the same initial mask); with both inputs below 2³¹ the
+  * result is additionally non-negative, so signed-BIGINT engines (Spark,
+  * DuckDB) order it identically. Codegen'd via a static call — one
   * branch-free instruction sequence inside whole-stage codegen.
   */
 case class InterleaveBits(left: Expression, right: Expression)

@@ -329,6 +329,29 @@ object Graph {
       |FROM nodes CROSS JOIN seed LEFT JOIN c2 ON c2.dst = n
       |ORDER BY event_id""".stripMargin
 
+  /** Distinct undirected co-engagement edges (u < v): users sharing a
+    * thread block. MATERIALIZED once per (session, sf-dir) — the same
+    * staging-table discipline as `Dedup.d3Pairs` — and shared by g2
+    * (degree count + three edge joins) and g3 (per-level frontier joins).
+    * `Bench.clearShared` drops the cache before each timed run. */
+  private def coengagementPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val bu = Tables.events(s, dir)
+        .select((col("event_id") - (col("event_id") % 7)).as("block"), col("user_id"))
+        .distinct()
+      bu.join(bu.select(col("block"), col("user_id").as("v")), Seq("block"))
+        .filter(col("user_id") < col("v"))
+        .select(col("user_id").as("u"), col("v"))
+        .distinct()
+        .localCheckpoint()
+    })
+
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Drop the shared materialized edge table (bench isolation). */
+  def clearShared(): Unit = pairCache.clear()
+
   /** G2 triangle counting over the co-engagement graph — users are adjacent
     * when they both touch the same thread (block of 7, the st1 relation);
     * the output is each user's triangle participation count, the local
@@ -347,20 +370,6 @@ object Graph {
     * The DuckDB oracle enumerates triangles the naive way (a<b<c three-way
     * join) — per-node counts are enumeration-order independent, so both
     * formulations agree exactly. */
-  /** Distinct undirected co-engagement edges (u < v): users sharing a
-    * thread block. MATERIALIZED — shared by g2 (degree count + three edge
-    * joins) and g3 (per-level frontier joins). */
-  private def coengagementPairs(s: SparkSession, dir: String): DataFrame = {
-    val bu = Tables.events(s, dir)
-      .select((col("event_id") - (col("event_id") % 7)).as("block"), col("user_id"))
-      .distinct()
-    bu.join(bu.select(col("block"), col("user_id").as("v")), Seq("block"))
-      .filter(col("user_id") < col("v"))
-      .select(col("user_id").as("u"), col("v"))
-      .distinct()
-      .localCheckpoint()
-  }
-
   def g2_triangles(s: SparkSession, dir: String): DataFrame = {
     val pairs = coengagementPairs(s, dir)
     val deg = pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
@@ -423,7 +432,11 @@ object Graph {
     var frontier = visited
     var level = 0L
     var more = true
-    while (more && level < 6) {
+    // maxHops bounds the oracle's recursive CTE (it must cap depth to
+    // terminate on cycles); the Spark side FAILS LOUDLY if the cap would
+    // truncate reachability rather than silently omitting far nodes
+    val maxHops = 8L
+    while (more && level < maxHops) {
       level += 1
       val next = frontier.join(ed, frontier("node") === ed("u"))
         .select(col("v").as("node")).distinct()
@@ -434,6 +447,7 @@ object Graph {
       if (more) visited = visited.unionAll(next).localCheckpoint()
       frontier = next
     }
+    require(!more, s"BFS still expanding at the $maxHops-hop oracle bound — raise maxHops in both engines")
     visited.select(col("node").as("user_id"), col("hops")).orderBy("user_id")
   }
 
@@ -447,7 +461,7 @@ object Graph {
       |r(node, d) AS (
       |  SELECT 0::BIGINT, 0::BIGINT
       |  UNION
-      |  SELECT ed.v, r.d + 1 FROM r JOIN ed ON ed.u = r.node WHERE r.d < 6)
+      |  SELECT ed.v, r.d + 1 FROM r JOIN ed ON ed.u = r.node WHERE r.d < 8)
       |SELECT node AS user_id, min(d) AS hops FROM r
       |GROUP BY node ORDER BY user_id""".stripMargin
 

@@ -855,7 +855,8 @@ object Relational {
 
   val q25Sql: String =
     """WITH src AS (
-      |  SELECT event_id, user_id AS x, event_id % 1024 AS y FROM events),
+      |  SELECT event_id, user_id & 4294967295 AS x,
+      |         (event_id % 1024) & 4294967295 AS y FROM events),
       |s1 AS (SELECT event_id, (x | (x<<16)) & 281470681808895 AS x,
       |               (y | (y<<16)) & 281470681808895 AS y FROM src),
       |s2 AS (SELECT event_id, (x | (x<<8)) & 71777214294589695 AS x,
@@ -879,9 +880,10 @@ object Relational {
   def q26_json_extract(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .select(col("event_type"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").cast("long").as("k"))
+        from_json(col("props"), // BIGINT: the oracle casts to BIGINT too —
+          // an int32 schema would null out-of-range values and diverge
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
            min(col("k")).as("min_k"), max(col("k")).as("max_k"),

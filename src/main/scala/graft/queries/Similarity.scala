@@ -381,28 +381,46 @@ object Similarity {
     * (subspace, code) + an integer-sum aggregation. Cross-engine exactness:
     * per-subspace distances are exact-decimal sums; LUT entries floor to an
     * integer micro-grid, so ADC scores are exact 64-bit sums. */
-  def s5_pq_topk(s: SparkSession, dir: String): DataFrame = {
-    val sub = Tables.embeddings(s, dir)
+  def s5_pq_topk(s: SparkSession, dir: String): DataFrame =
+    pqAdcTop5(pqCand(pqSub(s, dir), pqAnchors(pqSub(s, dir))))
+
+  /** (vec_id, subspace j, dim i, v) elements of every embedding. */
+  private def pqSub(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), expr("i div 8").as("j"), col("i"),
               col("v").cast("double").as("v"))
-    val cb = sub.filter(col("vec_id").isin(1, 2, 3, 4))
+
+  /** Anchor codebook: the subvectors of 4 fixed vectors as (c, j, i, cv). */
+  private def pqAnchors(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id").isin(1, 2, 3, 4))
       .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
-    // every (vector, subspace, centroid) candidate distance — shared by the
-    // encoder (argmin) and the query LUTs; materialized once
-    val cand = sub.join(cb, Seq("j", "i"))
+
+  /** Every (vector, subspace, centroid) candidate distance — exact-decimal
+    * subspace fold against a (c, j, i, cv) codebook; MATERIALIZED (the
+    * encoder argmin and the query LUTs both consume it). */
+  private def pqCand(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(cb, Seq("j", "i"))
       .groupBy(col("vec_id"), col("j"), col("c"))
       .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
         .cast("double").as("sqd"))
       .localCheckpoint()
-    val enc = cand.withColumn("rn", row_number().over(
+
+  /** Argmin code per (vector, subspace); ties to the lower code id. */
+  private def pqEncode(cand: DataFrame): DataFrame =
+    cand.withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"), col("j")).orderBy(col("sqd"), col("c"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("j"), col("c"))
+
+  /** ADC: encode the corpus, floor the query rows of the same candidate
+    * table to integer-micro LUTs (bounded — broadcast, s1's query-side
+    * contract), score by the (subspace, code) equi-join, keep top 5. */
+  private def pqAdcTop5(cand: DataFrame): DataFrame = {
     val lut = cand.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("j"), col("c"),
               floor(col("sqd") * 1000000.0).cast("long").as("lm"))
-    enc.join(broadcast(lut), Seq("j", "c"))
+    pqEncode(cand).join(broadcast(lut), Seq("j", "c"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("lm")).as("score_micro"))
@@ -413,27 +431,34 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  val s5Sql: String =
-    s"""WITH $elemsSqlCte, sub AS (
+  // ---- shared SQL fragments mirroring the helpers above (the oracle twin
+  // of each Spark helper, spliced into both the s5 and s6 oracles so a fix
+  // to the micro-grid or tie-break lands in ONE place per engine) ----
+  private val pqSubCte: String =
+    s"""$elemsSqlCte, sub AS (
       |  SELECT vec_id, i // 8 AS j, i, v FROM e
-      |), cb AS (
-      |  SELECT vec_id AS c, j, i, v AS cv FROM sub WHERE vec_id IN (1, 2, 3, 4)
-      |), cand AS (
-      |  SELECT d.vec_id, d.j, cb.c,
-      |         sum(((d.v - cb.cv) * (d.v - cb.cv))::DECIMAL(30,20))::DOUBLE AS sqd
-      |  FROM sub d JOIN cb ON cb.j = d.j AND cb.i = d.i
+      |)""".stripMargin
+  private def pqCandCte(name: String, cb: String): String =
+    s"""$name AS (
+      |  SELECT d.vec_id, d.j, $cb.c,
+      |         sum(((d.v - $cb.cv) * (d.v - $cb.cv))::DECIMAL(30,20))::DOUBLE AS sqd
+      |  FROM sub d JOIN $cb ON $cb.j = d.j AND $cb.i = d.i
       |  GROUP BY 1, 2, 3
-      |), enc AS (
+      |)""".stripMargin
+  private def pqEncCte(name: String, cand: String): String =
+    s"""$name AS (
       |  SELECT vec_id, j, c FROM (
       |    SELECT vec_id, j, c,
       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY sqd, c) AS rn
-      |    FROM cand) WHERE rn = 1
-      |), lut AS (
+      |    FROM $cand) WHERE rn = 1
+      |)""".stripMargin
+  private def pqAdcSql(enc: String, cand: String): String =
+    s"""lut AS (
       |  SELECT vec_id AS q_id, j, c, floor(sqd * 1000000.0)::BIGINT AS lm
-      |  FROM cand WHERE vec_id % 100 = 0
+      |  FROM $cand WHERE vec_id % 100 = 0
       |), sc AS (
       |  SELECT l.q_id, e.vec_id AS n_id, sum(l.lm)::BIGINT AS score_micro
-      |  FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.c
+      |  FROM $enc e JOIN lut l ON l.j = e.j AND l.c = e.c
       |  WHERE e.vec_id <> l.q_id GROUP BY 1, 2
       |), ranked AS (
       |  SELECT q_id, n_id, score_micro,
@@ -441,6 +466,17 @@ object Similarity {
       |  FROM sc)
       |SELECT q_id, n_id, score_micro, rank FROM ranked
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  private val pqCb0Cte: String =
+    """cb0 AS (
+      |  SELECT vec_id AS c, j, i, v AS cv FROM sub WHERE vec_id IN (1, 2, 3, 4)
+      |)""".stripMargin
+
+  val s5Sql: String =
+    s"""WITH $pqSubCte, $pqCb0Cte,
+      |${pqCandCte("cand", "cb0")},
+      |${pqEncCte("enc", "cand")},
+      |${pqAdcSql("enc", "cand")}""".stripMargin
 
   /** S6 trained-codebook PQ — [[s5_pq_topk]] with the codebook TRAINED
     * in-engine: one Lloyd step refines the anchor codebook (per-subspace
@@ -457,91 +493,30 @@ object Similarity {
     * joins). Plan adds two shuffles over s5: the assignment join and the
     * mean aggregation — still linear in corpus size. */
   def s6_pq_trained(s: SparkSession, dir: String): DataFrame = {
-    val sub = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-      .select(col("vec_id"), expr("i div 8").as("j"), col("i"),
-              col("v").cast("double").as("v"))
+    val sub = pqSub(s, dir)
       .localCheckpoint() // consumed by anchor distances, training, re-encode
-    val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
-      .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
-    val cand0 = sub.join(cb0, Seq("j", "i"))
-      .groupBy(col("vec_id"), col("j"), col("c"))
-      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
-        .cast("double").as("sqd"))
-    val enc0 = cand0.withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("j")).orderBy(col("sqd"), col("c"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("j"), col("c"))
+    val enc0 = pqEncode(pqCand(sub, pqAnchors(sub)))
     // Lloyd step: refined centroid = mean of assigned subvectors per dim
     val cb1 = sub.join(enc0, Seq("vec_id", "j"))
       .groupBy(col("j"), col("c"), col("i"))
       .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
-    val cand1 = sub.join(cb1, Seq("j", "i"))
-      .groupBy(col("vec_id"), col("j"), col("c"))
-      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
-        .cast("double").as("sqd"))
-      .localCheckpoint() // encoder + LUT both consume it
-    val enc1 = cand1.withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("j")).orderBy(col("sqd"), col("c"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("j"), col("c"))
-    val lut1 = cand1.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("j"), col("c"),
-              floor(col("sqd") * 1000000.0).cast("long").as("lm"))
-    enc1.join(broadcast(lut1), Seq("j", "c"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("lm")).as("score_micro"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("score_micro"), col("rank"))
-      .orderBy("q_id", "rank")
+    pqAdcTop5(pqCand(sub, cb1))
   }
 
   val s6Sql: String =
-    s"""WITH $elemsSqlCte, sub AS (
-      |  SELECT vec_id, i // 8 AS j, i, v FROM e
-      |), cb0 AS (
-      |  SELECT vec_id AS c, j, i, v AS cv FROM sub WHERE vec_id IN (1, 2, 3, 4)
-      |), cand0 AS (
-      |  SELECT d.vec_id, d.j, cb0.c,
-      |         sum(((d.v - cb0.cv) * (d.v - cb0.cv))::DECIMAL(30,20))::DOUBLE AS sqd
-      |  FROM sub d JOIN cb0 ON cb0.j = d.j AND cb0.i = d.i
-      |  GROUP BY 1, 2, 3
-      |), enc0 AS (
-      |  SELECT vec_id, j, c FROM (
-      |    SELECT vec_id, j, c,
-      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY sqd, c) AS rn
-      |    FROM cand0) WHERE rn = 1
-      |), cb1 AS (
+    s"""WITH $pqSubCte, $pqCb0Cte,
+      |${pqCandCte("cand0", "cb0")},
+      |${pqEncCte("enc0", "cand0")},
+      |cb1 AS (
       |  SELECT s.j, e.c, s.i,
       |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
       |  FROM sub s JOIN enc0 e ON e.vec_id = s.vec_id AND e.j = s.j
       |  GROUP BY 1, 2, 3
-      |), cand1 AS (
-      |  SELECT d.vec_id, d.j, cb1.c,
-      |         sum(((d.v - cb1.cv) * (d.v - cb1.cv))::DECIMAL(30,20))::DOUBLE AS sqd
-      |  FROM sub d JOIN cb1 ON cb1.j = d.j AND cb1.i = d.i
-      |  GROUP BY 1, 2, 3
-      |), enc1 AS (
-      |  SELECT vec_id, j, c FROM (
-      |    SELECT vec_id, j, c,
-      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY sqd, c) AS rn
-      |    FROM cand1) WHERE rn = 1
-      |), lut1 AS (
-      |  SELECT vec_id AS q_id, j, c, floor(sqd * 1000000.0)::BIGINT AS lm
-      |  FROM cand1 WHERE vec_id % 100 = 0
-      |), sc AS (
-      |  SELECT l.q_id, e.vec_id AS n_id, sum(l.lm)::BIGINT AS score_micro
-      |  FROM enc1 e JOIN lut1 l ON l.j = e.j AND l.c = e.c
-      |  WHERE e.vec_id <> l.q_id GROUP BY 1, 2
-      |), ranked AS (
-      |  SELECT q_id, n_id, score_micro,
-      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
-      |  FROM sc)
-      |SELECT q_id, n_id, score_micro, rank FROM ranked
-      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      |),
+      |${pqCandCte("cand1", "cb1")},
+      |${pqEncCte("enc1", "cand1")},
+      |${pqAdcSql("enc1", "cand1")}""".stripMargin
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_pq_trained"  -> (s6_pq_trained _),

@@ -533,19 +533,23 @@ object Stateful {
     * magnitude signature). Built from the five raw moment sums instead of
     * `corr()`: the builtin accumulates doubles (merge-order-dependent at
     * cluster scale), while integer-grid moment sums are EXACT under any
-    * partitioning — n·Σxy−ΣxΣy stays within int64 by construction (cents ≤
-    * 5·10⁴, hour ≤ 23), and the only floating ops are two sqrts and one
-    * division, identical IEEE in both engines. One shuffle on user_id. */
+    * partitioning. The moments accumulate in DECIMAL (Spark) / HUGEINT
+    * (DuckDB) — exact wide-integer arithmetic in both engines, so
+    * n·Σx²−(Σx)² cannot silently wrap however many events a key has; the
+    * only floating ops are the final two sqrts and one division, identical
+    * IEEE in both engines. One shuffle on user_id. */
   def st9_corr(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(
         col("user_id"),
         floor(col("value") * 100.0 + 0.5).cast("long").as("x"),
         expr("(unix_micros(ts) div 3600000000) % 24").as("y"))
     ev.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-           sum(col("x") * col("y")).as("sxy"),
-           sum(col("x") * col("x")).as("sxx"),
-           sum(col("y") * col("y")).as("syy"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x").cast("decimal(20,0)")).as("sx"),
+           sum(col("y").cast("decimal(20,0)")).as("sy"),
+           sum((col("x") * col("y")).cast("decimal(20,0)")).as("sxy"),
+           sum((col("x") * col("x")).cast("decimal(20,0)")).as("sxx"),
+           sum((col("y") * col("y")).cast("decimal(20,0)")).as("syy"))
       .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
       .select(col("user_id"), col("n"),
@@ -562,9 +566,8 @@ object Stateful {
       |         ((epoch_ns(ts) // 1000) // 3600000000) % 24 AS y
       |  FROM events),
       |m AS (
-      |  SELECT user_id, count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-      |         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
-      |         sum(y * y)::BIGINT AS syy
+      |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
       |  FROM ev GROUP BY 1)
       |SELECT user_id, n,
       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN

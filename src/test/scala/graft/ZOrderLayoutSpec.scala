@@ -49,7 +49,10 @@ class ZOrderLayoutSpec extends SparkSpec {
       v
     }
     val coord = Gen.chooseNum(0L, (1L << 31) - 1)
-    val pairs = Gen.listOfN(500, Gen.zip(coord, coord)).sample.get
+    // Gen.sample is Option-valued (can return None on retry exhaustion) —
+    // draw until it yields rather than .get-ing a possible None
+    val pairs = Iterator.continually(
+      Gen.listOfN(500, Gen.zip(coord, coord)).sample).flatten.next()
     pairs.foreach { case (x, y) =>
       val z = morton(x, y)
       assert(unspread(z) == x && unspread(z >> 1) == y,
