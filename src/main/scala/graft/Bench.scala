@@ -50,7 +50,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures a bounded log tail, which clipped round 3's JSON
+    // line — persist the same line to a file so the round artifact always
+    // parses regardless of log-buffer truncation
+    val sfName = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(s"target/bench_$sfName.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }

@@ -39,12 +39,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"dot_f32 requires two array<float> arguments, got ${left.dataType}, ${right.dataType}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
+  // Null semantics mirror the composed `aggregate(zip_with(a,b,*),0d,+)`
+  // form exactly: zip_with null-pads length mismatches and a null element
+  // poisons the sum — both yield NULL here too, so the FuseDotProduct
+  // rewrite is semantics-preserving on ragged/nullable arrays, not just on
+  // the clean fixed-width embeddings.
+  override def nullable: Boolean = true
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotProduct.computeOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.DotProduct.computeOrNull($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
 
   protected override def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -54,12 +63,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object DotProduct {
   /** Fused ascending-index loop over the raw array buffers — the same
     * accumulation order as `aggregate(zip_with(...))`, no intermediate
-    * array. */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * array. Returns null exactly when the composed form does: length
+    * mismatch (zip_with null-pads) or a null element (poisons the fold). */
+  def computeOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

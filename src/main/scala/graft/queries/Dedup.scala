@@ -160,11 +160,11 @@ object Dedup {
     * signature computation is the expensive step; consumers must not re-run
     * it). `Bench.clearShared` drops the cache before each timed run. */
   def d3Pairs(s: SparkSession, dir: String): DataFrame =
-    d3Cache.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => d3PairsUncached(s, dir).localCheckpoint())
+    QUtil.cachedPerSession(d3Cache, s, dir)(
+      d3PairsUncached(s, dir).localCheckpoint())
 
   private val d3Cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Drop all shared materialized intermediates (bench isolation). */
   def clearShared(): Unit = d3Cache.clear()
@@ -330,11 +330,13 @@ object Dedup {
       col("doc_id"), col("source"))
     val pairs = Similarity.s2Pairs(s, dir)
       .select(col("va").as("doc_a"), col("vb").as("doc_b"), col("cosine"))
+    // documents is unbounded — no broadcast hint; the verified-pairs side is
+    // the small side (AQE picks the build side at runtime).
     pairs
-      .join(broadcast(docs.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("source", "source_a")), "doc_a")
-      .join(broadcast(docs.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("source", "source_b")), "doc_b")
+      .join(docs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "source_a"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "source_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("cosine"),
               col("source_a"), col("source_b"))
       .orderBy("doc_a", "doc_b")

@@ -335,7 +335,7 @@ object Graph {
     * (degree count + three edge joins) and g3 (per-level frontier joins).
     * `Bench.clearShared` drops the cache before each timed run. */
   private def coengagementPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    QUtil.cachedPerSession(pairCache, s, dir) {
       val bu = Tables.events(s, dir)
         .select((col("event_id") - (col("event_id") % 7)).as("block"), col("user_id"))
         .distinct()
@@ -344,10 +344,10 @@ object Graph {
         .select(col("user_id").as("u"), col("v"))
         .distinct()
         .localCheckpoint()
-    })
+    }
 
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Drop the shared materialized edge table (bench isolation). */
   def clearShared(): Unit = pairCache.clear()

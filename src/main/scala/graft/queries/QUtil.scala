@@ -18,6 +18,25 @@ object QUtil {
     * BEFORE further arithmetic, so downstream products stay bit-identical. */
   def round6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 
+  /** Per-session materialized-intermediate lookup keyed by the session
+    * OBJECT (reference equality — a recycled identityHashCode after GC can
+    * never alias two sessions), with lazy eviction of stopped sessions'
+    * entries on each miss so session churn cannot grow the cache without
+    * bound. */
+  def cachedPerSession[K](
+      cache: java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, K), org.apache.spark.sql.DataFrame],
+      s: org.apache.spark.sql.SparkSession, k: K)(
+      f: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val key = (s, k)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      cache.computeIfAbsent(key, _ => f)
+    }
+  }
+
   /** Number of dictionary buckets for [[denseIds]] / [[denseIdsSqlCte]]. */
   val DictBuckets = 64
 

@@ -144,11 +144,11 @@ object Similarity {
     * here `localCheckpoint` plays that role. `Bench` clears the cache before
     * each timed run (`clearShared`) so benchmark numbers stay cold-cost. */
   def s2Pairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((System.identityHashCode(s), dir, exactDecimals(s)),
-      _ => s2PairsUncached(s, dir).localCheckpoint())
+    QUtil.cachedPerSession(pairsCache, s, (dir, exactDecimals(s)))(
+      s2PairsUncached(s, dir).localCheckpoint())
 
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Boolean), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), DataFrame]()
 
   /** Drop all shared materialized intermediates (bench isolation). */
   def clearShared(): Unit = pairsCache.clear()
@@ -173,9 +173,12 @@ object Similarity {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
+    // The embeddings relation is UNBOUNDED (grows with the corpus): never
+    // broadcast it. Shuffle equi-joins on va/vb — the LSH candidate table is
+    // the bounded side, and AQE will broadcast IT if small enough.
     val ea = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    cand.join(broadcast(ea), Seq("va")).join(broadcast(eb), Seq("vb"))
+    cand.join(ea, Seq("va")).join(eb, Seq("vb"))
       .withColumn("cosine", round4(dot(col("ea"), col("eb"), ex)))
       .filter(col("cosine") >= 0.4)
       .select(col("va"), col("vb"), col("cosine"))
@@ -306,21 +309,25 @@ object Similarity {
     * training loop that produces s3-style IVF cells at 100 TB; the DuckDB
     * oracle unrolls both iterations symbolically. Output: the trained
     * centroids in long form (cluster, i, cv). */
-  def s4_kmeans_train(s: SparkSession, dir: String): DataFrame = {
-    // distance loop honors the production-precision switch (the per-dim
-    // means stay exact-decimal on both paths — they are one aggregate per
-    // iteration, not the corpus × k hot path)
-    val ex = exactDecimals(s)
+  def s4_kmeans_train(s: SparkSession, dir: String): DataFrame =
+    trainCoarse(s, dir, exactDecimals(s))
+      .select(col("cluster"), posexplode(col("cemb")).as(Seq("i", "cv")))
+      .select(col("cluster"), col("i").cast("long").as("i"), round4(col("cv")).as("cv"))
+      .orderBy("cluster", "i")
+
+  /** The s4 training loop itself, returning the UNROUNDED trained centroids
+    * as (cluster, cemb array) — s4 rounds them for its output; s7 routes
+    * through them at full double precision (the oracle's unrolled c2 CTE is
+    * the same unrounded value). Distance loop honors the production-
+    * precision switch; the per-dim means stay exact-decimal on both paths —
+    * they are one aggregate per iteration, not the corpus × k hot path. */
+  private def trainCoarse(s: SparkSession, dir: String, ex: Boolean): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     var centroids = emb.filter(col("vec_id") < 10) // deterministic seed
       .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cemb"))
       .localCheckpoint()
     for (_ <- 1 to 2) {
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
-        .filter(col("rn") === 1)
+      val assigned = assignToNearest(emb, centroids, ex)
         .select(col("vec_id"), col("cluster"), col("embedding"))
       val longForm = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "v")))
@@ -330,38 +337,53 @@ object Similarity {
       centroids = toArrays(longForm).localCheckpoint()
     }
     centroids
-      .select(col("cluster"), posexplode(col("cemb")).as(Seq("i", "cv")))
-      .select(col("cluster"), col("i").cast("long").as("i"), round4(col("cv")).as("cv"))
-      .orderBy("cluster", "i")
   }
 
-  val s4Sql: String = {
-    // one Lloyd iteration as SQL over element CTEs: cN = centroids, returns
-    // the next centroid CTE body given the names
-    def assignAndMean(cPrev: String): String =
-      s"""  SELECT a.cluster, e.i,
-         |         sum(e.v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
-         |  FROM (
-         |    SELECT vec_id, cluster FROM (
-         |      SELECT e.vec_id, c.cluster,
-         |        row_number() OVER (PARTITION BY e.vec_id
-         |          ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
-         |                   c.cluster) AS rn
-         |      FROM e JOIN $cPrev c USING (i)
-         |      GROUP BY e.vec_id, c.cluster)
-         |    WHERE rn = 1) a
-         |  JOIN e ON e.vec_id = a.vec_id
-         |  GROUP BY 1, 2""".stripMargin
-    s"""WITH $elemsSqlCte, c0 AS (
+  /** Nearest-centroid assignment (squared euclidean, ties to the lower
+    * cluster id): the ×k fan-out is one broadcast of the k centroid rows —
+    * the corpus never shuffles. Keeps all input columns plus (cluster,
+    * cemb). */
+  private def assignToNearest(emb: DataFrame, centroids: DataFrame, ex: Boolean): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") === 1)
+      .drop("dist", "rn")
+
+  /** One Lloyd iteration as SQL over the element CTE `e`: assign every
+    * vector to its nearest `cPrev` centroid, emit the next centroids in
+    * long form. Shared by the s4 and s7 oracles. */
+  private def assignAndMeanSql(cPrev: String): String =
+    s"""  SELECT a.cluster, e.i,
+       |         sum(e.v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
+       |  FROM (
+       |    SELECT vec_id, cluster FROM (
+       |      SELECT e.vec_id, c.cluster,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+       |                   c.cluster) AS rn
+       |      FROM e JOIN $cPrev c USING (i)
+       |      GROUP BY e.vec_id, c.cluster)
+       |    WHERE rn = 1) a
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  GROUP BY 1, 2""".stripMargin
+
+  /** The unrolled c0 (seed) → c1 → c2 coarse-training CTE chain — the
+    * oracle twin of [[trainCoarse]] (c2 = the unrounded trained centroids). */
+  private val coarseTrainCtes: String =
+    s"""c0 AS (
        |  SELECT vec_id AS cluster, i, v AS cv FROM e WHERE vec_id < 10
        |), c1 AS (
-       |${assignAndMean("c0")}
+       |${assignAndMeanSql("c0")}
        |), c2 AS (
-       |${assignAndMean("c1")}
-       |)
+       |${assignAndMeanSql("c1")}
+       |)""".stripMargin
+
+  val s4Sql: String =
+    s"""WITH $elemsSqlCte, $coarseTrainCtes
        |SELECT cluster, i, floor(cv * 10000.0 + 0.5) / 10000.0 AS cv
        |FROM c2 ORDER BY cluster, i""".stripMargin
-  }
 
   /** S5 product-quantization ANN (the IVF-PQ compression half): split the
     * 64-dim space into 8 subspaces of 8 dims, encode every vector as its
@@ -518,7 +540,118 @@ object Similarity {
       |${pqAdcSql("enc1", "cand1")}""".stripMargin
 
 
+  /** S7 full IVF-PQ top-k — the real two-level ANN index, composed from the
+    * machinery s3-s6 built piecewise: a TRAINED coarse quantizer (s4's
+    * two-iteration Lloyd loop) routes every vector — corpus and queries —
+    * to a cell; vectors are re-expressed as RESIDUALS against their cell
+    * centroid (the residual distribution is tighter than the raw space, so
+    * the same codebook budget quantizes it better — the reason production
+    * IVF-PQ encodes residuals); one shared residual codebook (anchor
+    * subvectors + one Lloyd refinement step, s6's training) PQ-encodes the
+    * residuals; queries ADC-score ONLY their own cell (single-probe) with
+    * integer LUT sums.
+    *
+    * Scale shape: training/assignment broadcast 10 centroid rows against
+    * the scan; residuals are a per-row projection; the codebook is 8×4
+    * subvector rows; the LUT is queries×8×4 under the declared bounded
+    * query-side contract; the ADC scan is one equi-join on (cell, j, code)
+    * against that bounded LUT — the corpus never shuffles except the
+    * encode argmin's (vec, subspace) window. Cell pruning means each query
+    * touches ~1/10 of the corpus codes at any scale.
+    *
+    * Cross-engine exactness: every stage reuses the already-proven
+    * exact-decimal folds (assignment distances, residual subspace
+    * distances, refined-centroid means) and the integer micro-grid LUT, so
+    * the final integer ADC scores hash-match the oracle's unrolled CTE
+    * chain bit-for-bit. */
+  def s7_ivfpq_topk(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val coarse = trainCoarse(s, dir, ex)
+    // cell assignment for every vector — queries route through the SAME
+    // quantizer (single-probe IVF)
+    val asg = assignToNearest(emb, coarse, ex)
+      .select(col("vec_id"), col("cluster").as("cell"), col("embedding"), col("cemb"))
+      .localCheckpoint() // consumed by residuals, query routing, code-cell join
+    // residual elements (vec_id, cell, j, i, v): v − centroid[cell], long form
+    val res = asg.select(col("vec_id"), col("cell"),
+        posexplode(zip_with(col("embedding"), col("cemb"),
+          (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
+      .select(col("vec_id"), col("cell"), expr("i div 8").as("j"), col("i"), col("v"))
+      .localCheckpoint()
+    val sub = res.select(col("vec_id"), col("j"), col("i"), col("v"))
+    // residual codebook: anchor subvectors refined by one Lloyd step (s6)
+    val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
+      .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
+    val enc0 = pqEncode(pqCand(sub, cb0))
+    val cb1 = sub.join(enc0, Seq("vec_id", "j"))
+      .groupBy(col("j"), col("c"), col("i"))
+      .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
+    val cand1 = pqCand(sub, cb1)
+    val codes = pqEncode(cand1).join(res.select("vec_id", "cell").distinct(), Seq("vec_id"))
+    val qcell = asg.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val lut = cand1.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("j"), col("c"),
+              floor(col("sqd") * 1000000.0).cast("long").as("lm"))
+      .join(qcell, Seq("q_id")) // attach the routed cell to each LUT row
+    codes.join(broadcast(lut), Seq("cell", "j", "c")) // cell-pruned ADC scan
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("cell"), col("vec_id"))
+      .agg(sum(col("lm")).as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("cell"), col("vec_id").as("n_id"),
+              col("score_micro"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val s7Sql: String =
+    s"""WITH $elemsSqlCte, $coarseTrainCtes, asg AS (
+      |  SELECT vec_id, cluster AS cell FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), sub AS (
+      |  SELECT e.vec_id, e.i // 8 AS j, e.i, e.v - c.cv AS v
+      |  FROM e JOIN asg a USING (vec_id) JOIN c2 c ON c.cluster = a.cell AND c.i = e.i
+      |), $pqCb0Cte,
+      |${pqCandCte("cand0", "cb0")},
+      |${pqEncCte("enc0", "cand0")},
+      |cb1 AS (
+      |  SELECT s.j, en.c, s.i,
+      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |  FROM sub s JOIN enc0 en ON en.vec_id = s.vec_id AND en.j = s.j
+      |  GROUP BY 1, 2, 3
+      |),
+      |${pqCandCte("cand1", "cb1")},
+      |${pqEncCte("enc1", "cand1")},
+      |qcell AS (
+      |  SELECT vec_id AS q_id, cell FROM asg WHERE vec_id % 100 = 0
+      |), lut AS (
+      |  SELECT ca.vec_id AS q_id, qc.cell, ca.j, ca.c,
+      |         floor(ca.sqd * 1000000.0)::BIGINT AS lm
+      |  FROM cand1 ca JOIN qcell qc ON qc.q_id = ca.vec_id
+      |), codes AS (
+      |  SELECT en.vec_id, a.cell, en.j, en.c FROM enc1 en JOIN asg a USING (vec_id)
+      |), sc AS (
+      |  SELECT l.q_id, l.cell, d.vec_id AS n_id, sum(l.lm)::BIGINT AS score_micro
+      |  FROM codes d JOIN lut l ON l.cell = d.cell AND l.j = d.j AND l.c = d.c
+      |  WHERE d.vec_id <> l.q_id GROUP BY 1, 2, 3
+      |), ranked AS (
+      |  SELECT q_id, cell, n_id, score_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |  FROM sc)
+      |SELECT q_id, cell, n_id, score_micro, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_ivfpq_topk"  -> (s7_ivfpq_topk _),
     "s6_pq_trained"  -> (s6_pq_trained _),
     "s5_pq_topk"     -> (s5_pq_topk _),
     "s1_ann_topk"    -> (s1_ann_topk _),
@@ -527,6 +660,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s7_ivfpq_topk"  -> s7Sql,
     "s6_pq_trained"  -> s6Sql,
     "s5_pq_topk"     -> s5Sql,
     "s1_ann_topk"    -> s1Sql,

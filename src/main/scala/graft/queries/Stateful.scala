@@ -48,7 +48,10 @@ object Stateful {
   private def withFeatures(s: SparkSession, dir: String): DataFrame = {
     val sec = unix_timestamp(col("ts"))
     val t2 = lag(sec, 2).over(userOrder)
-    val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("int")
+    // digitless props extract to '' → NULL after the cast; coalesce to 0 so
+    // batch, the x7 streaming twin (getOrElse(0)), and the oracle
+    // (TRY_CAST+COALESCE) agree on the k%3==0 branch for such rows
+    val k = coalesce(regexp_extract(col("props"), "([0-9]+)", 1).cast("int"), lit(0))
     val content = when(k % 3 === 0,
         concat_ws(" ", col("event_type"), col("event_type"), col("props")))
       .otherwise(concat_ws(" ", col("event_type"), col("props")))
@@ -87,7 +90,7 @@ object Stateful {
       |      len(list_distinct(string_split(content, ' ')))::DOUBLE
       |        / len(string_split(content, ' ')) AS uwr
       |    FROM (
-      |      SELECT *, CASE WHEN CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) % 3 = 0
+      |      SELECT *, CASE WHEN COALESCE(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INT), 0) % 3 = 0
       |                     THEN event_type || ' ' || event_type || ' ' || props
       |                     ELSE event_type || ' ' || props END AS content
       |      FROM events))

@@ -212,6 +212,10 @@ object TextAnalysis {
       lit(0.0)), lit(1.0))
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"), score.as("q"))
+      // 6-dp integer micro-grid (the t10/st9 discipline): the decile MEAN
+      // sums exact BIGINTs, so the byte-level hash agrees cross-engine —
+      // decimal-vs-binary shortest-repr of the double sum cannot diverge.
+      .withColumn("qi", floor(col("q") * 1000000.0 + 0.5).cast("long"))
       .withColumn("bkt", floor(col("q") * 100).cast("long"))
     val perBucket = scored.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
     val prior = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
@@ -226,7 +230,7 @@ object TextAnalysis {
       .withColumn("decile", expr("((rn - 1) * 10) div c"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
-           round4(sum(col("q").cast("decimal(30,20)")).cast("double")
+           round4(sum(col("qi")).cast("double") / lit(1000000.0)
                   / count(lit(1))).as("mean_quality"))
       .orderBy("decile")
   }
@@ -244,18 +248,19 @@ object TextAnalysis {
       |    least(greatest(0.4 * least(n / 60.0, 1.0) + 0.4 * (n_uniq / n)
       |          + 0.2 * (1.0 - n_stop / n), 0.0), 1.0) AS q
       |  FROM d),
-      |s AS (SELECT doc_id, q, floor(q * 100)::BIGINT AS bkt FROM sc),
+      |s AS (SELECT doc_id, q, floor(q * 1000000.0 + 0.5)::BIGINT AS qi,
+      |             floor(q * 100)::BIGINT AS bkt FROM sc),
       |pb AS (SELECT bkt, count(*) AS bn FROM s GROUP BY 1),
       |pre AS (
       |  SELECT bkt, coalesce(sum(bn) OVER (ORDER BY bkt
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM pb),
       |r AS (
-      |  SELECT s.doc_id, s.q,
+      |  SELECT s.doc_id, s.qi,
       |    pre.off + row_number() OVER (PARTITION BY s.bkt ORDER BY s.q, s.doc_id) AS rn
       |  FROM s JOIN pre USING (bkt)),
       |t AS (SELECT count(*) AS c FROM s)
       |SELECT ((rn - 1) * 10) // c AS decile, count(*) AS n_docs,
-      |  floor(sum(q::DECIMAL(30,20))::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_quality
+      |  floor(sum(qi)::DOUBLE / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_quality
       |FROM r, t GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** T7 TF-IDF: the canonical distinctive-terms measure every corpus

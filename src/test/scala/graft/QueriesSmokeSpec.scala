@@ -193,6 +193,51 @@ class QueriesSmokeSpec extends SparkSpec {
       s"non-user_id shuffle found: $exchanges\n$plan")
   }
 
+  test("no broadcast hint on an unbounded relation (100 TB contract)") {
+    // The disease class fixed in d3/d4/t4 (r2) and s2/d5 (r3): an explicit
+    // broadcast() hint whose input grows with the corpus OOMs a 100 TB run.
+    // Every hint subtree must be bounded by construction: an aggregation
+    // (bucket-prefix / centroid / one-row totals), a local relation
+    // (params), a limit, a declared modulo-contract filter (query-side
+    // vec_id % 100, eigen user_id % 50), or a fixed-cardinality dimension
+    // (region: 5 rows, nation: 25 — constant in TPC-H at every SF).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = {
+      val bounding = p.collect {
+        case _: Aggregate => true
+        case _: Deduplicate => true
+        case _: GlobalLimit => true
+        case _: LocalRelation => true
+        case f: Filter if "% (cast\\()?(50|100)".r
+          .findFirstIn(f.condition.toString).isDefined => true
+      }
+      lazy val dimsOnly = {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        val leaves = p.collectLeaves()
+        leaves.nonEmpty && leaves.forall {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.forall { rp =>
+              val s = rp.toString; s.contains("region") || s.contains("nation")
+            }
+            case _ => false
+          }
+          case _ => false
+        }
+      }
+      bounding.nonEmpty || dimsOnly
+    }
+    val streaming = SparkEntry.queries.keySet.filter(_.startsWith("x"))
+    val bad = SparkEntry.queries.toSeq.collect {
+      case (name, fn) if !streaming(name) =>
+        val hints = fn(spark, dir).queryExecution.analyzed.collect {
+          case h: ResolvedHint if h.hints.strategy.isDefined => h
+        }
+        hints.filterNot(h => bounded(h.child)).map(h => s"$name: ${h.child.nodeName}")
+    }.flatten
+    assert(bad.isEmpty,
+      s"unbounded relation under a broadcast hint:\n${bad.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
