@@ -465,10 +465,98 @@ object Graph {
       |SELECT node AS user_id, min(d) AS hops FROM r
       |GROUP BY node ORDER BY user_id""".stripMargin
 
+  /** Round bound shared by the g4 Spark fixpoint and its unrolled oracle.
+    * The H-operator is idempotent at the fixpoint, so the oracle's extra
+    * unrolled rounds are no-ops; the Spark side FAILS LOUDLY if the bound
+    * would truncate (measured rounds-to-fixpoint: 1 at sf0.001, 7 at
+    * sf0.01, 21 at sf0.1 — the bound covers the driver's sf0.01 gate and
+    * the local sf0.1 runs with headroom). */
+  private val KCoreRounds = 32
+
+  /** G4 k-core decomposition over the co-engagement graph — each user's
+    * core number: the largest k such that the user survives in a subgraph
+    * where everyone keeps ≥ k neighbors. The standard graph-degeneracy
+    * measure (community cohesion, influence seeding, graph sparsification)
+    * completing the family g1-g3 started.
+    *
+    * Spark plan — the H-index iteration (Lü/Zhou/Zhang/Stanley, PNAS 2016):
+    * start every node at its degree and repeatedly replace each node's
+    * value with the H-index of its neighbors' values (the largest h such
+    * that ≥ h neighbors currently hold ≥ h); the sequence is monotone
+    * non-increasing and converges EXACTLY to the core numbers. Unlike
+    * naïve peeling — an anti-monotone per-k inner fixpoint whose level
+    * count grows with graph density (the co-engagement graph's max core is
+    * 277 at sf0.1, so k-by-k peeling is ~dense² work and no bounded SQL
+    * unroll can express it) — each H round is ONE key-partitioned join of
+    * the static edge table against the 1-row-per-node value table, a
+    * per-node window rank, and a per-node aggregate: two shuffles per
+    * round, rounds empirically ~log-scale in graph size. The only driver
+    * action is the has-anything-changed count (inherent to any fixpoint,
+    * the d8/resolveRoots discipline), and `localCheckpoint` cuts lineage
+    * per round exactly like g3.
+    *
+    * The DuckDB oracle unrolls [[KCoreRounds]] H rounds as a plain CTE
+    * chain (the s4 Lloyd discipline) — extra rounds past convergence
+    * re-derive the same values. */
+  def g4_kcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coengagementPairs(s, dir)
+    val ed = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var c = ed.groupBy("u").agg(count(lit(1)).as("c")).localCheckpoint()
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < KCoreRounds) {
+      val nxt = ed
+        .join(c.select(col("u").as("v"), col("c").as("nc")), Seq("v"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("u")).orderBy(col("nc").desc)))
+        .groupBy("u")
+        .agg(coalesce(max(when(col("nc") >= col("rn"), col("rn"))), lit(0))
+          .cast("long").as("c"))
+        .localCheckpoint()
+      changed = nxt.join(c.withColumnRenamed("c", "pc"), Seq("u"))
+        .filter(col("c") =!= col("pc")).limit(1).count() > 0
+      rounds += 1
+      c = nxt
+    }
+    require(!changed,
+      s"H-index iteration still changing after $KCoreRounds rounds — raise KCoreRounds in both engines")
+    c.select(col("u").as("user_id"), col("c").as("core")).orderBy("user_id")
+  }
+
+  val g4Sql: String = {
+    // MATERIALIZED is load-bearing: DuckDB 1.0 inlines plain CTEs, and the
+    // inlined 32-deep window/agg chain explodes the plan super-linearly
+    // (36 s at 20 rounds, minutes at 32); materialized, the full chain
+    // evaluates in 0.2 s at sf0.01
+    def hRound(prev: String, next: String): String =
+      s"""$next AS MATERIALIZED (
+         |  SELECT u, coalesce(max(CASE WHEN nc >= rn THEN rn END), 0)::BIGINT AS c
+         |  FROM (
+         |    SELECT e.u, p.c AS nc,
+         |      row_number() OVER (PARTITION BY e.u ORDER BY p.c DESC) AS rn
+         |    FROM ed e JOIN $prev p ON p.u = e.v)
+         |  GROUP BY u
+         |)""".stripMargin
+    val chain = (1 to KCoreRounds)
+      .map(r => hRound(s"h${r - 1}", s"h$r")).mkString(",\n")
+    s"""WITH bu AS (
+       |  SELECT DISTINCT event_id - (event_id % 7) AS block, user_id FROM events),
+       |e0 AS (
+       |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+       |  FROM bu a JOIN bu b ON a.block = b.block AND a.user_id < b.user_id),
+       |ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |h0 AS MATERIALIZED (SELECT u, count(*)::BIGINT AS c FROM ed GROUP BY u),
+       |$chain
+       |SELECT u AS user_id, c AS core FROM h$KCoreRounds ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank"       -> (g1_pagerank _),
     "g2_triangles"      -> (g2_triangles _),
     "g3_bfs_hops"       -> (g3_bfs_hops _),
+    "g4_kcore"          -> (g4_kcore _),
     "st1_resolve_roots" -> (st1_resolve_roots _),
     "j4_ts_violations"  -> (j4_ts_violations _),
     "s9_order_audit"    -> (s9_order_audit _),
@@ -479,6 +567,7 @@ object Graph {
     "g1_pagerank"       -> g1Sql,
     "g2_triangles"      -> g2Sql,
     "g3_bfs_hops"       -> g3Sql,
+    "g4_kcore"          -> g4Sql,
     "st1_resolve_roots" -> st1Sql,
     "j4_ts_violations"  -> j4Sql,
     "s9_order_audit"    -> s9Sql,
