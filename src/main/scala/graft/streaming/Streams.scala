@@ -48,16 +48,34 @@ object Streams {
   }
 
   /** Run a bounded streaming query to completion against an in-memory sink
-    * and return the final table. */
+    * and return the final table.
+    *
+    * The stream is PLANNED with a reduced shuffle-partition count (state
+    * store instances = shuffle partitions, each paying a per-micro-batch
+    * commit; these bounded replays are overhead-bound, not data-bound, so
+    * 32 partitions × 5 batches × 2 stores is pure fixed cost). This is
+    * harness tuning for the bounded replay only — a production deployment
+    * sizes `spark.sql.shuffle.partitions` to the stream's real key
+    * cardinality and keeps the session default. */
   private def runToMemory(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val s = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    val reduced = math.min(8, prev.flatMap(_.toIntOption).getOrElse(8))
+    try {
+      s.conf.set(key, reduced.toString)
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+    s.table(name)
   }
 
   /** X1: watermarked sliding-window counts (W2 streaming twin). Complete
@@ -420,8 +438,12 @@ object Streams {
     val streamDir = replayStreamDirCols(s, dir, "events_replay_ohlc",
       Seq("user_id", "value"))
     val schema = s.read.parquet(streamDir.resolve("0_chunk.parquet").toString).schema
+    // 2 files per trigger (vs the timer queries' 1): the OHLC merge is
+    // arrival-order-insensitive and nothing here fires at the watermark, so
+    // halving the micro-batch count halves the state-store commit overhead
+    // without touching the out-of-order semantics under test
     val ds = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(streamDir.toString)
       .withWatermark("ts", "30 minutes")
       .select(col("event_id"), col("user_id"),
@@ -599,6 +621,53 @@ object Streams {
       .orderBy("event_id")
   }
 
+  /** X16 core: every UPDATE-mode emission of a watermarked 1-hour tumbling
+    * count over the jittered replay — the observable record of window
+    * REFINEMENT under allowed lateness. The reference fires a window at the
+    * watermark and then RE-FIRES an updated result for each late record
+    * inside `allowedLateness` (`ActivePostStatistician.java:52-53`); Spark's
+    * analog is update output mode, where a window re-emits in every
+    * micro-batch that changes it and the single watermark delay plays
+    * ooo-bound + allowedLateness combined. The replay's 4 arrival-order
+    * chunks arrive as 4 micro-batches, so a window whose out-of-order
+    * records straddle a chunk boundary provably re-fires: the memory sink
+    * accumulates one row per (micro-batch, changed window) — the emission
+    * log `StreamingSpec` audits against the replay schedule. Jitter
+    * (< 30 min) stays inside the watermark delay, so every record is
+    * late-but-WITHIN-lateness: refined, never dropped (Replay.scala's
+    * provably-empty-late-channel argument).
+    *
+    * Scale: one shuffle on the window key with partial aggregation; state =
+    * one running count per open window, evicted at the watermark. */
+  def x16_emissions(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = replayStreamDir(s, dir)
+    val schema = s.read.parquet(streamDir.resolve("0_chunk.parquet").toString).schema
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .filter(col("event_id") >= 0) // sentinel: update mode needs no flush
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("n_events"))
+    runToMemory(agg, OutputMode.Update(), s"x16_mem_${System.nanoTime()}")
+  }
+
+  /** X16: the FINAL refined value per window — each window's count is
+    * nondecreasing across its re-fires, so the last (= max) emission is the
+    * total, and with jitter < watermark delay nothing was dropped: the
+    * refinement chain converges to exactly the batch tumbling count. */
+  def x16_late_refinement(s: SparkSession, dir: String): DataFrame =
+    x16_emissions(s, dir)
+      .groupBy(col("win_start"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy("win_start")
+
+  val x16Sql: String =
+    """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS win_start,
+      |       count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** X4: streaming session windows in APPEND mode — the strictest
     * event-time semantics: a session row is emitted exactly once, when the
     * watermark passes its close (the reference's window-firing discipline,
@@ -608,8 +677,7 @@ object Streams {
     * (`maxFilesPerTrigger 1` keeps file order = batch order). Final output
     * equals batch w9. */
   def x4_stream_sessions(s: SparkSession, dir: String): DataFrame = {
-    val ev = sentinelEventsStream(s, dir, "events_sessions",
-      (_, tsVal) => Seq(Row(-1L, tsVal, -1L, "sentinel", 0.0, "")))
+    val ev = sharedSentinelStream(s, dir)
     val agg = ev
       .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -763,6 +831,18 @@ object Streams {
     else raw
   }
 
+  /** The ONE sentinel dir every watermark-flush consumer shares (x4's
+    * append-mode sessions, x12's outer join) — the dir build is a one-time
+    * cost per sf, so the flush shapes pool it: all sentinel rows carry a
+    * negative user_id (filtered from every result), and each join side gets
+    * a sentinel of its own event_type so per-side watermarks (computed
+    * after the type filter) still advance. */
+  private def sharedSentinelStream(s: SparkSession, dir: String): DataFrame =
+    sentinelEventsStream(s, dir, "events_sentinel",
+      (_, tsVal) => Seq(Row(-1L, tsVal, -1L, "sentinel", 0.0, ""),
+                        Row(-1L, tsVal, -1L, "purchase", 0.0, ""),
+                        Row(-2L, tsVal, -1L, "click", 0.0, "")))
+
   /** X12: stream-stream LEFT OUTER join — x11's attribution shape, but
     * purchases with NO click in the window must still come out, null-
     * extended. Subtler than the inner join: an outer result may only emit
@@ -772,10 +852,7 @@ object Streams {
     * side (filtered from the result) pushes the final watermark, the same
     * flush discipline as the append-mode session windows (x4). */
   def x12_stream_outer_join(s: SparkSession, dir: String): DataFrame = {
-    def sentinels(schema0: org.apache.spark.sql.types.StructType, tsVal: Any): Seq[Row] =
-      Seq(Row(-1L, tsVal, -1L, "purchase", 0.0, ""),
-          Row(-2L, tsVal, -1L, "click", 0.0, ""))
-    def side() = sentinelEventsStream(s, dir, "events_outer", sentinels)
+    def side() = sharedSentinelStream(s, dir)
     val purchases = side()
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
@@ -854,7 +931,8 @@ object Streams {
     "x12_stream_outer_join"    -> (x12_stream_outer_join _),
     "x13_stream_dedup_watermark" -> (x13_stream_dedup_watermark _),
     "x14_stream_ewma"          -> (x14_stream_ewma _),
-    "x15_stream_ohlc"          -> (x15_stream_ohlc _))
+    "x15_stream_ohlc"          -> (x15_stream_ohlc _),
+    "x16_late_refinement"      -> (x16_late_refinement _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
@@ -873,5 +951,6 @@ object Streams {
     "x12_stream_outer_join"    -> x12Sql,
     "x13_stream_dedup_watermark" -> x13Sql,
     "x14_stream_ewma"          -> graft.queries.Stateful.st7Sql,
-    "x15_stream_ohlc"          -> graft.queries.Windows.w10Sql)
+    "x15_stream_ohlc"          -> graft.queries.Windows.w10Sql,
+    "x16_late_refinement"      -> x16Sql)
 }

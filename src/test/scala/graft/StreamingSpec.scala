@@ -134,6 +134,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("update mode re-fires refined windows for late-but-within-lateness records") {
+    // The Flink behavior under audit (ActivePostStatistician.java:52-53):
+    // a window fires, then a record behind the watermark but inside
+    // allowedLateness arrives and the window RE-FIRES a refined result.
+    // Framed as ooo-bound 15 min + allowedLateness 15 min = Spark's single
+    // 30-min delay: a record is a late re-fire trigger iff it arrives in a
+    // later micro-batch (replay chunk) than some record of its window AND
+    // its event time is >15 min behind the max event time of the earlier
+    // batches (behind the 15-min Flink watermark; within lateness is
+    // guaranteed — jitter < 30 min). sf0.01: the sf0.001 slice's inter-event
+    // gap (~40 min) exceeds the 30-min jitter, so inversions barely exist
+    // there; at sf0.01 the deterministic schedule carries two >15-min-late
+    // chunk-boundary crossings.
+    val dir = "/root/testdata/sf0.01"
+    val arr = graft.queries.Replay.arrivals(spark, dir)
+      .select("event_id", "es", "arrival_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    val n = arr.length
+    // the replay dir's chunk boundaries: rk in [k*n/4+1, (k+1)*n/4]
+    def chunkOf(rk: Int): Int =
+      (0 until 4).find(k => rk >= k * n / 4 + 1 && rk <= (k + 1) * n / 4).get
+    val recs = arr.zipWithIndex.map { case ((id, es, _), i) =>
+      (id, es, es - es % 3600L, chunkOf(i + 1)) // (id, event-s, window, chunk)
+    }
+    val refiredWindows = (for {
+      (_, es, w, c) <- recs if c > 0
+      priorMax = recs.collect { case (_, e, _, pc) if pc < c => e }.max
+      if es < priorMax - 900L // behind the 15-min Flink watermark
+      if recs.exists { case (_, _, pw, pc) => pc < c && pw == w } // window already fired
+    } yield w).distinct
+    assert(refiredWindows.nonEmpty, "replay schedule produced no late re-fire candidates")
+
+    val emissions = graft.streaming.Streams.x16_emissions(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every audited window re-emitted: >=2 snapshots with strictly grown counts
+    refiredWindows.foreach { w =>
+      val ns = emissions.filter(_._1 == w).map(_._2)
+      assert(ns.length >= 2 && ns.distinct.length >= 2,
+        s"window $w did not re-fire a refined result: emissions = ${ns.toSeq}")
+    }
+    // the refinement chain converges: final (max) emission per window equals
+    // the batch tumbling count — nothing was dropped, only refined
+    val finalByWin = emissions.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).max }
+    val batch = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalByWin == batch)
+  }
+
   test("event-time-timer resolver resolves the full relation under replay") {
     // Replayed in jittered arrival order, children arriving before their
     // parents can ONLY be emitted from the EventTimeTimeout callback — a
