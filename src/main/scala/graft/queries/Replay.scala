@@ -120,6 +120,20 @@ object Replay {
        |FROM m WHERE pmax IS NOT NULL AND es < pmax - 1800
        |ORDER BY event_id""".stripMargin
 
+  /** L5: speedup-proportional pacing — the reference's producer sleeps
+    * `(next.arrival − prev.arrival) / speedupFactor` wall-time between
+    * emissions (`Producer.java:66-73`; `speedupFactor=604800` = one
+    * event-time week per wall second per `project/README.md` step 8,
+    * `Config.java:35` ships 900000). Maps each arrival second to the
+    * wall-clock millisecond it should be SERVED at. Demo-only in the
+    * reference (SURVEY §2 row L5) so it stays off the query surface;
+    * `PacedReplaySpec` drives two paced micro-batches through it. */
+  def pacedWallMillis(arrivalS: Seq[Long], speedup: Long, wallStartMs: Long): Seq[Long] = {
+    require(speedup > 0, "speedupFactor must be positive")
+    val t0 = arrivalS.min
+    arrivalS.map(a => wallStartMs + (a - t0) * 1000L / speedup)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_replay"     -> (s2_replay _),
     "l2_late_audit" -> (l2_late_audit _))
