@@ -11,12 +11,12 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ Stateful.queries ++ Graph.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Recommend.queries ++ Replay.queries ++
-      LdbcE2E.queries ++ graft.streaming.Streams.queries
+      LdbcE2E.queries ++ Pipeline.queries ++ graft.streaming.Streams.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Stateful.oracles ++ Graph.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Recommend.oracles ++ Replay.oracles ++
-      LdbcE2E.oracles ++ graft.streaming.Streams.oracles
+      LdbcE2E.oracles ++ Pipeline.oracles ++ graft.streaming.Streams.oracles
 }
