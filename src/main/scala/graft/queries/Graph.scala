@@ -495,6 +495,13 @@ object Graph {
     * the d8/resolveRoots discipline), and `localCheckpoint` cuts lineage
     * per round exactly like g3.
     *
+    * Rounds after the first are FRONTIER-DRIVEN: a node's H-index can only
+    * change if some neighbor's value changed last round (values are
+    * monotone non-increasing, so an untouched neighborhood re-derives the
+    * same H), so each round re-scores only the changed nodes' neighbors —
+    * the per-round edge sort shrinks with the frontier instead of staying
+    * O(E log E) for all ~log-scale rounds, identical results.
+    *
     * The DuckDB oracle unrolls [[KCoreRounds]] H rounds as a plain CTE
     * chain (the s4 Lloyd discipline) — extra rounds past convergence
     * re-derive the same values. */
@@ -502,27 +509,48 @@ object Graph {
     val pairs = coengagementPairs(s, dir)
     val ed = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
+    kcoreOf(ed).select(col("u").as("user_id"), col("c").as("core"))
+      .orderBy("user_id")
+  }
+
+  /** The H-index fixpoint on an arbitrary symmetric edge relation (u, v) —
+    * split from [[g4_kcore]] so specs can drive it with graphs of known
+    * core numbers. Returns (u, c = exact core number). */
+  private[graft] def kcoreOf(ed: DataFrame): DataFrame = {
+    def hIndex(sub: DataFrame, values: DataFrame): DataFrame = sub
+      .join(values.select(col("u").as("v"), col("c").as("nc")), Seq("v"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u")).orderBy(col("nc").desc)))
+      .groupBy("u")
+      .agg(coalesce(max(when(col("nc") >= col("rn"), col("rn"))), lit(0))
+        .cast("long").as("c"))
     var c = ed.groupBy("u").agg(count(lit(1)).as("c")).localCheckpoint()
+    // round 1 scores everyone; afterwards only the frontier's neighborhoods
+    var frontier: Option[DataFrame] = None
     var rounds = 0
     var changed = true
     while (changed && rounds < KCoreRounds) {
-      val nxt = ed
-        .join(c.select(col("u").as("v"), col("c").as("nc")), Seq("v"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("u")).orderBy(col("nc").desc)))
-        .groupBy("u")
-        .agg(coalesce(max(when(col("nc") >= col("rn"), col("rn"))), lit(0))
-          .cast("long").as("c"))
+      val affectedEdges = frontier match {
+        case None => ed
+        case Some(f) => // every edge of every node adjacent to a change
+          ed.join(ed.join(f.select(col("u").as("v")), Seq("v"))
+                    .select(col("u")).distinct(), Seq("u"))
+      }
+      val rescored = hIndex(affectedEdges, c)
+      val nxt = c.join(rescored.withColumnRenamed("c", "nc"), Seq("u"), "left")
+        .select(col("u"), coalesce(col("nc"), col("c")).as("c"),
+                (col("nc") < col("c")).as("chg"))
         .localCheckpoint()
-      changed = nxt.join(c.withColumnRenamed("c", "pc"), Seq("u"))
-        .filter(col("c") =!= col("pc")).limit(1).count() > 0
+      val newFrontier = nxt.filter(col("chg")).select(col("u"))
+      changed = newFrontier.limit(1).count() > 0
+      frontier = Some(newFrontier)
+      c = nxt.select(col("u"), col("c"))
       rounds += 1
-      c = nxt
     }
     require(!changed,
       s"H-index iteration still changing after $KCoreRounds rounds — raise KCoreRounds in both engines")
-    c.select(col("u").as("user_id"), col("c").as("core")).orderBy("user_id")
+    c
   }
 
   val g4Sql: String = {

@@ -52,6 +52,23 @@ class GraphSpec extends SparkSpec {
     assert(fixed(6L) == 1000L + 20 * 32) // doubling cascade reached the leaf
   }
 
+  test("k-core H-index fixpoint recovers known core numbers") {
+    // 5-clique (core 4) with a pendant path 5-6-7 (core 1), plus a
+    // disjoint triangle (core 2) — exercises the frontier-driven rounds:
+    // the clique stabilizes while the path keeps changing
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L), (2L, 5L),
+      (3L, 4L), (3L, 5L), (4L, 5L),
+      (5L, 6L), (6L, 7L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val ed = und.toDF("u", "v")
+    val sym = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+    val cores = Graph.kcoreOf(sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cores == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L,
+      6L -> 1L, 7L -> 1L, 10L -> 2L, 11L -> 2L, 12L -> 2L))
+  }
+
   test("fails loudly on an unresolvable (cyclic) relation") {
     val edges = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("event_id", "parent_id")
     intercept[Exception] { Graph.resolveRoots(edges, maxIters = 4).count() }
