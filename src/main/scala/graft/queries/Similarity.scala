@@ -650,7 +650,43 @@ object Similarity {
       |SELECT q_id, cell, n_id, score_micro, rank FROM ranked
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** S8: ANN recall audit — the metrological query every production ANN
+    * deployment runs: per query, how many of the EXACT top-3 neighbors
+    * (s1's brute-force baseline, the ground truth) did the IVF index (s3)
+    * return? recall@3 = |IVF ∩ exact| / 3. Single-cell IVF routing trades
+    * recall for the 1/cells fan-out cut, and this query MEASURES the trade
+    * instead of asserting it — the audit runs on a sampled query set at
+    * scale (here the bounded `vec_id % 100` contract both sides already
+    * share). Cost = the two underlying searches; the audit join itself is
+    * |Q|·k rows on both sides. */
+  def s8_recall_audit(s: SparkSession, dir: String): DataFrame = {
+    val exact3 = s1_ann_topk(s, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val ivf = s3_ivf_topk(s, dir)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    exact3.join(ivf, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("q_id"), col("hits"),
+              round4(col("hits").cast("double") / 3.0).as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
+  val s8Sql: String =
+    s"""WITH ex AS (
+       |$s1Sql
+       |), iv AS (
+       |$s3Sql
+       |)
+       |SELECT e.q_id, count(i.n_id)::BIGINT AS hits,
+       |  floor(count(i.n_id)::DOUBLE / 3.0 * 10000.0 + 0.5) / 10000.0 AS recall_at_3
+       |FROM ex e
+       |LEFT JOIN iv i ON e.q_id = i.q_id AND e.n_id = i.n_id
+       |WHERE e.rank <= 3
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_recall_audit" -> (s8_recall_audit _),
     "s7_ivfpq_topk"  -> (s7_ivfpq_topk _),
     "s6_pq_trained"  -> (s6_pq_trained _),
     "s5_pq_topk"     -> (s5_pq_topk _),
@@ -660,6 +696,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s8_recall_audit" -> s8Sql,
     "s7_ivfpq_topk"  -> s7Sql,
     "s6_pq_trained"  -> s6Sql,
     "s5_pq_topk"     -> s5Sql,

@@ -450,7 +450,65 @@ object TextAnalysis {
       |FROM sh JOIN df USING (sh)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** T12: repetition signals — the Gopher-class repetition filters
+    * (Rae et al. 2021, §A1.1): the fraction of a document claimed by its
+    * single most frequent unigram and by its most frequent bigram. High
+    * values mark boilerplate/spam (navigation menus, keyword stuffing,
+    * degenerate generations); the flags use the published 0.2 / 0.18
+    * thresholds. Plan: one posexplode + two (doc, gram)-keyed partial-agg
+    * shuffles — no vocabulary table, nothing collected, linear at any
+    * corpus size. */
+  def t12_repetition(s: SparkSession, dir: String): DataFrame = {
+    val tokPos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val uni = tokPos.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top1"), sum(col("c")).as("n"))
+    val bi = tokPos.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+      .join(tokPos.select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("w2")),
+            Seq("doc_id", "pos"))
+    val big = bi.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+    val uniFrac = col("top1").cast("double") / col("n")
+    val biFrac = coalesce(col("top2"), lit(0L)).cast("double") / greatest(col("n2"), lit(1L))
+    uni.join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              round4(uniFrac).as("top_unigram_frac"),
+              round4(biFrac).as("top_bigram_frac"),
+              (round4(uniFrac) > 0.2 || round4(biFrac) > 0.18)
+                .cast("int").as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val t12Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         unnest(range(len(string_split(text, ' ')))) AS pos
+      |  FROM documents
+      |), uni AS (
+      |  SELECT doc_id, max(c) AS top1, sum(c)::BIGINT AS n FROM (
+      |    SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), bi AS (
+      |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |), big AS (
+      |  SELECT doc_id, max(c) AS top2, sum(c)::BIGINT AS n2 FROM (
+      |    SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3)
+      |  GROUP BY 1
+      |), fr AS (
+      |  SELECT uni.doc_id,
+      |    floor(top1::DOUBLE / n * 10000.0 + 0.5) / 10000.0 AS top_unigram_frac,
+      |    floor(coalesce(top2, 0)::DOUBLE / greatest(n2, 1) * 10000.0 + 0.5)
+      |      / 10000.0 AS top_bigram_frac
+      |  FROM uni LEFT JOIN big ON uni.doc_id = big.doc_id
+      |)
+      |SELECT doc_id, top_unigram_frac, top_bigram_frac,
+      |  CASE WHEN top_unigram_frac > 0.2 OR top_bigram_frac > 0.18
+      |       THEN 1 ELSE 0 END AS repetitive
+      |FROM fr ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_repetition"   -> (t12_repetition _),
     "t11_novelty"      -> (t11_novelty _),
     "t10_bigram_lm"    -> (t10_bigram_lm _),
     "t9_len_quantiles" -> (t9_len_quantiles _),
@@ -464,6 +522,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t12_repetition"   -> t12Sql,
     "t11_novelty"      -> t11Sql,
     "t10_bigram_lm"    -> t10Sql,
     "t7_tfidf"         -> t7Sql,
