@@ -30,10 +30,14 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timezone-naive writers (isAdjustedToUTC=false, e.g. a DuckDB COPY)
+      // surface as NTZ; the session runs UTC, so the cast is the identity
+      // on wall-clock values
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
       case _        => raw
     }
   }

@@ -36,16 +36,28 @@ object Streams {
       dir.replaceAll("[^A-Za-z0-9.]", "_"), "events")
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
+    // absolute target: a relative one would resolve against the SYMLINK's
+    // own directory and dangle (latent for the driver's absolute sf dirs,
+    // real for a relative one like target/sf1)
     if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(Tables.path(dir, "events")))
+      Files.createSymbolicLink(link,
+        Paths.get(Tables.path(dir, "events")).toAbsolutePath)
     val raw = s.readStream.schema(
         s.read.parquet(Tables.path(dir, "events")).schema)
       .parquet(streamDir.toString)
-    // same ns→µs normalization as the batch reader
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(raw)
   }
+
+  /** Same ts normalization as the batch reader (`Tables.events`): nanos-long
+    * → µs timestamp; timezone-naive (NTZ) → session-UTC timestamp. */
+  private def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
 
   /** Run a bounded streaming query to completion against an in-memory sink
     * and return the final table.
@@ -795,16 +807,20 @@ object Streams {
     if (!Files.exists(sentinelDone)) {
       Files.createDirectories(streamDir)
       val link = streamDir.resolve("0_events.parquet")
-      if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(Tables.path(dir, "events")))
+      if (!Files.exists(link)) // absolute target — see eventsStream
+        Files.createSymbolicLink(link,
+          Paths.get(Tables.path(dir, "events")).toAbsolutePath)
       val farFuture = Tables.events(s, dir)
         .select(max(col("ts")).as("mx")).head().getTimestamp(0).toInstant
         .plusSeconds(30 * 24 * 3600)
       val schema0 = s.read.parquet(Tables.path(dir, "events")).schema
-      val tsVal: Any =
-        if (schema0("ts").dataType == org.apache.spark.sql.types.LongType)
+      val tsVal: Any = schema0("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
           farFuture.getEpochSecond * 1000000000L
-        else java.sql.Timestamp.from(farFuture)
+        case org.apache.spark.sql.types.TimestampNTZType => // NTZ rows carry LocalDateTime
+          java.time.LocalDateTime.ofInstant(farFuture, java.time.ZoneOffset.UTC)
+        case _ => java.sql.Timestamp.from(farFuture)
+      }
       val tmp = Paths.get(streamDir.toString, "_sentinel_build")
       s.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(sentinels(schema0, tsVal)).asJava,
@@ -826,9 +842,7 @@ object Streams {
     val raw = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(raw)
   }
 
   /** The ONE sentinel dir every watermark-flush consumer shares (x4's
