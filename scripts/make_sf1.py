@@ -13,10 +13,13 @@ tables are copied verbatim:
               every document a 10-clique of exact+near duplicates -- a
               dup-heavy corpus that stresses the LSH banding and cluster
               fixpoint far harder than sf0.1.
-- embeddings: vec_id shifted by k*1_000_007 -- NOT a multiple of 100, so the
-              `vec_id % 100` query-side contract keeps the original query
-              set while the corpus grows 10x (queries must stay bounded
-              independently of corpus size at scale).
+- embeddings: copy 0 keeps its ids; copies k>=1 get (vec_id + k*1e6)*100 + 7,
+              which is never ≡ 0 (mod 100) -- the `vec_id % 100` query-side
+              contract keeps the ORIGINAL bounded query set while the corpus
+              grows 10x (queries must stay bounded independently of corpus
+              size at scale; a plain constant shift leaves ~1/100 of every
+              copy ≡ 0 mod 100 and silently scales the query side with the
+              corpus, turning the brute-force baseline quadratic).
 
 Usage: python3 scripts/make_sf1.py [srcDir] [dstDir]
 """
@@ -46,7 +49,9 @@ con.execute(f"""
         FROM '{SRC}/documents.parquet', ks)
   TO '{DST}/documents.parquet' (FORMAT parquet)""")
 con.execute(f"""
-  COPY (SELECT vec_id + k*1000007 AS vec_id, embedding, label
+  COPY (SELECT CASE WHEN k = 0 THEN vec_id
+                    ELSE (vec_id + k*1000000)*100 + 7 END AS vec_id,
+               embedding, label
         FROM '{SRC}/embeddings.parquet', ks)
   TO '{DST}/embeddings.parquet' (FORMAT parquet)""")
 

@@ -42,7 +42,11 @@ object Bench {
         queries.Dedup.clearShared()
         queries.Graph.clearShared()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // failures must be LOUD: a swallowed exception records a
+        // near-zero timing that reads as "blazing fast" in the round
+        // artifact (how the sf1 symlink bug almost slipped)
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> median3(runs(0), runs(1), runs(2))

@@ -495,12 +495,15 @@ object Graph {
     * the d8/resolveRoots discipline), and `localCheckpoint` cuts lineage
     * per round exactly like g3.
     *
-    * Rounds after the first are FRONTIER-DRIVEN: a node's H-index can only
-    * change if some neighbor's value changed last round (values are
-    * monotone non-increasing, so an untouched neighborhood re-derives the
-    * same H), so each round re-scores only the changed nodes' neighbors —
-    * the per-round edge sort shrinks with the frontier instead of staying
-    * O(E log E) for all ~log-scale rounds, identical results.
+    * Measured negative result (sf0.1 + a 10× slice): a FRONTIER-DRIVEN
+    * variant — re-scoring only nodes adjacent to last round's changes,
+    * valid because values are monotone non-increasing — ran ~9× SLOWER
+    * here: on this dense co-engagement graph the frontier stays near-|V|
+    * for most of the ~21 rounds, so the frontier-discovery joins + distinct
+    * added two E-sized shuffles per round while pruning almost nothing
+    * (and the post-checkpoint frontier has no stats, defeating broadcast).
+    * Frontier pruning pays on long-tail sparse convergence, not here; the
+    * plain Jacobi re-score is the scale plan of record.
     *
     * The DuckDB oracle unrolls [[KCoreRounds]] H rounds as a plain CTE
     * chain (the s4 Lloyd discipline) — extra rounds past convergence
@@ -526,27 +529,14 @@ object Graph {
       .agg(coalesce(max(when(col("nc") >= col("rn"), col("rn"))), lit(0))
         .cast("long").as("c"))
     var c = ed.groupBy("u").agg(count(lit(1)).as("c")).localCheckpoint()
-    // round 1 scores everyone; afterwards only the frontier's neighborhoods
-    var frontier: Option[DataFrame] = None
     var rounds = 0
     var changed = true
     while (changed && rounds < KCoreRounds) {
-      val affectedEdges = frontier match {
-        case None => ed
-        case Some(f) => // every edge of every node adjacent to a change
-          ed.join(ed.join(f.select(col("u").as("v")), Seq("v"))
-                    .select(col("u")).distinct(), Seq("u"))
-      }
-      val rescored = hIndex(affectedEdges, c)
-      val nxt = c.join(rescored.withColumnRenamed("c", "nc"), Seq("u"), "left")
-        .select(col("u"), coalesce(col("nc"), col("c")).as("c"),
-                (col("nc") < col("c")).as("chg"))
-        .localCheckpoint()
-      val newFrontier = nxt.filter(col("chg")).select(col("u"))
-      changed = newFrontier.limit(1).count() > 0
-      frontier = Some(newFrontier)
-      c = nxt.select(col("u"), col("c"))
+      val nxt = hIndex(ed, c).localCheckpoint()
+      changed = nxt.join(c.withColumnRenamed("c", "pc"), Seq("u"))
+        .filter(col("c") =!= col("pc")).limit(1).count() > 0
       rounds += 1
+      c = nxt
     }
     require(!changed,
       s"H-index iteration still changing after $KCoreRounds rounds — raise KCoreRounds in both engines")

@@ -54,8 +54,8 @@ class GraphSpec extends SparkSpec {
 
   test("k-core H-index fixpoint recovers known core numbers") {
     // 5-clique (core 4) with a pendant path 5-6-7 (core 1), plus a
-    // disjoint triangle (core 2) — exercises the frontier-driven rounds:
-    // the clique stabilizes while the path keeps changing
+    // disjoint triangle (core 2) — mixed densities converging at
+    // different rounds
     val und = Seq(
       (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L), (2L, 5L),
       (3L, 4L), (3L, 5L), (4L, 5L),
