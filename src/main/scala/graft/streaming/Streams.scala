@@ -890,6 +890,52 @@ object Streams {
       .orderBy("p_id", "c_id")
   }
 
+  /** X17: stream-stream FULL OUTER join — completes the join family
+    * (x11 inner, x12 left-outer): BOTH unmatched sides must surface,
+    * null-extended, and each unmatched row may only emit once the OPPOSITE
+    * side's watermark proves no partner can still arrive. Same shared
+    * sentinel flush; the sentinel pair (negative user_id) joins only
+    * itself and is filtered. Clicks with no later purchase — invisible to
+    * x11/x12 — come out here with a null p_id. */
+  def x17_stream_full_outer_join(s: SparkSession, dir: String): DataFrame = {
+    def side() = sharedSentinelStream(s, dir)
+    val purchases = side()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = side()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(col("p_id"), col("c_id"),
+              coalesce(col("p_user"), col("c_user")).as("user_id"),
+              ((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+                / lit(1000000L)).cast("long").as("lag_s"))
+    runToMemory(joined, OutputMode.Append(), s"x17_mem_${System.nanoTime()}")
+      .filter(col("user_id") >= 0)
+      .orderBy("p_id", "c_id")
+  }
+
+  val x17Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+      |)
+      |SELECT p.event_id AS p_id, c.event_id AS c_id,
+      |       coalesce(p.user_id, c.user_id) AS user_id,
+      |       (p.t - c.t) // 1000000 AS lag_s
+      |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM e WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.t <= p.t AND c.t >= p.t - 1800000000
+      |ORDER BY p_id, c_id""".stripMargin
+
   val x12Sql: String =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
@@ -946,7 +992,8 @@ object Streams {
     "x13_stream_dedup_watermark" -> (x13_stream_dedup_watermark _),
     "x14_stream_ewma"          -> (x14_stream_ewma _),
     "x15_stream_ohlc"          -> (x15_stream_ohlc _),
-    "x16_late_refinement"      -> (x16_late_refinement _))
+    "x16_late_refinement"      -> (x16_late_refinement _),
+    "x17_stream_full_outer"    -> (x17_stream_full_outer_join _))
 
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
@@ -966,5 +1013,6 @@ object Streams {
     "x13_stream_dedup_watermark" -> x13Sql,
     "x14_stream_ewma"          -> graft.queries.Stateful.st7Sql,
     "x15_stream_ohlc"          -> graft.queries.Windows.w10Sql,
-    "x16_late_refinement"      -> x16Sql)
+    "x16_late_refinement"      -> x16Sql,
+    "x17_stream_full_outer"    -> x17Sql)
 }
