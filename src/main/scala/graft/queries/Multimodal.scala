@@ -64,6 +64,42 @@ object Multimodal {
     }
   }
 
+  /** A perceptual-hash row (see [[StubCodec.phash32]]). */
+  case class PHashed(doc_id: Long, phash: Long)
+
+  /** M5 codec half: a 32-bit PERCEPTUAL hash over the payload — bit j
+    * covers the STRIDE group of bytes at positions ≡ j (mod 32), summed
+    * with a position weight, and is set iff the group's sum is above the
+    * asset's mean group sum. Stride groups (not contiguous blocks) because
+    * every payload ≥ 32 bytes then fills all 32 bits — contiguous 64-byte
+    * blocks left short assets with mostly-zero hashes and a degenerate
+    * near-dup relation (measured: 86k of 125k possible pairs within
+    * Hamming 3 at sf0.01; stride+weight gives 110). The mean comparison is
+    * cross-multiplied (`gsum·nGroups > total`) so everything stays exact
+    * integer arithmetic — the DuckDB oracle reproduces it bit-for-bit. A
+    * real deployment swaps this for pHash/aHash over decoded pixels;
+    * banding, verification, and the batch shape are production-real. */
+  def phash32(a: Asset): PHashed = {
+    val bytes = a.payload
+    val sums = new Array[Long](32)
+    var i = 0
+    while (i < bytes.length) {
+      sums(i % 32) += (bytes(i) & 0xffL) * (i / 32 + 1)
+      i += 1
+    }
+    val nGroups = math.min(bytes.length, 32)
+    var total = 0L
+    var j = 0
+    while (j < nGroups) { total += sums(j); j += 1 }
+    var h = 0L
+    j = 0
+    while (j < nGroups) {
+      if (sums(j) * nGroups > total) h |= 1L << j
+      j += 1
+    }
+    PHashed(a.doc_id, h)
+  }
+
   /** M1: metadata-only stats — proves the binary column is NOT read when
     * only metadata is touched (column pruning keeps the scan narrow). */
   def m1_media_meta(s: SparkSession, dir: String): DataFrame =
@@ -162,13 +198,72 @@ object Multimodal {
       |GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY content_hash""".stripMargin
 
+  /** M5 media NEAR-dup: m4 catches byte-identical uploads; re-encoded or
+    * lightly-edited media needs a perceptual match. Each asset gets the
+    * 32-bit [[phash32]] (partition-parallel mapPartitions, the m2 batch
+    * shape), then the d4 simhash discipline: 4×8-bit pigeonhole bands →
+    * candidate pairs via equi-join on (band, key) — Hamming ≤ 3 over 4
+    * bands guarantees a shared band, so banding is COMPLETE, and the
+    * quadratic pair space is never materialized — → exact Hamming
+    * verification on candidates only. Payload bytes never shuffle; only
+    * the 8-byte hash does. */
+  def m5_media_neardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph = assets(s, dir).as[Asset]
+      .mapPartitions(_.map(phash32)).toDF()
+      .localCheckpoint()
+    val bands = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: phash re-derived per doc in exact integer arithmetic, then
+    * ALL pairs filtered by Hamming distance — quadratic is fine for the
+    * oracle; the engine's banding must return the identical set. */
+  val m5Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, i, ascii(substring(text, i, 1)) AS byte
+      |  FROM documents CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(length(text)) FROM documents))) AS i)
+      |  WHERE i <= length(text)
+      |), blk AS (
+      |  SELECT doc_id, (i - 1) % 32 AS j,
+      |         sum(byte * ((i - 1) // 32 + 1))::BIGINT AS bsum
+      |  FROM b GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, sum(bsum)::BIGINT AS total, count(*)::BIGINT AS nb
+      |  FROM blk GROUP BY 1
+      |), ph AS (
+      |  SELECT blk.doc_id,
+      |    sum(CASE WHEN bsum * nb > total THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS phash
+      |  FROM blk JOIN tot USING (doc_id) GROUP BY 1
+      |)
+      |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |       bit_count(xor(a.phash, b2.phash))::BIGINT AS hamming
+      |FROM ph a JOIN ph b2 ON a.doc_id < b2.doc_id
+      |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_media_neardup"   -> (m5_media_neardup _),
     "m4_media_dedup"     -> (m4_media_dedup _),
     "m1_media_meta"      -> (m1_media_meta _),
     "m2_decode_features" -> (m2_decode_features _),
     "m3_frame_sample"    -> (m3_frame_sample _))
 
   val oracles: Map[String, String] = Map(
+    "m5_media_neardup"   -> m5Sql,
     "m4_media_dedup"     -> m4Sql,
     "m1_media_meta"      -> m1Sql,
     "m2_decode_features" -> m2Sql,
