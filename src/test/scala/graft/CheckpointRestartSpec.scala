@@ -25,14 +25,19 @@ class CheckpointRestartSpec extends SparkSpec {
 
   /** events split into `n` parquet chunk files in (ts, event_id) order —
     * multiple micro-batches with per-user order preserved across batches. */
-  private def chunkedStreamDir(n: Int): Path = {
+  private def chunkedStreamDir(n: Int): Path =
+    chunkedStreamDirCols(n, s"events_chunked_$n",
+      Seq("event_id", "user_id", "ts", "value"))
+
+  private def chunkedStreamDirCols(n: Int, name: String,
+      cols: Seq[String]): Path = {
     val streamDir = Paths.get("/tmp/graft_stream",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"), s"events_chunked_$n")
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), name)
     val doneMarker = streamDir.resolve(s"${n - 1}_chunk.parquet")
     if (!Files.exists(doneMarker)) {
       Files.createDirectories(streamDir)
       val ev = Tables.events(spark, dir)
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(cols.map(col): _*)
         .withColumn("_rk", row_number().over( // test setup, not a query plan
           Window.orderBy(col("ts"), col("event_id"))))
       val total = ev.count()
@@ -108,6 +113,67 @@ class CheckpointRestartSpec extends SparkSpec {
     val q2 = startQuery(src, ckpt, out, availableNow = true)
     q2.awaitTermination()
     assert(batchResult(out) == expected)
+  }
+
+  test("stream-stream join killed mid-replay resumes exactly-once") {
+    // L6 on JOIN state: both sides' buffered-but-unmatched rows live in the
+    // state store; a kill between micro-batches must lose no pending match
+    // and re-emit none already committed. Same discipline as the
+    // running-sum test — idempotent per-batch sink, kill after >=2 of 4
+    // batches, restart from the same checkpoint, final union == batch join.
+    val src = chunkedStreamDirCols(4, "events_chunked_join4",
+      Seq("event_id", "user_id", "ts", "event_type"))
+    val base = Files.createTempDirectory("graft_join_ckpt_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    def startJoin(availableNow: Boolean) = {
+      val schema = spark.read.parquet(src.resolve("0_chunk.parquet").toString).schema
+      def side() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val purchases = side().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                col("ts").as("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+      val clicks = side().filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+                col("ts").as("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+      purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("p_id"), col("c_id"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    val q1 = startJoin(availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    val q2 = startJoin(availableNow = true)
+    q2.awaitTermination()
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts").as("c_ts"))
+    val expectedJoin = p.join(c,
+        col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("c_id"))
+      .collect().map(_.toSeq).toSet
+    assert(batchResult(out) == expectedJoin)
   }
 
   test("same flow under the RocksDB state-store provider") {
