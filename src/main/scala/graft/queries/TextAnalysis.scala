@@ -507,7 +507,53 @@ object TextAnalysis {
       |       THEN 1 ELSE 0 END AS repetitive
       |FROM fr ORDER BY doc_id""".stripMargin
 
+  /** T13: per-stratum QUOTA sampling — exactly N docs per language, chosen
+    * by deterministic hash rank (md5 of the key, the t8 discipline, so the
+    * sample is reproducible across engines, partitionings, and runs). t8's
+    * threshold sampling is Bernoulli per stratum (expected rate, variable
+    * count); training-data curation often needs exact per-language budgets,
+    * which is an order statistic per stratum.
+    *
+    * Scale: the naive spelling is a window over the whole stratum — a full
+    * shuffle-sort of every language's documents for 25 survivors. Instead
+    * the canonical two-phase top-N: rank within (stratum, INPUT PARTITION)
+    * — bounded local sorts — keep each partition's top N, then rank the
+    * ≤ N·partitions survivors per stratum. The final result is provably
+    * partition-independent: any stratum-wide top-N doc is top-N within its
+    * own partition. */
+  def t13_quota_sample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = 25
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val local = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", h)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("lang"), col("pid"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("lrk") <= N)
+    local
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= N)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val t13Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h FROM documents
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      |  FROM h
+      |)
+      |SELECT doc_id, lang, rk FROM r WHERE rk <= 25 ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_quota_sample" -> (t13_quota_sample _),
     "t12_repetition"   -> (t12_repetition _),
     "t11_novelty"      -> (t11_novelty _),
     "t10_bigram_lm"    -> (t10_bigram_lm _),
@@ -522,6 +568,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t13_quota_sample" -> t13Sql,
     "t12_repetition"   -> t12Sql,
     "t11_novelty"      -> t11Sql,
     "t10_bigram_lm"    -> t10Sql,
