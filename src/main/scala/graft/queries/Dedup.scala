@@ -517,7 +517,76 @@ object Dedup {
       |JOIN documents db ON db.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** D9: the SAME duplicate clusters as [[d8_dup_clusters]], by two-phase
+    * STAR CONTRACTION (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") instead of label propagation — the d8/d9 pair follows the
+    * st5/st6 twin discipline: identical results, different scale envelope.
+    * d8's min-label rounds equal the graph DIAMETER (fine for near-dup
+    * clusters, whose diameter is 2-3; pathological for chain-shaped
+    * graphs); alternating large-star (hang every larger neighbor off the
+    * neighborhood min) and small-star (hang the smaller ones) contracts
+    * any component to its min-rooted star in O(log n) alternations. Each
+    * half-round is one neighborhood aggregation + one key join + a
+    * distinct — all key-partitioned shuffles; the per-round driver action
+    * is the fixpoint's inherent has-anything-changed check. `GraphSpec`
+    * drives a 64-node chain through it in ≤ 8 alternations (diameter 63). */
+  def d9_dup_clusters_star(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d3Pairs(s, dir).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val (labels, _) = starComponents(pairs)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Two-phase star contraction over an undirected edge list (u, v) —
+    * returns (labels (doc_id, cluster_id = component min), alternations).
+    * Package-visible so specs can drive adversarial graph shapes. */
+  private[graft] def starComponents(pairs: DataFrame): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // per node: min of its neighborhood including itself
+    def minsOf(symE: DataFrame): DataFrame = symE
+      .groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      canon(s.filter(col("v") > col("u"))
+        .join(minsOf(s), Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = minsOf(s)
+      canon(s.filter(col("v") < col("u"))
+        .join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v"))))
+    }
+    val MaxAlternations = 32
+    var e = canon(pairs).localCheckpoint()
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < MaxAlternations) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      changed = next.count() != e.count() ||
+        next.exceptAll(e).limit(1).count() > 0
+      e = next
+      rounds += 1
+    }
+    require(!changed,
+      s"star contraction still changing after $MaxAlternations alternations")
+    val labels = minsOf(sym(e))
+      .select(col("u").as("doc_id"), col("m").as("cluster_id"))
+    (labels, rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_dup_clusters_star" -> (d9_dup_clusters_star _),
     "d7_edit_verify"   -> (d7_edit_verify _),
     "d8_dup_clusters"  -> (d8_dup_clusters _),
     "d6_cdc_chunks"    -> (d6_cdc_chunks _),
@@ -528,6 +597,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
+    "d9_dup_clusters_star" -> d8Sql, // identical-result twin shares d8's oracle
     "d7_edit_verify"   -> d7Sql,
     "d8_dup_clusters"  -> d8Sql,
     "d6_cdc_chunks"    -> d6Sql,

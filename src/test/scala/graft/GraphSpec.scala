@@ -69,6 +69,30 @@ class GraphSpec extends SparkSpec {
       6L -> 1L, 7L -> 1L, 10L -> 2L, 11L -> 2L, 12L -> 2L))
   }
 
+  test("star contraction finds chain components in logarithmic alternations") {
+    // a 64-node chain (diameter 63) — label propagation would need 63
+    // rounds; two-phase star contraction must stay logarithmic. Plus a
+    // disjoint triangle to prove components don't merge.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("u", "v")
+    val (labels, rounds) = graft.queries.Dedup.starComponents(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 67)
+    (0L to 63L).foreach(i => assert(got(i) == 0L, s"node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L, s"node $i"))
+    assert(rounds <= 8, s"expected O(log n) alternations, took $rounds")
+  }
+
+  test("star contraction equals label propagation on the dup pair graph") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.Dedup.d8_dup_clusters(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = graft.queries.Dedup.d9_dup_clusters_star(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("fails loudly on an unresolvable (cyclic) relation") {
     val edges = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("event_id", "parent_id")
     intercept[Exception] { Graph.resolveRoots(edges, maxIters = 4).count() }
