@@ -206,7 +206,12 @@ object Multimodal {
     * bands guarantees a shared band, so banding is COMPLETE, and the
     * quadratic pair space is never materialized — → exact Hamming
     * verification on candidates only. Payload bytes never shuffle; only
-    * the 8-byte hash does. */
+    * the 8-byte hash does.
+    *
+    * Scale limit (shared with d4's simhash): an 8-bit band has 256 keys,
+    * so beyond ~10⁵ assets per band-bucket the candidate join turns
+    * quadratic — at that corpus size widen the hash to 64 stride groups
+    * and band 4×16 (65k keys/band); the pipeline shape is unchanged. */
   def m5_media_neardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ph = assets(s, dir).as[Asset]
