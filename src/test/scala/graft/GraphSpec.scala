@@ -84,6 +84,32 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= 8, s"expected O(log n) alternations, took $rounds")
   }
 
+  test("star contraction equals naive reachability on random graphs") {
+    // randomized cross-check on arbitrary topologies (seeded — the suite
+    // stays deterministic): components from starComponents must equal a
+    // plain in-memory union-find on the same edges
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 20 + trial * 10
+      val edges = (1 to n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map { v =>
+        val root = find(v.toInt)
+        val minOfComp = (0 until n)
+          .filter(u => find(u) == root)
+          .filter(u => edges.exists(e => e._1 == u || e._2 == u)).min.toLong
+        v -> minOfComp
+      }.toMap
+      val got = graft.queries.Dedup.starComponents(edges.toDF("u", "v"))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, ${edges.size} edges)")
+    }
+  }
+
   test("star contraction equals label propagation on the dup pair graph") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.queries.Dedup.d8_dup_clusters(spark, dir)
