@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * Scale: `repartition(n, key-hash)` + `sortWithinPartitions` is one
   * shuffle + a per-partition sort — the same plan as any keyed windowed
   * write; nothing is collected.
+  *
+  * With a real broker the swap is one line on each side — sink:
+  * `df.selectExpr("CAST(k AS STRING) AS key", "CAST(v AS STRING) AS value")
+  *   .writeStream.format("kafka")
+  *   .option("kafka.bootstrap.servers", brokers).option("topic", t)` —
+  * Kafka's default partitioner then applies the same hash(key)→partition
+  * routing this stand-in asserts; source:
+  * `spark.readStream.format("kafka").option("subscribe", t)` feeding
+  * `ActivityParser.fromTagged` replaces the file-stream dirs. Everything
+  * downstream (watermarks, state, sinks) is unchanged.
   */
 object FrameSink {
 
