@@ -42,12 +42,16 @@ object Bench {
         queries.Dedup.clearShared()
         queries.Graph.clearShared()
         val t0 = System.nanoTime()
-        // failures must be LOUD: a swallowed exception records a
-        // near-zero timing that reads as "blazing fast" in the round
-        // artifact (how the sf1 symlink bug almost slipped)
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-        (System.nanoTime() - t0) / 1e9
+        // failures must be LOUD in the artifact itself, not just stderr: a
+        // swallowed exception otherwise records a near-zero timing that
+        // reads as "blazing fast" (how the sf1 symlink bug almost slipped)
+        // — a failed run scores −1, so an all-failed query's median is −1
+        // in the JSON while a one-off hiccup still yields a valid median
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       name -> median3(runs(0), runs(1), runs(2))
     }.toMap

@@ -47,15 +47,23 @@ case class SqDist(left: Expression, right: Expression) extends BinaryExpression 
     case _ => false
   }
 
+  // Same null discipline as dot_f32: the composed zip_with/aggregate form
+  // null-pads ragged pairs and a null element poisons the fold, so both
+  // yield NULL here too — never a silently truncated or garbage distance.
+  override def nullable: Boolean = true
+
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    SqDist.compute(a.asInstanceOf[ArrayData], isFloat(left.dataType),
-                   b.asInstanceOf[ArrayData], isFloat(right.dataType))
+    SqDist.computeOrNull(a.asInstanceOf[ArrayData], isFloat(left.dataType),
+                         b.asInstanceOf[ArrayData], isFloat(right.dataType))
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fa = isFloat(left.dataType)
     val fb = isFloat(right.dataType)
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SqDist.compute($a, $fa, $b, $fb)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.functions.SqDist.computeOrNull($a, $fa, $b, $fb);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
   }
 
   protected override def withNewChildrenInternal(
@@ -66,12 +74,17 @@ case class SqDist(left: Expression, right: Expression) extends BinaryExpression 
 object SqDist {
   /** Fused ascending-index Σ(aᵢ−bᵢ)² over the raw array buffers. The
     * per-side element-type flags are compile-time constants in the
-    * generated code, so the JIT hoists the branches out of the loop. */
-  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * generated code, so the JIT hoists the branches out of the loop.
+    * Returns null exactly when the composed form does: length mismatch or
+    * a null element (the dot_f32 discipline). */
+  def computeOrNull(a: ArrayData, aFloat: Boolean,
+                    b: ArrayData, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       val d = x - y

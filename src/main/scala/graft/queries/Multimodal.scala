@@ -214,8 +214,16 @@ object Multimodal {
     * and band 4×16 (65k keys/band); the pipeline shape is unchanged. */
   def m5_media_neardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ASCII + non-empty guard (the d6 discipline): the oracle re-derives
+    // the hash from per-CHARACTER code points, which equals the engine's
+    // per-BYTE arithmetic only for single-byte text, and an empty payload
+    // has no byte rows at all on the oracle side. Signed-byte b >= 1 ⟺
+    // 0x01..0x7f ⟺ the oracle's regexp_matches(text, '^[\x01-\x7f]*$').
     val ph = assets(s, dir).as[Asset]
-      .mapPartitions(_.map(phash32)).toDF()
+      .mapPartitions(_.flatMap { a =>
+        if (a.payload.nonEmpty && a.payload.forall(_ >= 1)) Some(phash32(a))
+        else None
+      }).toDF()
       .localCheckpoint()
     val bands = ph.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map(b =>
@@ -241,7 +249,7 @@ object Multimodal {
     """WITH b AS (
       |  SELECT doc_id, i, ascii(substring(text, i, 1)) AS byte
       |  FROM documents CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(length(text)) FROM documents))) AS i)
-      |  WHERE i <= length(text)
+      |  WHERE i <= length(text) AND regexp_matches(text, '^[\x01-\x7f]*$')
       |), blk AS (
       |  SELECT doc_id, (i - 1) % 32 AS j,
       |         sum(byte * ((i - 1) // 32 + 1))::BIGINT AS bsum

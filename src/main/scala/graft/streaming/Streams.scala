@@ -38,8 +38,13 @@ object Streams {
     val link = streamDir.resolve("events.parquet")
     // absolute target: a relative one would resolve against the SYMLINK's
     // own directory and dangle (latent for the driver's absolute sf dirs,
-    // real for a relative one like target/sf1)
-    if (!Files.exists(link))
+    // real for a relative one like target/sf1). NOFOLLOW existence check +
+    // repair: a dangling link from a pre-fix run follows to "not exists"
+    // and createSymbolicLink would throw FileAlreadyExistsException
+    if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !Files.exists(link))
+      Files.delete(link)
+    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       Files.createSymbolicLink(link,
         Paths.get(Tables.path(dir, "events")).toAbsolutePath)
     val raw = s.readStream.schema(
@@ -378,7 +383,10 @@ object Streams {
             val freq = if (st.nSeen >= 2)
               round4(3.0 * 3600.0 / math.max(sec - st.t2, 1L)) else -1.0
             // same content derivation as the batch `withFeatures`
-            val k = "([0-9]+)".r.findFirstIn(e.props).map(_.toInt).getOrElse(0)
+            // toIntOption (not toInt): an over-Int digit run must coalesce
+            // to 0 like batch cast→NULL→0 and the oracle's TRY_CAST
+            val k = "([0-9]+)".r.findFirstIn(e.props)
+              .flatMap(_.toIntOption).getOrElse(0)
             val content = if (k % 3 == 0) s"${e.event_type} ${e.event_type} ${e.props}"
                           else s"${e.event_type} ${e.props}"
             val isComment = e.event_type == "click" || e.event_type == "view"
@@ -807,7 +815,11 @@ object Streams {
     if (!Files.exists(sentinelDone)) {
       Files.createDirectories(streamDir)
       val link = streamDir.resolve("0_events.parquet")
-      if (!Files.exists(link)) // absolute target — see eventsStream
+      // absolute target + dangling-link repair — see eventsStream
+      if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !Files.exists(link))
+        Files.delete(link)
+      if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
         Files.createSymbolicLink(link,
           Paths.get(Tables.path(dir, "events")).toAbsolutePath)
       val farFuture = Tables.events(s, dir)

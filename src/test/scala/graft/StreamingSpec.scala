@@ -159,11 +159,16 @@ class StreamingSpec extends SparkSpec {
     val recs = arr.zipWithIndex.map { case ((id, es, _), i) =>
       (id, es, es - es % 3600L, chunkOf(i + 1)) // (id, event-s, window, chunk)
     }
+    // per-chunk precomputation (4 values/sets) — the per-record scans the
+    // naive spelling does are O(n²) over 10k records
+    val maxEsByChunk = recs.groupBy(_._4).view.mapValues(_.map(_._2).max).toMap
+    val winsByChunk = recs.groupBy(_._4).view.mapValues(_.map(_._3).toSet).toMap
+    val priorMaxFor = (1 to 3).map(c => c -> (0 until c).map(maxEsByChunk).max).toMap
+    val firedBefore = (1 to 3).map(c => c -> (0 until c).flatMap(winsByChunk).toSet).toMap
     val refiredWindows = (for {
       (_, es, w, c) <- recs if c > 0
-      priorMax = recs.collect { case (_, e, _, pc) if pc < c => e }.max
-      if es < priorMax - 900L // behind the 15-min Flink watermark
-      if recs.exists { case (_, _, pw, pc) => pc < c && pw == w } // window already fired
+      if es < priorMaxFor(c) - 900L // behind the 15-min Flink watermark
+      if firedBefore(c)(w) // window already fired in an earlier batch
     } yield w).distinct
     assert(refiredWindows.nonEmpty, "replay schedule produced no late re-fire candidates")
 
