@@ -28,23 +28,25 @@ import graft.sources.ActivityParser
   * shuffle on (window, root). */
 object LdbcE2E {
 
-  def ldbc_e2e(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
       col("event_id"), col("user_id"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("cdate"),
       (col("event_id") - (col("event_id") % 7)).as("block"),
       (col("event_id") % 7).as("i"),
       col("event_type"))
 
-    // post line: id|personId|creationDate|imageFile|locationIP|browserUsed|language|content|tags|forumId|placeId
-    val postLines = ev.filter(col("i") === 0).select(concat_ws("|",
+  // post line: id|personId|creationDate|imageFile|locationIP|browserUsed|language|content|tags|forumId|placeId
+  private def postLines(ev: DataFrame): DataFrame =
+    ev.filter(col("i") === 0).select(concat_ws("|",
       col("event_id"), col("user_id"), col("cdate"), lit(""), lit("10.0.0.1"),
       lit("Firefox"), lit("en"), col("event_type"), lit("[1, 2]"),
       col("block"), lit("5")).as("value"))
 
-    // comment line: id|personId|creationDate|locationIP|browserUsed|content|reply_to_postId|reply_to_commentId|placeId
-    // i ∈ {1,2} ⇒ Comment (direct child of the post); i ≥ 3 ⇒ Reply to 7k+(i−1)/2
-    val commentLines = ev.filter(col("i") >= 1).select(concat_ws("|",
+  // comment line: id|personId|creationDate|locationIP|browserUsed|content|reply_to_postId|reply_to_commentId|placeId
+  // i ∈ {1,2} ⇒ Comment (direct child of the post); i ≥ 3 ⇒ Reply to 7k+(i−1)/2
+  private def commentLines(ev: DataFrame): DataFrame =
+    ev.filter(col("i") >= 1).select(concat_ws("|",
       col("event_id"), col("user_id"), col("cdate"), lit("10.0.0.2"),
       lit("Chrome"), col("event_type"),
       when(col("i") <= 2, col("block").cast("string")).otherwise(lit("")),
@@ -52,13 +54,16 @@ object LdbcE2E {
         .otherwise(lit("")),
       lit("7")).as("value"))
 
-    val unified = ActivityParser.unified(
-      ActivityParser.posts(postLines),
-      ActivityParser.comments(commentLines),
-      // the likes leg of the union is exercised with an empty frame — the
-      // testdata has no likes stream; schema compatibility still checked
-      ActivityParser.likes(postLines.limit(0)))
+  /** The Kafka-topic form of the synthesized slice: 1-char-tagged lines. */
+  def taggedWireLines(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    postLines(e).select(concat(lit("P|"), col("value")).as("value"))
+      .unionByName(commentLines(e).select(concat(lit("C|"), col("value")).as("value")))
+  }
 
+  /** The shared downstream: unified activity rows → parent edges →
+    * pointer-doubling resolution → W1 per-post hourly counts. */
+  private def resolveAndCount(unified: DataFrame): DataFrame = {
     val edges = unified.select(
       col("event_id").cast("long").as("event_id"),
       when(col("type") === "post", lit(null).cast("long"))
@@ -76,6 +81,44 @@ object LdbcE2E {
       .orderBy("win_start", "root_id")
   }
 
+  def ldbc_e2e(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val unified = ActivityParser.unified(
+      ActivityParser.posts(postLines(e)),
+      ActivityParser.comments(commentLines(e)),
+      // the likes leg of the union is exercised with an empty frame — the
+      // testdata has no likes stream; schema compatibility still checked
+      ActivityParser.likes(postLines(e).limit(0)))
+    resolveAndCount(unified)
+  }
+
+  /** The same pipeline with ingestion through the CUSTOM DataSource V2
+    * reader ([[graft.sources.ActivityDataSource]]): tagged wire lines are
+    * materialized to a text dir once (marker-cached per sf), read back via
+    * `spark.read.format(...)`, filtered like `fromTagged`, and fed to the
+    * identical resolve+window downstream — same closed-form oracle, so any
+    * divergence between the row-level reader and the expression parser
+    * breaks the hash. */
+  def ldbc_dsv2(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val linesDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "ldbc_lines")
+    val marker = linesDir.resolve("lines.txt")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(linesDir)
+      val tmp = linesDir.resolve("_build")
+      taggedWireLines(s, dir).coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".txt")).findFirst().get()
+      Files.move(part, marker)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    val unified = s.read.format("graft.sources.ActivityDataSource")
+      .load(marker.toString)
+      .filter(col("type") =!= "tombstone" && col("type") =!= "error")
+    resolveAndCount(unified)
+  }
+
   /** Closed-form twin: root = the id-block's post, hour bucket from the raw
     * timestamp (second-floored by the wire format, which cannot move an
     * event across an hour boundary). */
@@ -86,8 +129,10 @@ object LdbcE2E {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ldbc_e2e" -> (ldbc_e2e _))
+    "ldbc_e2e"  -> (ldbc_e2e _),
+    "ldbc_dsv2" -> (ldbc_dsv2 _))
 
   val oracles: Map[String, String] = Map(
-    "ldbc_e2e" -> ldbcSql)
+    "ldbc_e2e"  -> ldbcSql,
+    "ldbc_dsv2" -> ldbcSql) // identical pipeline through the DSv2 reader
 }
