@@ -53,6 +53,17 @@ def main() -> int:
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
             n_fail += 1
             continue
+        # The driver hashes byte-level values, so dtype drift (e.g. DuckDB's
+        # HUGEINT windowed sum surfacing as float64 against Spark's int64)
+        # fails there even when every value compares equal. Assert dtypes
+        # match BEFORE the float-cast value compare below, which would mask
+        # exactly that class.
+        dbad = [f"{c}: spark={a[c].dtype} duck={b[c].dtype}"
+                for c in a.columns if a[c].dtype != b[c].dtype]
+        if dbad:
+            n_fail += 1
+            print(f"FAIL {name}: dtype mismatch [{'; '.join(dbad)}]")
+            continue
         bad = []
         for c in a.columns:
             av, bv = a[c], b[c]

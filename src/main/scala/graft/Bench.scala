@@ -3,15 +3,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: every SparkEntry query timed at the given scale factor.
   *
-  * Each query is timed THREE times and the per-query MEDIAN is reported —
-  * single-shot timings are vulnerable to one-off GC/JIT artifacts (a prior
-  * round charged one query 21.6 s for a 3.8 s computation). The shared
+  * Each query is timed THREE times and the per-query MEDIAN of the
+  * SUCCESSFUL runs is reported — single-shot timings are vulnerable to
+  * one-off GC/JIT artifacts (a prior round charged one query 21.6 s for a
+  * 3.8 s computation). When the three timings spread more than 3× (the
+  * round-4 g1 artifact recorded 4.82 s for a 0.85 s query because one
+  * contended run survived the median), TWO extra runs are taken and the
+  * median recomputed over all successes; the final max/min spread per
+  * query is recorded in the artifact so a phantom regression is visible as
+  * a wide spread rather than mistaken for a plan change. The shared
   * materialized intermediates (Similarity.s2Pairs) are cleared before every
   * timed run so each measurement is a cold, self-contained cost.
   */
 object Bench {
-  private def median3(a: Double, b: Double, c: Double): Double =
-    Seq(a, b, c).sorted.apply(1)
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,32 +42,46 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      queries.Similarity.clearShared()
+      queries.Dedup.clearShared()
+      queries.Graph.clearShared()
+      val t0 = System.nanoTime()
+      // failures must be LOUD in the artifact itself, not just stderr: a
+      // swallowed exception otherwise records a near-zero timing that
+      // reads as "blazing fast" (how the sf1 symlink bug almost slipped)
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+      }
+    }
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val runs = (1 to 3).map { _ =>
-        queries.Similarity.clearShared()
-        queries.Dedup.clearShared()
-        queries.Graph.clearShared()
-        val t0 = System.nanoTime()
-        // failures must be LOUD in the artifact itself, not just stderr: a
-        // swallowed exception otherwise records a near-zero timing that
-        // reads as "blazing fast" (how the sf1 symlink bug almost slipped)
-        // — a failed run scores −1, so an all-failed query's median is −1
-        // in the JSON while a one-off hiccup still yields a valid median
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      name -> median3(runs(0), runs(1), runs(2))
-    }.toMap
+      var good = (1 to 3).flatMap(_ => timedRun(name, fn))
+      // wide spread ⇒ a contended run may be steering the median: take two
+      // extra measurements rather than trusting the noisy three
+      if (good.size >= 2 && good.max / good.min > 3.0)
+        good = good ++ (1 to 2).flatMap(_ => timedRun(name, fn))
+      // failed runs are EXCLUDED from the median (a −1 sentinel inside the
+      // sort would bias it toward the fastest good run); −1 only when every
+      // run failed, so an all-failed query still reads as failed in the JSON
+      val v = if (good.isEmpty) -1.0 else median(good)
+      val spread = if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0
+      (name, v, spread)
+    }
+    val results = timings.map { case (n, v, _) => n -> v }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spreads = timings.map { case (n, _, sp) =>
+      s"\"" + n + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
+    timings.filter(_._3 > 3.0).foreach { case (n, v, sp) =>
+      System.err.println(f"[bench] WARN $n spread ${sp}%.1fx across runs (median $v%.2fs)")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
     println(json)
     // the driver captures a bounded log tail, which clipped round 3's JSON
     // line — persist the same line to a file so the round artifact always

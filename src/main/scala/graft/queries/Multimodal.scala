@@ -211,7 +211,8 @@ object Multimodal {
     * Scale limit (shared with d4's simhash): an 8-bit band has 256 keys,
     * so beyond ~10⁵ assets per band-bucket the candidate join turns
     * quadratic — at that corpus size widen the hash to 64 stride groups
-    * and band 4×16 (65k keys/band); the pipeline shape is unchanged. */
+    * and band 4×16 (65k keys/band); the pipeline shape is unchanged.
+    * That widening is implemented: [[m6_media_neardup]]. */
   def m5_media_neardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ASCII + non-empty guard (the d6 discipline): the oracle re-derives
@@ -268,7 +269,94 @@ object Multimodal {
       |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** 64-bit perceptual hash: [[phash32]] widened to 64 stride groups —
+    * the documented scale path for band saturation (see [[m6_media_neardup]]). */
+  def phash64(a: Asset): PHashed = {
+    val bytes = a.payload
+    val sums = new Array[Long](64)
+    var i = 0
+    while (i < bytes.length) {
+      sums(i % 64) += (bytes(i) & 0xffL) * (i / 64 + 1)
+      i += 1
+    }
+    val nGroups = math.min(bytes.length, 64)
+    var total = 0L
+    var j = 0
+    while (j < nGroups) { total += sums(j); j += 1 }
+    var h = 0L
+    j = 0
+    while (j < nGroups) {
+      if (sums(j) * nGroups > total) h |= 1L << j
+      j += 1
+    }
+    PHashed(a.doc_id, h)
+  }
+
+  /** M6: m5's documented band-saturation fix, implemented — the 64-bit
+    * hash ([[phash64]]) banded 4×16 (65,536 keys per band instead of 256).
+    * The sf1 stress run measured m5's 8-bit bands beginning to saturate
+    * (~19M candidate pairs at 50k assets); with 4×16 banding the same
+    * corpus's per-bucket occupancy drops by the 256× key-space widening,
+    * so the candidate join stays linear two orders of magnitude deeper.
+    * Pipeline shape identical to m5 — pigeonhole over 4 bands is still
+    * COMPLETE for Hamming ≤ 3, candidates get exact Hamming verification,
+    * and only the 8-byte hash ever shuffles. */
+  def m6_media_neardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph = assets(s, dir).as[Asset]
+      .mapPartitions(_.flatMap { a =>
+        if (a.payload.nonEmpty && a.payload.forall(_ >= 1)) Some(phash64(a))
+        else None
+      }).toDF()
+      .localCheckpoint()
+    val bands = ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** m5's oracle with 64 stride groups — all-pairs Hamming on the wide
+    * hash (quadratic is fine oracle-side; the engine's banding must return
+    * the identical set). The j=63 addend is −2⁶³, so the signed sum stays
+    * in BIGINT range and equals the engine's two's-complement long. */
+  val m6Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, i, ascii(substring(text, i, 1)) AS byte
+      |  FROM documents CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(length(text)) FROM documents))) AS i)
+      |  WHERE i <= length(text) AND regexp_matches(text, '^[\x01-\x7f]*$')
+      |), blk AS (
+      |  SELECT doc_id, (i - 1) % 64 AS j,
+      |         sum(byte * ((i - 1) // 64 + 1))::BIGINT AS bsum
+      |  FROM b GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, sum(bsum)::BIGINT AS total, count(*)::BIGINT AS nb
+      |  FROM blk GROUP BY 1
+      |), ph AS (
+      |  SELECT blk.doc_id,
+      |    sum(CASE WHEN bsum * nb <= total THEN 0
+      |             WHEN j = 63 THEN -9223372036854775807 - 1
+      |             ELSE 1::BIGINT << j END)::BIGINT AS phash
+      |  FROM blk JOIN tot USING (doc_id) GROUP BY 1
+      |)
+      |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |       bit_count(xor(a.phash, b2.phash))::BIGINT AS hamming
+      |FROM ph a JOIN ph b2 ON a.doc_id < b2.doc_id
+      |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_media_neardup"   -> (m6_media_neardup _),
     "m5_media_neardup"   -> (m5_media_neardup _),
     "m4_media_dedup"     -> (m4_media_dedup _),
     "m1_media_meta"      -> (m1_media_meta _),
@@ -276,6 +364,7 @@ object Multimodal {
     "m3_frame_sample"    -> (m3_frame_sample _))
 
   val oracles: Map[String, String] = Map(
+    "m6_media_neardup"   -> m6Sql,
     "m5_media_neardup"   -> m5Sql,
     "m4_media_dedup"     -> m4Sql,
     "m1_media_meta"      -> m1Sql,

@@ -323,9 +323,10 @@ object Similarity {
     * they are one aggregate per iteration, not the corpus × k hot path. */
   private def trainCoarse(s: SparkSession, dir: String, ex: Boolean): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    var centroids = emb.filter(col("vec_id") < 10) // deterministic seed
-      .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cemb"))
-      .localCheckpoint()
+    var centroids = graft.plans.BroadcastContract.boundedCheckpoint(
+      emb.filter(col("vec_id") < 10) // deterministic seed
+        .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cemb")),
+      "k-means seed: 10 rows by construction")
     for (_ <- 1 to 2) {
       val assigned = assignToNearest(emb, centroids, ex)
         .select(col("vec_id"), col("cluster"), col("embedding"))
@@ -334,7 +335,8 @@ object Similarity {
         .groupBy(col("cluster"), col("i"))
         .agg((sum(col("v").cast("double").cast("decimal(38,30)")).cast("double")
               / count(lit(1))).as("cv"))
-      centroids = toArrays(longForm).localCheckpoint()
+      centroids = graft.plans.BroadcastContract.boundedCheckpoint(
+        toArrays(longForm), "k-means centroids: k <= 10 clusters by seeding")
     }
     centroids
   }
@@ -564,15 +566,30 @@ object Similarity {
     * distances, refined-centroid means) and the integer micro-grid LUT, so
     * the final integer ADC scores hash-match the oracle's unrolled CTE
     * chain bit-for-bit. */
-  def s7_ivfpq_topk(s: SparkSession, dir: String): DataFrame = {
+  def s7_ivfpq_topk(s: SparkSession, dir: String): DataFrame =
+    ivfpqScored(s, dir, nprobe = 1)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("cell"), col("vec_id").as("n_id"),
+              col("score_micro"), col("rank"))
+      .orderBy("q_id", "rank")
+
+  /** The IVF-PQ candidate-scoring pipeline shared by [[s7_ivfpq_topk]]
+    * (single-probe) and [[s10_ivfpq_recall]] (1- vs 2-probe audit): corpus
+    * encode is probe-independent; queries route to their `nprobe` nearest
+    * cells, compute a residual against EACH probed cell's centroid (proper
+    * multi-probe — the residual basis changes per cell), and ADC-score that
+    * cell's codes. Returns the full pre-rank scored relation
+    * (q_id, probe, cell, vec_id, score_micro) — callers rank/limit. */
+  private def ivfpqScored(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val coarse = trainCoarse(s, dir, ex)
-    // cell assignment for every vector — queries route through the SAME
-    // quantizer (single-probe IVF)
+    // cell assignment for every vector (corpus side: nearest cell only)
     val asg = assignToNearest(emb, coarse, ex)
       .select(col("vec_id"), col("cluster").as("cell"), col("embedding"), col("cemb"))
-      .localCheckpoint() // consumed by residuals, query routing, code-cell join
+      .localCheckpoint() // consumed by residuals and the code-cell join
     // residual elements (vec_id, cell, j, i, v): v − centroid[cell], long form
     val res = asg.select(col("vec_id"), col("cell"),
         posexplode(zip_with(col("embedding"), col("cemb"),
@@ -587,24 +604,37 @@ object Similarity {
     val cb1 = sub.join(enc0, Seq("vec_id", "j"))
       .groupBy(col("j"), col("c"), col("i"))
       .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
-    val cand1 = pqCand(sub, cb1)
-    val codes = pqEncode(cand1).join(res.select("vec_id", "cell").distinct(), Seq("vec_id"))
-    val qcell = asg.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("cell"))
-    val lut = cand1.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("j"), col("c"),
+      .localCheckpoint() // consumed by the corpus encode and the query LUTs
+    val codes = pqEncode(pqCand(sub, cb1))
+      .join(res.select("vec_id", "cell").distinct(), Seq("vec_id"))
+    // query routing: the nprobe nearest cells, probe rank attached
+    val qroute = emb.filter(col("vec_id") % 100 === 0)
+      .crossJoin(broadcast(coarse))
+      .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
+      .withColumn("probe", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))).cast("long"))
+      .filter(col("probe") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("probe"),
+              col("cluster").as("cell"), col("embedding"), col("cemb"))
+    // per-(query, probed cell) residuals — the residual basis is the PROBED
+    // cell's centroid (for probe 1 this is bit-identical to the corpus
+    // residual the old single-probe path read out of cand1)
+    val qres = qroute.select(col("q_id"), col("probe"), col("cell"),
+        posexplode(zip_with(col("embedding"), col("cemb"),
+          (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
+      .select(col("q_id"), col("probe"), col("cell"),
+              expr("i div 8").as("j"), col("i"), col("v"))
+    // integer micro-grid LUT per (query, probed cell, subspace, code)
+    val lut = qres.join(cb1, Seq("j", "i"))
+      .groupBy(col("q_id"), col("probe"), col("cell"), col("j"), col("c"))
+      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
+        .cast("double").as("sqd"))
+      .select(col("q_id"), col("probe"), col("cell"), col("j"), col("c"),
               floor(col("sqd") * 1000000.0).cast("long").as("lm"))
-      .join(qcell, Seq("q_id")) // attach the routed cell to each LUT row
     codes.join(broadcast(lut), Seq("cell", "j", "c")) // cell-pruned ADC scan
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("cell"), col("vec_id"))
+      .groupBy(col("q_id"), col("probe"), col("cell"), col("vec_id"))
       .agg(sum(col("lm")).as("score_micro"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("cell"), col("vec_id").as("n_id"),
-              col("score_micro"), col("rank"))
-      .orderBy("q_id", "rank")
   }
 
   val s7Sql: String =
@@ -685,7 +715,128 @@ object Similarity {
        |WHERE e.rank <= 3
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S10: recall/cost audit for the COMPOSED index — s8 audits s3's
+    * single-probe coarse routing alone; this measures the full IVF-PQ
+    * stack's compounded loss (coarse routing + residual PQ quantization)
+    * against the exact top-3 ground truth, at BOTH probe widths in one
+    * result: per query, recall@3 and the candidate-scan cost (corpus codes
+    * ADC-scored) for single-probe and 2-probe search. The recall/cost trade
+    * production tunes nprobe by, MEASURED rather than asserted: 2-probe
+    * roughly doubles cand_* and recovers the neighbors that straddle a cell
+    * boundary. The audit join itself is |Q|·k rows per side; cost columns
+    * come from the pre-rank scored relation, not an extra pass. */
+  def s10_ivfpq_recall(s: SparkSession, dir: String): DataFrame = {
+    val exact3 = s1_ann_topk(s, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val scored = ivfpqScored(s, dir, nprobe = 2).localCheckpoint()
+    def audit(maxProbe: Int, tag: String): DataFrame = {
+      val sc = scored.filter(col("probe") <= maxProbe)
+      val top5 = sc.withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"), lit(1).as("hit"))
+      val cost = sc.groupBy(col("q_id")).agg(count(lit(1)).as(s"cand_$tag"))
+      exact3.join(top5, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as(s"hits_$tag"))
+        .withColumn(s"recall_$tag",
+          round4(col(s"hits_$tag").cast("double") / 3.0))
+        .join(cost, Seq("q_id"))
+    }
+    audit(1, "1p").join(audit(2, "2p"), Seq("q_id"))
+      .select(col("q_id"), col("hits_1p"), col("recall_1p"), col("cand_1p"),
+              col("hits_2p"), col("recall_2p"), col("cand_2p"))
+      .orderBy("q_id")
+  }
+
+  /** The s10 oracle: ONE unrolled CTE chain — shared corpus encode, probe-
+    * ranked query routing, per-probed-cell residual LUTs — with the 1-probe
+    * side a `probe = 1` filter of the same scored relation (exactly the
+    * Spark dataflow). */
+  val s10Sql: String =
+    s"""WITH $elemsSqlCte, $coarseTrainCtes, asg AS (
+      |  SELECT vec_id, cluster AS cell FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), sub AS (
+      |  SELECT e.vec_id, e.i // 8 AS j, e.i, e.v - c.cv AS v
+      |  FROM e JOIN asg a USING (vec_id) JOIN c2 c ON c.cluster = a.cell AND c.i = e.i
+      |), $pqCb0Cte,
+      |${pqCandCte("cand0", "cb0")},
+      |${pqEncCte("enc0", "cand0")},
+      |cb1 AS (
+      |  SELECT s.j, en.c, s.i,
+      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |  FROM sub s JOIN enc0 en ON en.vec_id = s.vec_id AND en.j = s.j
+      |  GROUP BY 1, 2, 3
+      |),
+      |${pqCandCte("cand1", "cb1")},
+      |${pqEncCte("enc1", "cand1")},
+      |codes AS (
+      |  SELECT en.vec_id, a.cell, en.j, en.c FROM enc1 en JOIN asg a USING (vec_id)
+      |), qroute AS (
+      |  SELECT vec_id AS q_id, probe, cluster AS cell FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS probe
+      |    FROM e JOIN c2 c USING (i)
+      |    WHERE e.vec_id % 100 = 0
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE probe <= 2
+      |), qres AS (
+      |  SELECT r.q_id, r.probe, r.cell, e.i // 8 AS j, e.i, e.v - c.cv AS v
+      |  FROM e JOIN qroute r ON r.q_id = e.vec_id
+      |  JOIN c2 c ON c.cluster = r.cell AND c.i = e.i
+      |), lut AS (
+      |  SELECT r.q_id, r.probe, r.cell, r.j, cb.c,
+      |    floor(sum(((r.v - cb.cv) * (r.v - cb.cv))::DECIMAL(30,20))::DOUBLE
+      |          * 1000000.0)::BIGINT AS lm
+      |  FROM qres r JOIN cb1 cb ON cb.j = r.j AND cb.i = r.i
+      |  GROUP BY 1, 2, 3, 4, 5
+      |), sc AS (
+      |  SELECT l.q_id, l.probe, d.vec_id AS n_id, sum(l.lm)::BIGINT AS score_micro
+      |  FROM codes d JOIN lut l ON l.cell = d.cell AND l.j = d.j AND l.c = d.c
+      |  WHERE d.vec_id <> l.q_id GROUP BY 1, 2, 3
+      |), p1 AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |    FROM sc WHERE probe = 1) WHERE rank <= 5
+      |), p2 AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |    FROM sc) WHERE rank <= 5
+      |), cost1 AS (
+      |  SELECT q_id, count(*) AS cand_1p FROM sc WHERE probe = 1 GROUP BY 1
+      |), cost2 AS (
+      |  SELECT q_id, count(*) AS cand_2p FROM sc GROUP BY 1
+      |), ex AS (
+      |$s1Sql
+      |)
+      |SELECT e.q_id,
+      |  count(a.n_id)::BIGINT AS hits_1p,
+      |  floor(count(a.n_id)::DOUBLE / 3.0 * 10000.0 + 0.5) / 10000.0 AS recall_1p,
+      |  min(c1.cand_1p)::BIGINT AS cand_1p,
+      |  count(b.n_id)::BIGINT AS hits_2p,
+      |  floor(count(b.n_id)::DOUBLE / 3.0 * 10000.0 + 0.5) / 10000.0 AS recall_2p,
+      |  min(c2_.cand_2p)::BIGINT AS cand_2p
+      |FROM ex e
+      |LEFT JOIN p1 a ON a.q_id = e.q_id AND a.n_id = e.n_id
+      |LEFT JOIN p2 b ON b.q_id = e.q_id AND b.n_id = e.n_id
+      |JOIN cost1 c1 ON c1.q_id = e.q_id
+      |JOIN cost2 c2_ ON c2_.q_id = e.q_id
+      |WHERE e.rank <= 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_ivfpq_recall" -> (s10_ivfpq_recall _),
     "s8_recall_audit" -> (s8_recall_audit _),
     "s7_ivfpq_topk"  -> (s7_ivfpq_topk _),
     "s6_pq_trained"  -> (s6_pq_trained _),
@@ -696,6 +847,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s10_ivfpq_recall" -> s10Sql,
     "s8_recall_audit" -> s8Sql,
     "s7_ivfpq_topk"  -> s7Sql,
     "s6_pq_trained"  -> s6Sql,

@@ -253,13 +253,13 @@ object TextAnalysis {
       |pb AS (SELECT bkt, count(*) AS bn FROM s GROUP BY 1),
       |pre AS (
       |  SELECT bkt, coalesce(sum(bn) OVER (ORDER BY bkt
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM pb),
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off FROM pb),
       |r AS (
       |  SELECT s.doc_id, s.qi,
       |    pre.off + row_number() OVER (PARTITION BY s.bkt ORDER BY s.q, s.doc_id) AS rn
       |  FROM s JOIN pre USING (bkt)),
       |t AS (SELECT count(*) AS c FROM s)
-      |SELECT ((rn - 1) * 10) // c AS decile, count(*) AS n_docs,
+      |SELECT (((rn - 1) * 10) // c)::BIGINT AS decile, count(*) AS n_docs,
       |  floor(sum(qi)::DOUBLE / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_quality
       |FROM r, t GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -292,7 +292,9 @@ object TextAnalysis {
     tf.join(df, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round4(col("tf") * idf))
-      .withColumn("rk", row_number().over(w))
+      // bigint to match DuckDB's row_number() — the int32-vs-int64 width
+      // drift the compare.py dtype gate now rejects
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
               col("score"), col("rk"))
@@ -351,11 +353,9 @@ object TextAnalysis {
     * `approx_percentile` (Greenwald-Khanna), the mergeable-sketch path for
     * "length percentile" corpus filters at 100 TB — one pass, bounded
     * memory, partial sketches merged map-side (vs t6's exact two-pass
-    * ranking, which needs a second pass over the data). Approximate by
-    * design ⇒ rows-only driver check (like `w4_unique_users_approx`); the
-    * GK rank-error contract (≤ n/accuracy ranks) is asserted against the
-    * exact order statistics in `QueriesSmokeSpec`. */
-  def t9_len_quantiles(s: SparkSession, dir: String): DataFrame =
+    * ranking, which needs a second pass over the data). The sketch output
+    * itself (used by `QueriesSmokeSpec`'s tight band property). */
+  def t9_quantiles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .groupBy(col("lang"))
       .agg(percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9), lit(0.99)),
@@ -364,6 +364,55 @@ object TextAnalysis {
       .select(col("lang"), col("q")(0).as("p50"), col("q")(1).as("p90"),
               col("q")(2).as("p99"), col("n_docs"))
       .orderBy("lang")
+
+  /** T9 as a driver-checkable INVARIANT: a GK sketch has no replayable
+    * DuckDB oracle, so the query emits the (lang, p) pairs where the
+    * approximate quantile falls OUTSIDE the exact rank band
+    * [rank(⌊p·n⌋ − err − 1), rank(⌊p·n⌋ + err)], err = max(1, n/1000)
+    * (accuracy = 1000 ⇒ GK rank error ≤ n/1000), and the oracle expects
+    * ZERO rows — the j4/s9_order_audit pattern. The exact band is computed
+    * RELATIONALLY (per-lang row_number rank + a 3-row probs local
+    * relation joined at the target ranks), never collected, so the audit
+    * itself holds at 100 TB: one rank window per lang partition + two
+    * rank-equi joins. */
+  def t9_len_quantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("lang"), col("n_chars"))
+    val ranked = docs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("n_chars")))
+        .cast("long"))
+    val probs = s.range(1).select(
+      explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+    val bands = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .crossJoin(probs) // 3 rows — a bounded local relation
+      .withColumn("err", greatest(lit(1L), col("n") / lit(1000L)))
+      // 0-based spec indices → 1-based ranks (+1)
+      .withColumn("lo_rn", greatest(lit(0L),
+        (col("p") * col("n")).cast("long") - col("err") - 1) + 1)
+      .withColumn("hi_rn", least(col("n") - 1,
+        (col("p") * col("n")).cast("long") + col("err")) + 1)
+    // distinct column names per side — bands/lo/hi all derive from `docs`,
+    // so attribute-id join conditions would be self-join-ambiguous
+    val lo = ranked.select(col("lang").as("lo_lang"), col("rn").as("lo_rank"),
+      col("n_chars").as("lo_val"))
+    val hi = ranked.select(col("lang").as("hi_lang"), col("rn").as("hi_rank"),
+      col("n_chars").as("hi_val"))
+    val banded = bands
+      .join(lo, col("lang") === col("lo_lang") && col("lo_rn") === col("lo_rank"))
+      .join(hi, col("lang") === col("hi_lang") && col("hi_rn") === col("hi_rank"))
+      .select(col("lang"), col("p"), col("lo_val"), col("hi_val"))
+    val approx = t9_quantiles(s, dir).select(col("lang"),
+      expr("stack(3, 0.5D, p50, 0.9D, p90, 0.99D, p99) AS (p, approx_val)"))
+    approx.join(banded, Seq("lang", "p"))
+      .filter(col("approx_val") < col("lo_val") || col("approx_val") > col("hi_val"))
+      .select(col("lang"), col("p"), col("approx_val"), col("lo_val"), col("hi_val"))
+      .orderBy("lang", "p")
+  }
+
+  val t9Sql: String =
+    """SELECT ''::VARCHAR AS lang, 0.0::DOUBLE AS p, 0::BIGINT AS approx_val,
+      |       0::BIGINT AS lo_val, 0::BIGINT AS hi_val
+      |WHERE false""".stripMargin
 
   /** T10 n-gram language-model scoring: each document's mean bigram
     * log-probability under the corpus's own bigram model — the LM-quality
@@ -568,6 +617,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t9_len_quantiles" -> t9Sql,
     "t13_quota_sample" -> t13Sql,
     "t12_repetition"   -> t12Sql,
     "t11_novelty"      -> t11Sql,

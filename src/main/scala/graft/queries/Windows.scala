@@ -207,15 +207,37 @@ object Windows {
 
   /** W4 scale path: `approx_count_distinct` (HLL++) replaces the exact
     * distinct count — mergeable constant-size sketches instead of per-group
-    * sets, the declared 100 TB variant (SURVEY.md §7.3). Approximate ⇒ no
-    * DuckDB oracle; the driver records a rows-only check, and
-    * `QueriesSmokeSpec` bounds the relative error vs the exact form. */
-  def w4_unique_users_approx(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    * sets, the declared 100 TB variant (SURVEY.md §7.3). A sketch has no
+    * replayable DuckDB oracle, so the QUERY IS THE INVARIANT: it emits the
+    * windows where the estimate violates the declared error contract
+    * |hll − exact| ≤ max(3, 0.1·exact) (measured headroom at sf0.01:
+    * max abs error 2 with rsd 0.02), and the oracle expects ZERO rows —
+    * the same audit-query pattern as j4/s9_order_audit, which makes the
+    * error bound driver-checkable instead of spec-only. */
+  def w4_unique_users_approx(s: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.events(s, dir)
       .groupBy(window(col("ts"), "12 hours", "1 hour"), col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("uniq_users"))
-      .select(winStart().as("win_start"), col("event_type"), col("uniq_users"))
+    val approx = grouped
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("uniq_approx"))
+      .select(winStart().as("win_start"), col("event_type"), col("uniq_approx"))
+    val exact = grouped
+      .agg(count_distinct(col("user_id")).as("uniq_exact"))
+      .select(winStart().as("win_start"), col("event_type"), col("uniq_exact"))
+    approx.join(exact, Seq("win_start", "event_type"))
+      .filter(abs(col("uniq_approx") - col("uniq_exact")) >
+        greatest(lit(3.0), lit(0.1) * col("uniq_exact")))
+      .select(col("win_start"), col("event_type"),
+              col("uniq_exact"), col("uniq_approx"))
       .orderBy("win_start", "event_type")
+  }
+
+  val w4ApproxSql: String =
+    // the sketch itself is not oracle-replayable; the contract is "no
+    // bound violations", so the oracle is the empty relation with the
+    // audit's exact schema
+    """SELECT 0::BIGINT AS win_start, ''::VARCHAR AS event_type,
+      |       0::BIGINT AS uniq_exact, 0::BIGINT AS uniq_approx
+      |WHERE false""".stripMargin
 
   /** W4 via the typed set-union `Aggregator`
     * (`graft.functions.DistinctCountAgg`) — the reference's literal pane
@@ -293,6 +315,7 @@ object Windows {
     "w7_top5_blend"          -> (w7_top5_blend _))
 
   val oracles: Map[String, String] = Map(
+    "w4_unique_users_approx" -> w4ApproxSql,
     "w10_ohlc_bars"        -> w10Sql,
     "w5_distinct_agg"      -> w4Sql, // identical semantics to w4, custom UDAF path
     "w1_tumbling_counts"   -> w1Sql,

@@ -74,23 +74,35 @@ object Streams {
     * harness tuning for the bounded replay only — a production deployment
     * sizes `spark.sql.shuffle.partitions` to the stream's real key
     * cardinality and keeps the session default. */
+  private val runLock = new Object
+
   private def runToMemory(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    // Every streaming query passes through here — enforce the 100 TB
+    // broadcast contract at runtime (the batch spec walk can't see these
+    // plans without executing the stream, so the check lives at the choke
+    // point instead).
+    graft.plans.BroadcastContract.assertBounded(df, name)
     val s = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(key)
-    val reduced = math.min(8, prev.flatMap(_.toIntOption).getOrElse(8))
-    try {
-      s.conf.set(key, reduced.toString)
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+    // The conf tweak is session-global while the stream plans; serialize
+    // concurrent bounded replays in the same session so one call's restore
+    // can't clobber another's reduced value mid-plan.
+    runLock.synchronized {
+      val prev = s.conf.getOption(key)
+      val reduced = math.min(8, prev.flatMap(_.toIntOption).getOrElse(8))
+      try {
+        s.conf.set(key, reduced.toString)
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
     s.table(name)
   }
@@ -963,11 +975,17 @@ object Streams {
   /** X5: stream-static join — the reference broadcasts its five static CSV
     * tables into the stream operators (FriendRecommender.java:54-57, SURVEY
     * §1.3); here the event stream joins the static `customer` dimension
-    * (broadcast; the stream side never shuffles for the lookup) before a
-    * watermarked tumbling aggregation: revenue per (hour, market segment). */
+    * before a watermarked tumbling aggregation: revenue per (hour, market
+    * segment). Deliberately NO explicit broadcast hint: `customer` grows
+    * with SF, so the hint would be exactly the unbounded-broadcast class
+    * `BroadcastContract` exists to kill. The planner size-bounds the choice
+    * instead — below `autoBroadcastJoinThreshold` it broadcasts (the
+    * reference's closure-shipping behavior, free at dim scale); above it
+    * the static side shuffles per micro-batch, which is the plan you want
+    * when the dim is genuinely large. */
   def x5_stream_static_join(s: SparkSession, dir: String): DataFrame = {
-    val dim = broadcast(Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_mktsegment")))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "30 minutes")
       .join(dim, col("user_id") === col("c_custkey"))

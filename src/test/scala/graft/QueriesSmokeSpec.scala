@@ -24,32 +24,32 @@ class QueriesSmokeSpec extends SparkSpec {
       "d5_embedding_neardup", "j4_ts_violations", "s9_order_audit",
       // pair/dup/funnel results may legitimately be empty at tiny scale
       "d8_dup_clusters", "m4_media_dedup", "q21_funnel",
-      "x11_stream_stream_join")
+      "x11_stream_stream_join",
+      // invariant audits: empty exactly when the error contract holds
+      "w4_unique_users_approx", "t9_len_quantiles")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpected empty results: ${empties.mkString(", ")}")
   }
 
-  test("every query has an oracle (approx ops excepted, rows-only checked)") {
-    val rowsOnly = Set("w4_unique_users_approx", "t9_len_quantiles") // approximate by design
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle (the approx entries audit their own bounds)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: ${missing.mkString(", ")}")
   }
 
-  test("approx distinct stays within declared error of exact (w4)") {
-    val exact = graft.queries.Windows.w4_unique_users(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-    val approx = graft.queries.Windows.w4_unique_users_approx(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(exact.keySet == approx.keySet)
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e) <= math.max(3, 0.1 * e), s"window $k: exact=$e approx=$a")
-    }
+  test("approx distinct error-contract audit is empty (w4)") {
+    // w4_unique_users_approx IS the invariant: it emits windows violating
+    // |hll − exact| ≤ max(3, 0.1·exact); the contract holds ⇔ empty
+    val viol = graft.queries.Windows.w4_unique_users_approx(spark, dir).collect()
+    assert(viol.isEmpty, s"HLL error-bound violations: ${viol.mkString("; ")}")
   }
 
-  test("approx quantiles honor the GK rank-error contract (t9)") {
+  test("GK rank-band audit is empty and agrees with the collect-based check (t9)") {
+    val viol = graft.queries.TextAnalysis.t9_len_quantiles(spark, dir).collect()
+    assert(viol.isEmpty, s"GK rank-band violations: ${viol.mkString("; ")}")
+    // independent collect-based recomputation of the same band property,
+    // cross-checking the relational band construction
     val probs = Seq(0.5, 0.9, 0.99)
-    val approx = graft.queries.TextAnalysis.t9_len_quantiles(spark, dir)
+    val approx = graft.queries.TextAnalysis.t9_quantiles(spark, dir)
       .collect().map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val exact = Tables.documents(spark, dir)
       .select(org.apache.spark.sql.functions.col("lang"),
@@ -194,48 +194,46 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("no broadcast hint on an unbounded relation (100 TB contract)") {
-    // The disease class fixed in d3/d4/t4 (r2) and s2/d5 (r3): an explicit
-    // broadcast() hint whose input grows with the corpus OOMs a 100 TB run.
-    // Every hint subtree must be bounded by construction: an aggregation
-    // (bucket-prefix / centroid / one-row totals), a local relation
-    // (params), a limit, a declared modulo-contract filter (query-side
-    // vec_id % 100, eigen user_id % 50), or a fixed-cardinality dimension
-    // (region: 5 rows, nation: 25 — constant in TPC-H at every SF).
-    import org.apache.spark.sql.catalyst.plans.logical._
-    def bounded(p: LogicalPlan): Boolean = {
-      val bounding = p.collect {
-        case _: Aggregate => true
-        case _: Deduplicate => true
-        case _: GlobalLimit => true
-        case _: LocalRelation => true
-        case f: Filter if "% (cast\\()?(50|100)".r
-          .findFirstIn(f.condition.toString).isDefined => true
-      }
-      lazy val dimsOnly = {
-        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-        val leaves = p.collectLeaves()
-        leaves.nonEmpty && leaves.forall {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.forall { rp =>
-              val s = rp.toString; s.contains("region") || s.contains("nation")
-            }
-            case _ => false
-          }
-          case _ => false
-        }
-      }
-      bounding.nonEmpty || dimsOnly
-    }
+    // Contract + bounding rules live in graft.plans.BroadcastContract (main
+    // code, shared with Streams.runToMemory). Here: walk every BATCH
+    // query's analyzed plan. The x-queries execute streams inside their
+    // functions, so their plans aren't walkable without running them — they
+    // are covered instead by runToMemory's runtime assertBounded, which
+    // every streaming query passes through (the rows-smoke test above runs
+    // all 17, so a violation fails this suite via that path).
     val streaming = SparkEntry.queries.keySet.filter(_.startsWith("x"))
     val bad = SparkEntry.queries.toSeq.collect {
       case (name, fn) if !streaming(name) =>
-        val hints = fn(spark, dir).queryExecution.analyzed.collect {
-          case h: ResolvedHint if h.hints.strategy.isDefined => h
-        }
-        hints.filterNot(h => bounded(h.child)).map(h => s"$name: ${h.child.nodeName}")
+        graft.plans.BroadcastContract.unboundedHints(
+          fn(spark, dir).queryExecution.analyzed).map(n => s"$name: $n")
     }.flatten
     assert(bad.isEmpty,
       s"unbounded relation under a broadcast hint:\n${bad.mkString("\n")}")
+  }
+
+  test("BroadcastContract flags an unbounded hint and passes bounded ones") {
+    // The contract's own behavior: a broadcast of a raw SF-growing relation
+    // is flagged; aggregated / limited / fixed-dim subtrees pass.
+    val ev = Tables.events(spark, dir)
+    val flagged = graft.plans.BroadcastContract.unboundedHints(
+      ev.join(broadcast(Tables.customer(spark, dir)), ev("user_id") === col("c_custkey"))
+        .queryExecution.analyzed)
+    assert(flagged.nonEmpty, "raw customer broadcast must be flagged")
+    val okAgg = graft.plans.BroadcastContract.unboundedHints(
+      ev.join(broadcast(Tables.customer(spark, dir).groupBy("c_mktsegment").count()),
+              Seq.empty, "cross").queryExecution.analyzed)
+    assert(okAgg.isEmpty, "aggregated subtree must pass")
+    val okDim = graft.plans.BroadcastContract.unboundedHints(
+      Tables.nation(spark, dir).join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey")).queryExecution.analyzed)
+    assert(okDim.isEmpty, "fixed-cardinality dimension must pass")
+    // and the runtime choke point rejects an unbounded streaming plan
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.BroadcastContract.assertBounded(
+        ev.join(broadcast(Tables.customer(spark, dir)),
+          ev("user_id") === col("c_custkey")), "spec")
+    }
+    assert(err.getMessage.contains("100 TB contract"))
   }
 
   test("whole-stage codegen covers the aggregation hot path (q1)") {
