@@ -101,17 +101,37 @@ object LdbcE2E {
     * breaks the hash. */
   def ldbc_dsv2(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    import scala.util.Using
+    // Cache keyed by a CONTENT fingerprint of the source parquet (size +
+    // mtime of every part), not just the sanitized dir string — a
+    // regenerated sf dir (e.g. target/sf1 rebuilt in place) must invalidate
+    // the materialized wire lines, or this query would read stale lines
+    // while the DuckDB oracle reads fresh parquet.
+    val src = Paths.get(graft.Tables.path(dir, "events"))
+    val fp = {
+      val parts =
+        if (Files.isDirectory(src))
+          Using.resource(Files.list(src)) { st =>
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toList.sortBy(_.getFileName.toString)
+          }
+        else List(src)
+      parts.map(p => s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+        .mkString("|").hashCode.toHexString
+    }
     val linesDir = Paths.get("/tmp/graft_stream",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"), "ldbc_lines")
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), s"ldbc_lines_$fp")
     val marker = linesDir.resolve("lines.txt")
     if (!Files.exists(marker)) {
       Files.createDirectories(linesDir)
       val tmp = linesDir.resolve("_build")
       taggedWireLines(s, dir).coalesce(1).write.mode("overwrite").text(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".txt")).findFirst().get()
+      val part = Using.resource(Files.list(tmp))(
+        _.filter(_.toString.endsWith(".txt")).findFirst().get())
       Files.move(part, marker)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      Using.resource(Files.walk(tmp))(
+        _.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p)))
     }
     val unified = s.read.format("graft.sources.ActivityDataSource")
       .load(marker.toString)

@@ -68,8 +68,13 @@ object ActivityDataSource {
   private def fld(a: Array[String], i: Int): String =
     if (i >= 1 && i <= a.length) a(i - 1) else null
 
-  /** ANSI-off `cast(string as int)`: trimmed, null on garbage/null. */
-  private def toIntOrNull(s: String): Integer =
+  /** ANSI-off `cast(string as int)`: trimmed, null on garbage/null.
+    * DOCUMENTED DIVERGENCE (same class as the unparseable-timestamp note
+    * below): under Spark 4's ANSI default, the expression parser's
+    * `cast("int")` THROWS on a garbage numeric field; this reader degrades
+    * to NULL — an ingestion source must not crash the job on one bad
+    * record. Covered by `ActivityDataSourceSpec`'s int-quirk test. */
+  private[graft] def toIntOrNull(s: String): Integer =
     if (s == null) null
     else s.trim.toIntOption.map(Integer.valueOf).orNull
 
@@ -172,10 +177,14 @@ private[sources] class ActivityScan(path: String, required: StructType)
     val p = java.nio.file.Paths.get(path)
     val files =
       if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .filterNot(_.getFileName.toString.startsWith("_"))
-          .map(_.toString).toArray.sorted
+        // Using: Files.list holds a directory fd until the stream closes —
+        // an unclosed stream here leaks one fd per scan
+        scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+          st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .filterNot(_.getFileName.toString.startsWith("_"))
+            .map(_.toString).toArray.sorted
+        }
       else Array(path)
     files.map(f => ActivityFilePartition(f): InputPartition)
   }

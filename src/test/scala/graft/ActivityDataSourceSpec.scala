@@ -91,4 +91,22 @@ class ActivityDataSourceSpec extends SparkSpec {
         .select(ActivityParser.parseTs(col("v"))).collect()
     }
   }
+
+  test("int quirk fields match the expression parser, diverge only on garbage") {
+    // parity on everything the wire format legally carries
+    val clean = Seq("42", " 7 ", "-13", "0", "2147483647")
+    val viaExprs = clean.toDF("v").select(col("v").cast("int").as("i"))
+      .collect().map(_.getInt(0))
+    val viaScala = clean.map(c => ActivityDataSource.toIntOrNull(c).intValue())
+    assert(viaExprs.toSeq == viaScala)
+    // divergence by design on UNPARSEABLE int fields (the timestamp note's
+    // class): ANSI cast throws, the reader degrades to NULL
+    assert(ActivityDataSource.toIntOrNull("garbage") == null)
+    assert(ActivityDataSource.toIntOrNull("12.5") == null)
+    assert(ActivityDataSource.toIntOrNull("9999999999") == null) // int overflow
+    assert(ActivityDataSource.toIntOrNull(null) == null)
+    intercept[Exception] {
+      Seq("garbage").toDF("v").select(col("v").cast("int")).collect()
+    }
+  }
 }

@@ -64,4 +64,32 @@ class WindowSemanticsSpec extends SparkSpec {
       assert(start == t - t % 1800L, s"ts=$t")
     }
   }
+
+  test("sliding alignment law holds for arbitrary width/slide pairs (property)") {
+    // The epoch-alignment law independent of testdata
+    // (SlidingWindowEvaluator.java:22-25): an event at epoch second t
+    // under window(width = k·s, slide = s) lands in EXACTLY k panes whose
+    // starts are t − t%s − i·s for i = 0..k−1 — i.e. every covering pane
+    // start is ≡ 0 (mod s), the latest is t's own slide-aligned pane, and
+    // coverage (start ≤ t < start + width) is tight. One Spark job checks
+    // 60 generated (slide, k, events) triples.
+    import org.scalacheck.Gen
+    val caseGen = for {
+      s <- Gen.chooseNum(1, 7200)   // slide seconds
+      k <- Gen.chooseNum(1, 8)      // width = k slides
+      t <- Gen.chooseNum(0L, 4L * 365 * 86400) // event epoch second
+    } yield (s, k, t)
+    val cases = Gen.listOfN(60, caseGen).sample.get.distinct
+    cases.zipWithIndex.foreach { case ((s, k, t), cid) =>
+      val df = Seq(Tuple1(new Timestamp(t * 1000L))).toDF("ts")
+      val starts = df
+        .select(unix_timestamp(
+          window(col("ts"), s"${k.toLong * s} seconds", s"$s seconds")
+            .getField("start")).as("start"))
+        .as[Long].collect().sorted
+      val expected = (0 until k).map(i => t - t % s - i.toLong * s).sorted
+      assert(starts.toSeq == expected,
+        s"case $cid: slide=$s k=$k t=$t got ${starts.toSeq} want $expected")
+    }
+  }
 }
