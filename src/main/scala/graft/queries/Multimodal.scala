@@ -269,38 +269,56 @@ object Multimodal {
       |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** 64-bit perceptual hash: [[phash32]] widened to 64 stride groups —
-    * the documented scale path for band saturation (see [[m6_media_neardup]]). */
+  /** 64-bit SIGNED-RANDOM-PROJECTION hash — the measured winner of the m6
+    * band-saturation study (sf1, 50k assets, duplicate-dense corpus):
+    *
+    *  - m5's 32-bit above-own-mean hash, 4×8 bands: 105.0M band-bucket
+    *    pairs, max bucket 10,490.
+    *  - the "obvious" widening (same above-mean bits, 64 groups, 4×16
+    *    bands): 188.1M pairs, max bucket 17,770 — WORSE. Measured root
+    *    cause: the position weight (i/stride + 1) makes group j's sum
+    *    systematically larger iff j < len mod stride, so the bits encode
+    *    a near-unary pattern of the text length; the added 32 bits add
+    *    bias, not entropy, and buckets skew harder. Key-space width was
+    *    never the bottleneck.
+    *  - corpus-mean thresholding (bit = group sum above the corpus's mean
+    *    for that group): hash diversity collapses to 1,452 distinct values
+    *    (templated texts agree with the global mean pattern), 1.58B pairs.
+    *  - THIS hash — signed pseudo-random byte weights w(i) =
+    *    ((2654435761·i + 40503) mod 1009) − 504, bit j = sign of group j's
+    *    weighted sum (the s2 hyperplane-LSH idea applied stride-wise):
+    *    zero-mean projections give balanced, decorrelated bits → 49.4M
+    *    pairs, max bucket 4,950 — 2.1× below m5 and 3.8× below the naive
+    *    widening, against ~2.3M genuine Hamming≤3 pairs in the corpus
+    *    (the irreducible floor: sf1's 10-copy cliques and template
+    *    near-dups are real candidates banding MUST emit). */
   def phash64(a: Asset): PHashed = {
     val bytes = a.payload
     val sums = new Array[Long](64)
     var i = 0
     while (i < bytes.length) {
-      sums(i % 64) += (bytes(i) & 0xffL) * (i / 64 + 1)
+      val w = ((2654435761L * (i + 1) + 40503L) % 1009L) - 504L
+      sums(i % 64) += (bytes(i) & 0xffL) * w
       i += 1
     }
-    val nGroups = math.min(bytes.length, 64)
-    var total = 0L
-    var j = 0
-    while (j < nGroups) { total += sums(j); j += 1 }
     var h = 0L
-    j = 0
-    while (j < nGroups) {
-      if (sums(j) * nGroups > total) h |= 1L << j
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 0) h |= 1L << j
       j += 1
     }
     PHashed(a.doc_id, h)
   }
 
-  /** M6: m5's documented band-saturation fix, implemented — the 64-bit
-    * hash ([[phash64]]) banded 4×16 (65,536 keys per band instead of 256).
-    * The sf1 stress run measured m5's 8-bit bands beginning to saturate
-    * (~19M candidate pairs at 50k assets); with 4×16 banding the same
-    * corpus's per-bucket occupancy drops by the 256× key-space widening,
-    * so the candidate join stays linear two orders of magnitude deeper.
-    * Pipeline shape identical to m5 — pigeonhole over 4 bands is still
-    * COMPLETE for Hamming ≤ 3, candidates get exact Hamming verification,
-    * and only the 8-byte hash ever shuffles. */
+  /** M6: m5's documented band-saturation fix, implemented and MEASURED —
+    * the 64-bit signed-random-projection hash ([[phash64]], which records
+    * the study that chose it) banded 4×16. Pipeline shape identical to
+    * m5 — pigeonhole over 4 bands is still COMPLETE for Hamming ≤ 3,
+    * candidates get exact Hamming verification, and only the 8-byte hash
+    * ever shuffles. At sf1 the candidate mass drops 2.1× below m5's while
+    * the per-band key space grows 256×; the remaining candidates are
+    * dominated by the corpus's genuine near-dup pair mass (~2.3M), which
+    * no complete banding scheme can prune. */
   def m6_media_neardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ph = assets(s, dir).as[Asset]
@@ -326,10 +344,14 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** m5's oracle with 64 stride groups — all-pairs Hamming on the wide
-    * hash (quadratic is fine oracle-side; the engine's banding must return
-    * the identical set). The j=63 addend is −2⁶³, so the signed sum stays
-    * in BIGINT range and equals the engine's two's-complement long. */
+  /** m6's oracle: the signed-random-projection hash re-derived per doc in
+    * exact integer arithmetic (weight formula replicated verbatim; the
+    * engine's 0-based byte position i maps to SQL's 1-based i, so both
+    * compute w at the same absolute position), then ALL pairs filtered by
+    * Hamming distance — quadratic is fine oracle-side; the engine's
+    * banding must return the identical set. The j=63 addend is −2⁶³, so
+    * the signed sum stays in BIGINT range and equals the engine's
+    * two's-complement long. */
   val m6Sql: String =
     """WITH b AS (
       |  SELECT doc_id, i, ascii(substring(text, i, 1)) AS byte
@@ -337,17 +359,14 @@ object Multimodal {
       |  WHERE i <= length(text) AND regexp_matches(text, '^[\x01-\x7f]*$')
       |), blk AS (
       |  SELECT doc_id, (i - 1) % 64 AS j,
-      |         sum(byte * ((i - 1) // 64 + 1))::BIGINT AS bsum
+      |         sum(byte * (((2654435761 * i + 40503) % 1009) - 504))::BIGINT AS bsum
       |  FROM b GROUP BY 1, 2
-      |), tot AS (
-      |  SELECT doc_id, sum(bsum)::BIGINT AS total, count(*)::BIGINT AS nb
-      |  FROM blk GROUP BY 1
       |), ph AS (
-      |  SELECT blk.doc_id,
-      |    sum(CASE WHEN bsum * nb <= total THEN 0
+      |  SELECT doc_id,
+      |    sum(CASE WHEN bsum <= 0 THEN 0
       |             WHEN j = 63 THEN -9223372036854775807 - 1
       |             ELSE 1::BIGINT << j END)::BIGINT AS phash
-      |  FROM blk JOIN tot USING (doc_id) GROUP BY 1
+      |  FROM blk GROUP BY 1
       |)
       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |       bit_count(xor(a.phash, b2.phash))::BIGINT AS hamming
