@@ -76,6 +76,27 @@ object BroadcastContract {
         h.child.nodeName
     }
 
+  /** Joins with NO equi-key (cross or pure-theta conditions) where neither
+    * side is bounded by construction — the other 100 TB disease class: a
+    * non-equi join of two corpus-sized relations is a quadratic
+    * nested-loop however it's physically planned. Every legitimate
+    * cross/theta join in the repo pairs the corpus with a bounded side
+    * (broadcast scalar totals, the modulo-contract query set, k
+    * centroids); this walk proves that stays true. */
+  def unboundedNonEquiJoins(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case j: Join if !hasEquiKey(j) && !bounded(j.left) && !bounded(j.right) =>
+        s"${j.joinType} join(${j.left.nodeName}, ${j.right.nodeName})"
+    }
+
+  private def hasEquiKey(j: Join): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    j.condition.exists(_.exists {
+      case _: EqualTo | _: EqualNullSafe => true
+      case _ => false
+    })
+  }
+
   /** Assert the contract on a (batch or streaming) DataFrame's analyzed
     * plan. Called by `Streams.runToMemory` before every stream start. */
   def assertBounded(df: DataFrame, context: String): Unit = {

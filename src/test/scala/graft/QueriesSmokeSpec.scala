@@ -211,6 +211,21 @@ class QueriesSmokeSpec extends SparkSpec {
       s"unbounded relation under a broadcast hint:\n${bad.mkString("\n")}")
   }
 
+  test("every non-equi join has a bounded side (100 TB contract)") {
+    // The second disease class: a cross/theta join of two corpus-sized
+    // relations is quadratic however it's physically planned. Walk every
+    // batch query's OPTIMIZED plan (post-pushdown, where join conditions
+    // are in final form) and require a bounded side on each non-equi join.
+    val streaming = SparkEntry.queries.keySet.filter(_.startsWith("x"))
+    val bad = SparkEntry.queries.toSeq.collect {
+      case (name, fn) if !streaming(name) =>
+        graft.plans.BroadcastContract.unboundedNonEquiJoins(
+          fn(spark, dir).queryExecution.optimizedPlan).map(j => s"$name: $j")
+    }.flatten
+    assert(bad.isEmpty,
+      s"non-equi join with no bounded side:\n${bad.mkString("\n")}")
+  }
+
   test("BroadcastContract flags an unbounded hint and passes bounded ones") {
     // The contract's own behavior: a broadcast of a raw SF-growing relation
     // is flagged; aggregated / limited / fixed-dim subtrees pass.
