@@ -585,7 +585,62 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** D10 cross-doc BOILERPLATE detection — the C4/RefinedWeb span-removal
+    * pass: spans (3-grams here) occurring across many distinct documents
+    * are navigation chrome / license headers / templates, not content, and
+    * every web-scale pipeline strips or down-weights them. Complements
+    * t12 (WITHIN-doc repetition): this is the cross-doc signal. Output
+    * per doc: distinct grams, how many are corpus boilerplate (gram in
+    * ≥ 5 distinct docs), and the boilerplate ratio — the filter signal.
+    *
+    * Scale shape: per-doc distinct grams (one doc-keyed aggregate after an
+    * array-native gram explode), the global gram→doc-count (one gram-keyed
+    * aggregate — this is the C4 "count lines across the corpus" pass), a
+    * gram-keyed join back (co-partitioned with the count shuffle), and a
+    * final doc-keyed rollup. The catalog is never broadcast or collected —
+    * at 100 TB the boilerplate catalog alone is billions of grams. */
+  def d10_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val N = 3
+    val K = 5
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= N)
+    val grams = t.select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(w) - ${N - 1}), i -> concat_ws(' ', slice(w, i, $N)))"))
+      .as("gram"))
+      .distinct() // per-doc distinct spans (C4 counts a line once per doc)
+    val catalog = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= K)
+      .select(col("gram"), lit(1L).as("boiler"))
+    grams.join(catalog, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           count(col("boiler")).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round4(col("n_boiler").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+  }
+
+  val d10Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), g AS (
+      |  SELECT DISTINCT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS gram
+      |  FROM t CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(len(w)) FROM t))) AS i)
+      |  WHERE i + 2 <= len(w)
+      |), cat AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 5
+      |)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  count(cat.gram)::BIGINT AS n_boiler,
+      |  floor(count(cat.gram)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS boiler_ratio
+      |FROM g LEFT JOIN cat USING (gram)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_boilerplate" -> (d10_boilerplate _),
     "d9_dup_clusters_star" -> (d9_dup_clusters_star _),
     "d7_edit_verify"   -> (d7_edit_verify _),
     "d8_dup_clusters"  -> (d8_dup_clusters _),
@@ -597,6 +652,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
+    "d10_boilerplate" -> d10Sql,
     "d9_dup_clusters_star" -> d8Sql, // identical-result twin shares d8's oracle
     "d7_edit_verify"   -> d7Sql,
     "d8_dup_clusters"  -> d8Sql,

@@ -601,7 +601,59 @@ object TextAnalysis {
       |)
       |SELECT doc_id, lang, rk FROM r WHERE rk <= 25 ORDER BY lang, rk""".stripMargin
 
+  /** T14 benchmark-contamination check: the n-gram overlap test every
+    * serious LLM training run performs before quoting eval numbers — if a
+    * training document shares an n-gram with an eval-set document, the
+    * eval score is contaminated (the GPT-3/PaLM-style decontamination
+    * pass). Eval set = the established bounded `doc_id % 100` contract
+    * (the query-side set every audit in this repo uses); training side =
+    * everything else. n = 3 here so the sf0.01 oracle hashes a
+    * non-degenerate result (189 contaminated pairs); production uses
+    * n = 13 — the single constant below.
+    *
+    * Scale shape: grams are array-native per doc (transform + slice, no
+    * self-join); the only shuffle is the gram equi-join + the pair
+    * aggregation. The eval side is bounded by the modulo contract but is
+    * NOT broadcast — at 100 TB an eval suite can still be millions of
+    * grams, and the shuffle join on the gram key is skew-safe (AQE); at
+    * petabyte scale the gram string would be replaced by xxhash64(gram)
+    * as the join key (8-byte shuffle rows) with string equality retained
+    * post-join — kept as the string here for oracle replayability. */
+  def t14_contamination(s: SparkSession, dir: String): DataFrame = {
+    val N = 3
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= N)
+    val grams = t.select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, size(w) - ${N - 1}), i -> concat_ws(' ', slice(w, i, $N)))"))
+      .as("gram"))
+    val ev = grams.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("eval_doc"), col("gram"))
+    val tr = grams.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gram"))
+    tr.join(ev, Seq("gram"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count_distinct(col("gram")).as("n_shared"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  val t14Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), g AS (
+      |  SELECT doc_id, list_aggregate(w[i:i+2], 'string_agg', ' ') AS gram
+      |  FROM t CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(len(w)) FROM t))) AS i)
+      |  WHERE i + 2 <= len(w)
+      |)
+      |SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+      |       count(DISTINCT tr.gram) AS n_shared
+      |FROM g tr JOIN g ev ON tr.gram = ev.gram
+      |WHERE ev.doc_id % 100 = 0 AND tr.doc_id % 100 <> 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_contamination" -> (t14_contamination _),
     "t13_quota_sample" -> (t13_quota_sample _),
     "t12_repetition"   -> (t12_repetition _),
     "t11_novelty"      -> (t11_novelty _),
@@ -617,6 +669,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t14_contamination" -> t14Sql,
     "t9_len_quantiles" -> t9Sql,
     "t13_quota_sample" -> t13Sql,
     "t12_repetition"   -> t12Sql,
