@@ -835,7 +835,110 @@ object Similarity {
       |WHERE e.rank <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** C2 SemDeDup — SEMANTIC deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space with the trained coarse
+    * quantizer (s4's k-means), consider near-duplicate pairs only where
+    * both members land in the SAME cell, and of each such pair keep the
+    * member FARTHEST from its cluster centroid — the paper's
+    * keep-the-outlier rule (the prototypical member carries the least
+    * marginal information for training). This removes semantically
+    * redundant documents that exact dedup (d1) and lexical near-dup (d3)
+    * both miss — and unlike s2's banded LSH (whose 2×8-bit bands recall
+    * only ~5% of cosine-0.4 pairs), the within-cell search is EXHAUSTIVE,
+    * exactly as the paper specifies.
+    *
+    * Scale shape: the pairwise stage is scoped to clusters — SemDeDup's
+    * contract is that k grows with the corpus so the per-cell pair block
+    * stays constant-size (n²/k work, not n²); the self-join shuffles on
+    * the cell key only and the 10-row centroid relation is the only
+    * broadcast. The verify is TWO-STAGE (d7's discipline): a native
+    * codegen'd double-dot prefilter at 0.3999 — provably lossless, since
+    * a 64-term double dot errs by ≲1e-13 while the exact cosine must
+    * clear 0.39995 to round to the 0.40 gate, so no qualifying pair can
+    * fall below the margin — then the exact-decimal oracle fold only on
+    * the bounded survivors. Survivor rule: the pair's more-prototypical
+    * member (smaller exact centroid distance) is dropped; ties drop the
+    * higher vec_id. Output: every vector with its cell, rounded centroid
+    * distance, and the kept verdict — the scan-time filter signal a
+    * corpus prune applies. */
+  def c2_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    graft.functions.DotProduct.register(s) // stage-1 prefilter is always native
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val coarse = trainCoarse(s, dir, ex)
+    // (vec_id, cell, embedding, exact centroid sq-distance, squared norm) —
+    // consumed by both pair sides and the final verdict join; staged once
+    val asg = assignToNearest(emb, coarse, ex)
+      .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
+      .withColumn("n2", dot(col("embedding"), col("embedding"), ex))
+      .select(col("vec_id"), col("cluster").as("cell"), col("embedding"),
+              col("dist"), col("n2"))
+      .localCheckpoint()
+    val aSide = asg.select(col("vec_id").as("va"), col("cell"),
+      col("embedding").as("ea"), col("dist").as("da"), col("n2").as("na2"))
+    val bSide = asg.select(col("vec_id").as("vb"), col("cell"),
+      col("embedding").as("eb"), col("dist").as("db"), col("n2").as("nb2"))
+    val removed = aSide.join(bSide, Seq("cell")).filter(col("va") < col("vb"))
+      // stage 1: cheap native prefilter with a provably-safe margin
+      .filter(call_function("dot_f32", col("ea"), col("eb"))
+        / sqrt(col("na2") * col("nb2")) >= 0.3999)
+      // stage 2: exact-decimal verify on the bounded survivors
+      .withColumn("cosine",
+        round4(dot(col("ea"), col("eb"), ex) / sqrt(col("na2") * col("nb2"))))
+      .filter(col("cosine") >= 0.4)
+      .select(when(col("da") < col("db"), col("va"))
+        .when(col("db") < col("da"), col("vb"))
+        .otherwise(col("vb")).as("vec_id"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    asg.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), round4(col("dist")).as("cdist"),
+              col("hit").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the unrolled coarse-training chain (c2 = trained centroids),
+    * a dist-retaining assignment, the EXHAUSTIVE within-cell pair fold
+    * (the double prefilter is lossless by the margin argument above, so
+    * the oracle never needs it), and the same CASE prune rule. */
+  val c2Sql: String =
+    s"""WITH $elemsSqlCte, $coarseTrainCtes, asgd AS (
+      |  SELECT vec_id, cluster AS cell, dist FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS dist,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
+      |  FROM e GROUP BY 1
+      |), pr AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb, a.dist AS da, b.dist AS db,
+      |         sum((ea.v * eb.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM asgd a JOIN asgd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      |  GROUP BY 1, 2, 3, 4
+      |), rem AS (
+      |  SELECT DISTINCT CASE WHEN p.da < p.db THEN p.va
+      |                       WHEN p.db < p.da THEN p.vb
+      |                       ELSE p.vb END AS vec_id
+      |  FROM pr p
+      |  JOIN norms na ON na.vec_id = p.va
+      |  JOIN norms nb ON nb.vec_id = p.vb
+      |  WHERE floor(p.dp / sqrt(na.n2 * nb.n2) * 10000.0 + 0.5) / 10000.0 >= 0.4
+      |)
+      |SELECT a.vec_id, a.cell,
+      |  floor(a.dist * 10000.0 + 0.5) / 10000.0 AS cdist,
+      |  r.vec_id IS NULL AS kept
+      |FROM asgd a LEFT JOIN rem r USING (vec_id)
+      |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c2_semdedup"      -> (c2_semdedup _),
     "s10_ivfpq_recall" -> (s10_ivfpq_recall _),
     "s8_recall_audit" -> (s8_recall_audit _),
     "s7_ivfpq_topk"  -> (s7_ivfpq_topk _),
@@ -847,6 +950,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "c2_semdedup"      -> c2Sql,
     "s10_ivfpq_recall" -> s10Sql,
     "s8_recall_audit" -> s8Sql,
     "s7_ivfpq_topk"  -> s7Sql,

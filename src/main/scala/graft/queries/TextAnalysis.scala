@@ -608,7 +608,7 @@ object TextAnalysis {
     * pass). Eval set = the established bounded `doc_id % 100` contract
     * (the query-side set every audit in this repo uses); training side =
     * everything else. n = 3 here so the sf0.01 oracle hashes a
-    * non-degenerate result (189 contaminated pairs); production uses
+    * non-degenerate result (187 contaminated pairs); production uses
     * n = 13 — the single constant below.
     *
     * Scale shape: grams are array-native per doc (transform + slice, no
@@ -652,7 +652,70 @@ object TextAnalysis {
       |WHERE ev.doc_id % 100 = 0 AND tr.doc_id % 100 <> 0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** T15 data-mixture weights — the temperature-scaled multinomial
+    * language-sampling recipe every multilingual pretraining run computes
+    * (the CC-100/mT5 rule: w_l ∝ p_l^α with α = 0.3, up-sampling
+    * low-resource languages): per detected language (t3), document and
+    * token mass (t1's whitespace tokens), corpus share p, the α-tempered
+    * normalized mixture weight w, and the implied epochs-over-proportional
+    * ratio w/p — the numbers a data loader turns into per-source sampling
+    * rates.
+    *
+    * Scale shape: one doc_id-keyed join (language × token count), one
+    * lang-keyed aggregate; the normalization windows run over the LANGUAGE
+    * relation, bounded by the language inventory (≤ a few hundred rows at
+    * any corpus size), so the single-partition window is contractually
+    * tiny. pow() — the one libm call either engine makes here — is pinned
+    * to the 6-dp grid (t7's ln discipline); the weight normalizer sums
+    * grid-pinned values as decimals, keeping it order-independent. */
+  def t15_mixture_weights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lang = t3_lang_id(s, dir).select(col("doc_id"), col("predicted"))
+    val tok = t1_token_stats(s, dir).select(col("doc_id"), col("n_tokens"))
+    val agg = lang.join(tok, Seq("doc_id"))
+      .groupBy(col("predicted"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumnRenamed("predicted", "lang")
+    // single-partition windows over the bounded language relation only
+    val all = Window.partitionBy(lit(1))
+    agg
+      .withColumn("p_raw", col("n_tokens").cast("double")
+        / sum(col("n_tokens")).over(all).cast("double"))
+      .withColumn("q", round6(pow(col("p_raw"), lit(0.3))))
+      .withColumn("sumq",
+        sum(col("q").cast("decimal(30,20)")).over(all).cast("double"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+              round6(col("p_raw")).as("p_share"),
+              round6(col("q") / col("sumq")).as("w_mix"),
+              round4(col("q") / col("sumq") / col("p_raw")).as("epochs"))
+      .orderBy("lang")
+  }
+
+  val t15Sql: String =
+    s"""WITH p AS (
+      |$t3Sql
+      |), agg AS (
+      |  SELECT p.predicted AS lang, count(*)::BIGINT AS n_docs,
+      |         sum(len(string_split(d.text, ' ')))::BIGINT AS n_tokens
+      |  FROM p JOIN documents d USING (doc_id)
+      |  GROUP BY 1
+      |), pw AS (
+      |  SELECT lang, n_docs, n_tokens,
+      |    n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg)::DOUBLE AS p_raw,
+      |    floor(pow(n_tokens::DOUBLE / (SELECT sum(n_tokens) FROM agg)::DOUBLE, 0.3)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS q
+      |  FROM agg
+      |)
+      |SELECT lang, n_docs, n_tokens,
+      |  floor(p_raw * 1000000.0 + 0.5) / 1000000.0 AS p_share,
+      |  floor(q / (SELECT sum(q::DECIMAL(30,20)) FROM pw)::DOUBLE
+      |        * 1000000.0 + 0.5) / 1000000.0 AS w_mix,
+      |  floor(q / (SELECT sum(q::DECIMAL(30,20)) FROM pw)::DOUBLE / p_raw
+      |        * 10000.0 + 0.5) / 10000.0 AS epochs
+      |FROM pw ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_mixture_weights" -> (t15_mixture_weights _),
     "t14_contamination" -> (t14_contamination _),
     "t13_quota_sample" -> (t13_quota_sample _),
     "t12_repetition"   -> (t12_repetition _),
@@ -669,6 +732,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t15_mixture_weights" -> t15Sql,
     "t14_contamination" -> t14Sql,
     "t9_len_quantiles" -> t9Sql,
     "t13_quota_sample" -> t13Sql,
