@@ -103,4 +103,45 @@ class SimilaritySpec extends SparkSpec {
       Similarity.clearShared()
     }
   }
+
+  test("c2 prefilter margin is lossless: double cosine never strays 1e-10 from exact") {
+    // The c2_semdedup stage-1 prefilter admits pairs with double-dot cosine
+    // >= 0.3999; stage 2 gates on the exact-decimal cosine rounding to
+    // >= 0.40, which requires exact >= 0.39995. The prefilter is lossless
+    // iff |double - exact| < 5e-5 always. Property-check the much tighter
+    // 1e-10 bound over seeded random vector pairs swept across correlation
+    // levels so cosines cluster around the 0.4 gate.
+    val rnd = new scala.util.Random(42)
+    def exactCosine(a: Array[Float], b: Array[Float]): Double = {
+      // mirror the engines' DECIMAL(30,20) fold: each double product
+      // half-even-rounded to 20 fractional digits, then summed exactly
+      def fold(x: Array[Float], y: Array[Float]): BigDecimal =
+        x.zip(y).map { case (p, q) =>
+          BigDecimal(p.toDouble * q.toDouble)
+            .setScale(20, BigDecimal.RoundingMode.HALF_EVEN)
+        }.sum
+      val (dp, na, nb) = (fold(a, b), fold(a, a), fold(b, b))
+      dp.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    def doubleCosine(a: Array[Float], b: Array[Float]): Double = {
+      def fold(x: Array[Float], y: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      fold(a, b) / math.sqrt(fold(a, a) * fold(b, b))
+    }
+    var maxDiff = 0.0
+    for (_ <- 1 to 300) {
+      val a = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+      val mix = rnd.nextDouble() // 0 = independent, 1 = identical
+      val b = a.map(x => (mix * x + (1 - mix) * (rnd.nextDouble() * 2 - 1)).toFloat)
+      val (ex, db) = (exactCosine(a, b), doubleCosine(a, b))
+      maxDiff = math.max(maxDiff, math.abs(ex - db))
+      // the operative implication, stated directly
+      if (math.floor(ex * 10000.0 + 0.5) / 10000.0 >= 0.4)
+        assert(db >= 0.3999, s"prefilter would drop a qualifying pair: exact=$ex double=$db")
+    }
+    assert(maxDiff < 1e-10, s"double fold strayed $maxDiff from the exact-decimal fold")
+  }
 }
