@@ -65,9 +65,48 @@ object Pipeline {
        |  AND p.predicted = 'en' AND q.quality >= 0.5
        |ORDER BY d.doc_id""".stripMargin
 
+  /** C3: the DECONTAMINATED training corpus — c1's cleaned survivors minus
+    * (a) the eval set itself (the bounded `doc_id % 100` contract: eval
+    * documents never train) and (b) any training document sharing ≥ 2
+    * n-grams with an eval document (t14's overlap table) — the GPT-3-style
+    * "remove overlapping documents" pass every serious pretraining run
+    * performs between cleaning and tokenization.
+    *
+    * Pure plan composition again: both stages are already-oracled
+    * operators (c1, t14); the gate is one doc_id-keyed LEFT ANTI join, so
+    * it co-partitions with c1's own doc_id joins and AQE collapses the
+    * exchanges. The contamination table reuses t14's gram-keyed shuffle;
+    * nothing new is broadcast. */
+  def c3_decontaminated(s: SparkSession, dir: String): DataFrame = {
+    val contaminated = TextAnalysis.t14_contamination(s, dir)
+      .filter(col("n_shared") >= 2)
+      .select(col("train_doc").as("doc_id"))
+      .distinct()
+    c1_clean_corpus(s, dir)
+      .filter(col("doc_id") % 100 =!= 0) // eval docs never train
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: c1's and t14's SQL spliced verbatim, gated by NOT EXISTS. */
+  val c3Sql: String =
+    s"""WITH cln AS (
+       |$c1Sql
+       |), cont AS (
+       |${TextAnalysis.t14Sql}
+       |)
+       |SELECT c.doc_id, c.predicted, c.quality
+       |FROM cln c
+       |WHERE c.doc_id % 100 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM cont
+       |                  WHERE cont.train_doc = c.doc_id AND cont.n_shared >= 2)
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c3_decontaminated" -> (c3_decontaminated _),
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c3_decontaminated" -> c3Sql,
     "c1_clean_corpus" -> c1Sql)
 }
