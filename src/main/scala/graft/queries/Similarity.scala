@@ -320,13 +320,18 @@ object Similarity {
     * through them at full double precision (the oracle's unrolled c2 CTE is
     * the same unrounded value). Distance loop honors the production-
     * precision switch; the per-dim means stay exact-decimal on both paths —
-    * they are one aggregate per iteration, not the corpus × k hot path. */
-  private def trainCoarse(s: SparkSession, dir: String, ex: Boolean): DataFrame = {
+    * they are one aggregate per iteration, not the corpus × k hot path.
+    *
+    * `k` defaults to the 10 cells every oracle unrolls symbolically; the
+    * loop itself is k-agnostic (c2_semdedup exposes it as the
+    * `spark.graft.semdedupK` scaling knob). */
+  private def trainCoarse(s: SparkSession, dir: String, ex: Boolean,
+                          k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     var centroids = graft.plans.BroadcastContract.boundedCheckpoint(
-      emb.filter(col("vec_id") < 10) // deterministic seed
+      emb.filter(col("vec_id") < k) // deterministic seed
         .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cemb")),
-      "k-means seed: 10 rows by construction")
+      s"k-means seed: $k rows by construction")
     for (_ <- 1 to 2) {
       val assigned = assignToNearest(emb, centroids, ex)
         .select(col("vec_id"), col("cluster"), col("embedding"))
@@ -336,7 +341,7 @@ object Similarity {
         .agg((sum(col("v").cast("double").cast("decimal(38,30)")).cast("double")
               / count(lit(1))).as("cv"))
       centroids = graft.plans.BroadcastContract.boundedCheckpoint(
-        toArrays(longForm), "k-means centroids: k <= 10 clusters by seeding")
+        toArrays(longForm), s"k-means centroids: k <= $k clusters by seeding")
     }
     centroids
   }
@@ -864,8 +869,15 @@ object Similarity {
   def c2_semdedup(s: SparkSession, dir: String): DataFrame = {
     val ex = exactDecimals(s)
     graft.functions.DotProduct.register(s) // stage-1 prefilter is always native
+    // The scaling knob: production holds the per-cell pair block constant
+    // by growing k with the corpus (k = n / target cell size — the
+    // SemDeDup deployment contract, quadratic onset measured at sf1 in
+    // STRESS_sf1.md). The oracle unrolls the default k = 10 symbolically,
+    // so like exactDecimals this knob trades oracle hash-equality for the
+    // production shape; the dataflow is identical at any k.
+    val k = s.conf.get("spark.graft.semdedupK", "10").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val coarse = trainCoarse(s, dir, ex)
+    val coarse = trainCoarse(s, dir, ex, k)
     // (vec_id, cell, embedding, exact centroid sq-distance, squared norm) —
     // consumed by both pair sides and the final verdict join; staged once
     val asg = assignToNearest(emb, coarse, ex)

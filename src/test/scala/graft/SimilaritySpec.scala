@@ -144,4 +144,27 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(maxDiff < 1e-10, s"double fold strayed $maxDiff from the exact-decimal fold")
   }
+
+  test("semdedupK shrinks the within-cell pair space (the k ∝ corpus contract)") {
+    // c2's pairwise stage is (n/k)²·k at fixed k; growing k must shrink the
+    // pair space the prefilter scans. Assert it concretely: sum over cells
+    // of C(size, 2) at k = 50 is well below k = 10 on the same corpus, and
+    // the query itself still runs end-to-end at the non-default k.
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.graft.semdedupK"
+    def cellSizes(): Map[Long, Long] =
+      Similarity.c2_semdedup(spark, dir).groupBy("cell").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pairSpace(m: Map[Long, Long]): Long =
+      m.values.map(n => n * (n - 1) / 2).sum
+    val base = pairSpace(cellSizes())
+    spark.conf.set(key, "50")
+    try {
+      val sizes50 = cellSizes()
+      assert(sizes50.size > 10, s"expected >10 populated cells, got ${sizes50.size}")
+      val scaled = pairSpace(sizes50)
+      assert(scaled * 2 <= base,
+        s"pair space did not shrink: k=10 -> $base pairs, k=50 -> $scaled")
+    } finally spark.conf.unset(key)
+  }
 }
