@@ -102,11 +102,72 @@ object Pipeline {
        |                  WHERE cont.train_doc = c.doc_id AND cont.n_shared >= 2)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** C4: the DATASET CARD rollup — the per-slice summary table every
+    * released corpus ships (docs, token mass, exact-duplicate share, mean
+    * quality per language × source, with subtotals): `ROLLUP(lang,
+    * source)` over the already-oracled component signals (t1 tokens, t2
+    * quality, d1 exact-dup groups). This is the report a data-governance
+    * review reads before a 100 TB corpus is approved for training.
+    *
+    * Scale shape: one doc_id-keyed join spine (co-partitioned, AQE
+    * collapses the exchanges like c1/c3), then a single rollup aggregate
+    * — Spark expands rollup grouping sets inside one shuffle, not one
+    * pass per level. The duplicate flag reuses d1's one-hash-shuffle
+    * semantics; quality means sum 4-dp grid BIGINTs (the t6 micro-grid
+    * discipline) so subtotal means are order-independent and hash
+    * cross-engine. Nothing is broadcast; the card is a few hundred rows
+    * at any corpus size (bounded by the lang × source inventory). */
+  def c4_corpus_card(s: SparkSession, dir: String): DataFrame = {
+    val toksCount = TextAnalysis.t1_token_stats(s, dir)
+      .select(col("doc_id"), col("n_tokens"))
+    val quality = TextAnalysis.t2_quality_score(s, dir)
+      .select(col("doc_id"),
+              // 4-dp grid as BIGINT: exact, order-independent group sums
+              floor(col("quality") * 10000.0 + 0.5).cast("long").as("qi"))
+    val dup = Dedup.d1_exact_dedup(s, dir)
+      .select(col("doc_id"), col("is_dup").cast("long").as("is_dup"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(toksCount, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(dup, Seq("doc_id"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("n_tokens"),
+           sum(col("is_dup")).as("n_dup_docs"),
+           QUtil.round4(sum(col("qi")).cast("double") / 10000.0
+                        / count(lit(1))).as("mean_quality"))
+      .orderBy("lang", "source")
+  }
+
+  /** Oracle: t1/t2/d1 SQL spliced verbatim, one GROUP BY ROLLUP. */
+  val c4Sql: String =
+    s"""WITH tok AS (
+       |${TextAnalysis.t1Sql}
+       |), q AS (
+       |${TextAnalysis.t2Sql}
+       |), dup AS (
+       |${Dedup.d1Sql}
+       |)
+       |SELECT d.lang, d.source, count(*)::BIGINT AS n_docs,
+       |  sum(tok.n_tokens)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN dup.is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       |  floor(sum(floor(q.quality * 10000.0 + 0.5)::BIGINT)::DOUBLE / 10000.0
+       |        / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_quality
+       |FROM documents d
+       |JOIN tok ON d.doc_id = tok.doc_id
+       |JOIN q ON d.doc_id = q.doc_id
+       |JOIN dup ON d.doc_id = dup.doc_id
+       |GROUP BY ROLLUP(d.lang, d.source)
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c4_corpus_card" -> (c4_corpus_card _),
     "c3_decontaminated" -> (c3_decontaminated _),
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c4_corpus_card" -> c4Sql,
     "c3_decontaminated" -> c3Sql,
     "c1_clean_corpus" -> c1Sql)
 }

@@ -714,7 +714,98 @@ object TextAnalysis {
       |        * 10000.0 + 0.5) / 10000.0 AS epochs
       |FROM pw ORDER BY lang""".stripMargin
 
+  /** T16 blocklist scrub — the C4/RefinedWeb bad-words pass: count
+    * blocklisted tokens per document, decide keep/drop on the hit ratio,
+    * and emit the token-level REDACTED text (each hit replaced by a mask
+    * token) — the scrub applied to PII and profanity lists in production.
+    * The blocklist here is three corpus terms so the pass is exercised
+    * non-degenerately on the synthetic word-soup (production swaps in the
+    * email/phone/profanity patterns; the plan shape is identical). The
+    * redacted text is verified cross-engine by md5 so the oracle hashes a
+    * bounded column instead of shipping the full scrubbed body.
+    *
+    * Scale shape: a pure per-document projection — scrub, count, and
+    * digest all happen at scan time inside one codegen'd stage; NO
+    * shuffle (the orderBy exists only for the oracle compare). Only
+    * `text` + `doc_id` are read. The blocklist is a literal IN-list here;
+    * at production list sizes it becomes a broadcast set or a compiled
+    * automaton, still per-row and shuffle-free. */
+  def t16_blocklist_scrub(s: SparkSession, dir: String): DataFrame = {
+    val bl = "('slow', 'big', 'merge')"
+    val n = size(toks).cast("double")
+    val nHits = size(expr(s"filter(split(text, ' '), t -> t IN $bl)"))
+    val scrubbed = expr(
+      s"concat_ws(' ', transform(split(text, ' '), t -> IF(t IN $bl, '[X]', t)))")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nHits.cast("long").as("n_hits"),
+        round4(nHits.cast("double") / n).as("hit_ratio"),
+        (nHits.cast("double") / n <= 0.10).as("keep"),
+        md5(scrubbed).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  val t16Sql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('slow', 'big', 'merge')))::BIGINT AS n_hits,
+      |  floor(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('slow', 'big', 'merge')))::DOUBLE
+      |    / len(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0 AS hit_ratio,
+      |  (len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('slow', 'big', 'merge')))::DOUBLE
+      |    / len(string_split(text, ' ')) <= 0.10) AS keep,
+      |  md5(list_aggregate(list_transform(string_split(text, ' '),
+      |      t -> CASE WHEN t IN ('slow', 'big', 'merge') THEN '[X]' ELSE t END),
+      |      'string_agg', ' ')) AS scrub_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** T17 corpus heavy hitters — exact frequent-token mining with a
+    * bounded-state sketch doing the pruning: pass 1 folds the token
+    * stream into a k-counter Misra-Gries sketch
+    * ([[graft.functions.MisraGriesAgg]] — map-side partials, mergeable
+    * across any partitioning, O(k·partitions) bytes on the wire); pass 2
+    * joins the ≤ k candidates back (a broadcast bounded BY CONSTRUCTION
+    * to k rows — the sketch capacity is the contract) and exact-counts
+    * only them, filtering to true frequency > N/(k+1). The sketch
+    * guarantee (never misses a heavy hitter) makes the composition
+    * EXACT, so the oracle is the plain HAVING-threshold SQL — while the
+    * full-vocabulary shuffle the naive plan needs (billions of distinct
+    * tokens at 100 TB) is replaced by a k-candidate one. */
+  def t17_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 40
+    val tokens = Tables.documents(s, dir)
+      .select(explode(toks).as("tok"))
+    val sketch = tokens.as[String]
+      .select(new graft.functions.MisraGriesAgg(k).toColumn.name("cands"))
+    val cands = sketch.toDF("cands")
+      .select(explode(col("cands")).as("tok"))
+    val total = tokens.agg(count(lit(1)).as("n"))
+    tokens
+      .join(broadcast(cands), Seq("tok")) // ≤ k rows by sketch capacity
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n")) // exact integer threshold
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+  }
+
+  val t17Sql: String =
+    """WITH tk AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tot AS (SELECT count(*) AS n FROM tk)
+      |SELECT tok, count(*)::BIGINT AS cnt
+      |FROM tk, tot
+      |GROUP BY tok, n
+      |HAVING count(*) * 41 > n
+      |ORDER BY cnt DESC, tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_heavy_hitters" -> (t17_heavy_hitters _),
+    "t16_blocklist_scrub" -> (t16_blocklist_scrub _),
     "t15_mixture_weights" -> (t15_mixture_weights _),
     "t14_contamination" -> (t14_contamination _),
     "t13_quota_sample" -> (t13_quota_sample _),
@@ -732,6 +823,8 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t17_heavy_hitters" -> t17Sql,
+    "t16_blocklist_scrub" -> t16Sql,
     "t15_mixture_weights" -> t15Sql,
     "t14_contamination" -> t14Sql,
     "t9_len_quantiles" -> t9Sql,
