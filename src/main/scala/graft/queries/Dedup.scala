@@ -639,7 +639,73 @@ object Dedup {
       |FROM g LEFT JOIN cat USING (gram)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** D11 duplicated-span coverage: the SUBSTRING-level dedup metric —
+    * for each document, the fraction of token positions covered by an
+    * 8-gram that occurs at least twice anywhere in the corpus (other
+    * documents OR a repeat within the same one). This is the measurement
+    * behind exact-substring train-set dedup ("Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022): suffix-array
+    * pipelines delete such spans; the per-doc coverage ratio is the triage
+    * signal that says HOW duplicated a document is, where d1/d3 only say
+    * whether the whole document has a near-twin. Complements d10 (which
+    * counts distinct grams against a ≥5-doc boilerplate catalog): d11 is
+    * positional — overlapping duplicated grams are unioned into covered
+    * INTERVALS, so 9 duplicated tokens in a row count as 9, not 2×8.
+    *
+    * Scale shape: one gram-keyed count (the suffix-array stand-in — at
+    * 100 TB the gram key would be an 8-byte hash, not the string, so only
+    * fixed-width keys shuffle; the string form here keeps the DuckDB
+    * oracle exact), a gram-keyed join back (co-partitioned with the
+    * count), an 8-way position explode of only DUPLICATED occurrences,
+    * and a doc-keyed distinct+count. Nothing is broadcast or collected;
+    * the duplicated-occurrence set is a small fraction of the corpus by
+    * construction (most grams are unique). */
+  def d11_dupspan_coverage(s: SparkSession, dir: String): DataFrame = {
+    val N = 8
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val occ = t.filter(size(col("w")) >= N)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${N - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(w, i, $N)) AS gram))")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.gram").as("gram"))
+    val dup = occ.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("gram"))
+    val covered = occ.join(dup, Seq("gram")) // shuffle equi-join: dup is unbounded
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${N - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov"))
+    t.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_cov", coalesce(col("n_cov"), lit(0L)))
+      .withColumn("cov_ratio", round4(col("n_cov").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  val d11Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), occ AS (
+      |  SELECT doc_id, i AS pos, list_aggregate(w[i:i+7], 'string_agg', ' ') AS gram
+      |  FROM t CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(len(w)) FROM t))) AS i)
+      |  WHERE i + 7 <= len(w)
+      |), dup AS (
+      |  SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2
+      |), cov AS (
+      |  SELECT DISTINCT o.doc_id, o.pos + j AS p
+      |  FROM occ o JOIN dup USING (gram)
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY 1
+      |)
+      |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+      |  coalesce(cnt.n_cov, 0)::BIGINT AS n_cov,
+      |  floor(coalesce(cnt.n_cov, 0)::DOUBLE / len(t.w) * 10000.0 + 0.5) / 10000.0
+      |    AS cov_ratio
+      |FROM t LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_dupspan_coverage" -> (d11_dupspan_coverage _),
     "d10_boilerplate" -> (d10_boilerplate _),
     "d9_dup_clusters_star" -> (d9_dup_clusters_star _),
     "d7_edit_verify"   -> (d7_edit_verify _),
@@ -652,6 +718,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
+    "d11_dupspan_coverage" -> d11Sql,
     "d10_boilerplate" -> d10Sql,
     "d9_dup_clusters_star" -> d8Sql, // identical-result twin shares d8's oracle
     "d7_edit_verify"   -> d7Sql,

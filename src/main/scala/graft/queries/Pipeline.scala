@@ -161,12 +161,103 @@ object Pipeline {
        |GROUP BY ROLLUP(d.lang, d.source)
        |ORDER BY 1, 2""".stripMargin
 
+  /** C5: MATERIALIZE the training mixture t15 only prescribes — select
+    * documents until each language's token budget is filled, where the
+    * budget is `w_mix × (half the corpus's tokens)`. This is the step
+    * between "DoReMi/Pile weights computed" and "tokenizer input written":
+    * a deterministic, reproducible subsample whose realized token shares
+    * track the prescribed mixture.
+    *
+    * Selection order is a portable LCG hash of doc_id (engine-exact
+    * integer arithmetic — no rand(), so reruns and the oracle agree), and
+    * the per-language greedy prefix "keep docs until the budget fills"
+    * needs a running token sum in that order WITHOUT a per-language global
+    * sort (at 100 TB a language is most of the corpus — one sort task).
+    * Same decomposition as t6's decile ranking: 256 hash buckets, exact
+    * per-bucket token sums prefix-summed over a bounded (lang × 256)
+    * relation, then a windowed cumsum only WITHIN each (lang, bucket)
+    * partition — bounded local sorts, global order (bucket, h, doc_id).
+    * Output per language: docs/tokens kept vs the target and the fill
+    * ratio a mixture audit reads. */
+  def c5_mixture_materialize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextAnalysis.t3_lang_id(s, dir).select(col("doc_id"), col("predicted").as("plang"))
+      .join(TextAnalysis.t1_token_stats(s, dir).select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .withColumn("h", pmod(col("doc_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+      .withColumn("bkt", pmod(col("h"), lit(256L)))
+    val perBkt = docs.groupBy(col("plang"), col("bkt")).agg(sum(col("n_tokens")).as("bt"))
+    val off = perBkt.withColumn("boff", coalesce(sum(col("bt")).over(
+        Window.partitionBy(col("plang")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("plang"), col("bkt"), col("boff"))
+    val cum = docs.join(broadcast(off), Seq("plang", "bkt")) // bounded: langs × 256 rows
+      .withColumn("cum", col("boff") + sum(col("n_tokens")).over(
+        Window.partitionBy(col("plang"), col("bkt")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val total = docs.agg(sum(col("n_tokens")).as("tot")) // 1 row
+    val tgt = TextAnalysis.t15_mixture_weights(s, dir).select(col("lang").as("plang"), col("w_mix"))
+      .crossJoin(broadcast(total))
+      .withColumn("tgt", floor(col("w_mix") * col("tot").cast("double") * 0.5).cast("long"))
+      .select(col("plang"), col("tgt"))
+    cum.join(broadcast(tgt), Seq("plang")) // bounded: one row per language
+      .filter(col("cum") - col("n_tokens") < col("tgt"))
+      .groupBy(col("plang"), col("tgt"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .select(col("plang").as("lang"), col("n_docs_kept"), col("tokens_kept"),
+              col("tgt").as("tgt_tokens"),
+              QUtil.round4(col("tokens_kept").cast("double") / col("tgt")).as("fill"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: t1/t3/t15 SQL spliced verbatim; the same LCG order, bucketed
+    * prefix sums, and greedy-prefix predicate. Windowed sums are cast back
+    * to BIGINT before surfacing (DuckDB windowed sum → HUGEINT → float64
+    * in pandas — the t6 lesson). */
+  val c5Sql: String =
+    s"""WITH tok AS (
+       |${TextAnalysis.t1Sql}
+       |), p AS (
+       |${TextAnalysis.t3Sql}
+       |), w AS (
+       |${TextAnalysis.t15Sql.replace("ORDER BY lang", "ORDER BY 1")}
+       |), docs AS (
+       |  SELECT p.doc_id, p.predicted AS plang, tok.n_tokens,
+       |    ((p.doc_id * 1103515245 + 12345) % 2147483648 + 2147483648) % 2147483648 AS h
+       |  FROM p JOIN tok USING (doc_id)
+       |), b AS (
+       |  SELECT *, h % 256 AS bkt FROM docs
+       |), pb AS (
+       |  SELECT plang, bkt, sum(n_tokens)::BIGINT AS bt FROM b GROUP BY 1, 2
+       |), off AS (
+       |  SELECT plang, bkt, coalesce(sum(bt) OVER (PARTITION BY plang ORDER BY bkt
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS boff
+       |  FROM pb
+       |), cum AS (
+       |  SELECT b.plang, b.doc_id, b.n_tokens,
+       |    (off.boff + sum(b.n_tokens) OVER (PARTITION BY b.plang, b.bkt
+       |      ORDER BY b.h, b.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+       |  FROM b JOIN off ON b.plang = off.plang AND b.bkt = off.bkt
+       |), tgt AS (
+       |  SELECT w.lang AS plang,
+       |    floor(w.w_mix * (SELECT sum(n_tokens) FROM docs)::DOUBLE * 0.5)::BIGINT AS tgt
+       |  FROM w
+       |)
+       |SELECT cum.plang AS lang, count(*)::BIGINT AS n_docs_kept,
+       |  sum(cum.n_tokens)::BIGINT AS tokens_kept, tgt.tgt AS tgt_tokens,
+       |  floor(sum(cum.n_tokens)::DOUBLE / tgt.tgt * 10000.0 + 0.5) / 10000.0 AS fill
+       |FROM cum JOIN tgt ON cum.plang = tgt.plang
+       |WHERE cum.cum - cum.n_tokens < tgt.tgt
+       |GROUP BY 1, 4 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c5_mixture_materialize" -> (c5_mixture_materialize _),
     "c4_corpus_card" -> (c4_corpus_card _),
     "c3_decontaminated" -> (c3_decontaminated _),
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c5_mixture_materialize" -> c5Sql,
     "c4_corpus_card" -> c4Sql,
     "c3_decontaminated" -> c3Sql,
     "c1_clean_corpus" -> c1Sql)

@@ -302,7 +302,45 @@ object Windows {
       |  count(*) AS n, sum(cents)::BIGINT AS volume_cents
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** W11: per-window top-k — the "trending now" finisher every activity
+    * dashboard runs (the reference's top-5 blend W7 is the recommender
+    * variant; this is the plain per-window leaderboard). Tumbling 6-hour
+    * windows, top-3 event types by count, ties broken lexically.
+    *
+    * Scale shape: one windowed count shuffle (map-side combined), then
+    * `row_number` over a window PARTITIONED by win_start — thousands of
+    * parallel per-window sorts of (#event-types) rows each, never a global
+    * sort. [[graft.streaming.Streams.x18_stream_window_topk]] is the
+    * streaming twin computing the identical result from timer-flushed
+    * per-window state; it shares this oracle. */
+  def w11_window_topk(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(winStart().as("win_start"), col("event_type"), col("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("win_start"))
+          .orderBy(col("n").desc, col("event_type"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("win_start"), col("rank"), col("event_type"), col("n"))
+      .orderBy("win_start", "rank")
+  }
+
+  val w11Sql: String =
+    """WITH c AS (
+      |  SELECT floor(epoch(time_bucket(INTERVAL '6 hours', ts)))::BIGINT AS win_start,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT win_start, event_type, n,
+      |    row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS rank
+      |  FROM c)
+      |SELECT win_start, rank, event_type, n FROM r WHERE rank <= 3
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_window_topk"        -> (w11_window_topk _),
     "w10_ohlc_bars"          -> (w10_ohlc_bars _),
     "w5_distinct_agg"        -> (w5_distinct_agg _),
     "w1_tumbling_counts"     -> (w1_tumbling_counts _),
@@ -315,6 +353,7 @@ object Windows {
     "w7_top5_blend"          -> (w7_top5_blend _))
 
   val oracles: Map[String, String] = Map(
+    "w11_window_topk"        -> w11Sql,
     "w4_unique_users_approx" -> w4ApproxSql,
     "w10_ohlc_bars"        -> w10Sql,
     "w5_distinct_agg"      -> w4Sql, // identical semantics to w4, custom UDAF path

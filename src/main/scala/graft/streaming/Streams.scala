@@ -1006,7 +1006,68 @@ object Streams {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  case class TkEv(event_id: Long, ts: java.sql.Timestamp, event_type: String,
+                  arrival_s: Long)
+  case class TkState(counts: Map[String, Long])
+  case class TkOut(win_start: Long, rank: Long, event_type: String, n: Long)
+
+  /** X18: streaming per-window top-k (W11's twin) — the leaderboard
+    * computed ONLINE: per-window counts accumulate in keyed state and the
+    * ranked top-3 is emitted exactly once, when the event-time timer fires
+    * as the watermark passes the window's end. This is the classic
+    * "windowed top-k with timers" shape (the reference's W7 top-5 finisher
+    * runs on Flink window close the same way): rank is not a streamable
+    * relational op, so the finisher lives in `flatMapGroupsWithState`
+    * keyed by window start, and emission-on-timer guarantees append-mode
+    * exactly-once per window.
+    *
+    * The jittered replay's arrival skew (< 30 min) stays inside the
+    * watermark delay, so when the timer fires every one of the window's
+    * events has been folded into state — the emitted ranking is the exact
+    * batch result, which is why w11's oracle applies verbatim. State is
+    * bounded: one live map of (#event-types) entries per OPEN window
+    * (watermark evicts via the timer path); at 100 TB the key space is
+    * open windows × types, independent of corpus size. */
+  def x18_stream_window_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = replayStreamDirCols(s, dir, "events_replay_topk", Seq("event_type"))
+    val schema = s.read.parquet(streamDir.resolve("0_chunk.parquet").toString).schema
+    val winMs = 6L * 3600 * 1000
+    val ds = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("event_id"), col("ts"), col("event_type"), col("arrival_s"))
+      .withWatermark("ts", "30 minutes")
+      .as[TkEv]
+    val out = ds.groupByKey(e => if (e.event_id < 0) -1L else e.ts.getTime / winMs)
+      .flatMapGroupsWithState[TkState, TkOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[TkEv], state: GroupState[TkState]) =>
+          if (key < 0) { it.foreach(_ => ()); Iterator.empty } // sentinel group
+          else if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(3)
+              .iterator.zipWithIndex.map { case ((t, n), i) =>
+                TkOut(key * winMs / 1000, (i + 1).toLong, t, n) }
+          } else {
+            val st = state.getOption.getOrElse(TkState(Map.empty))
+            val merged = it.foldLeft(st.counts) { (m, e) =>
+              m + (e.event_type -> (m.getOrElse(e.event_type, 0L) + 1L)) }
+            state.update(TkState(merged))
+            // fire once the watermark passes the window end; any event of
+            // this window arriving now proves watermark < its ts < winEnd,
+            // so the timestamp is always legally in the future
+            state.setTimeoutTimestamp((key + 1) * winMs)
+            Iterator.empty
+          }
+      }
+    runToMemory(out.toDF(), OutputMode.Append(), s"x18_mem_${System.nanoTime()}")
+      .orderBy("win_start", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_stream_window_topk"   -> (x18_stream_window_topk _),
     "x1_stream_sliding_counts" -> (x1_sliding_counts _),
     "x2_stream_running_sum"    -> (x2_running_user_sum _),
     "x3_stream_resolver"       -> (x3_stream_resolver _),
@@ -1028,6 +1089,7 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x18_stream_window_topk"   -> graft.queries.Windows.w11Sql,
     "x1_stream_sliding_counts" -> graft.queries.Windows.w2Sql,
     "x2_stream_running_sum"    -> graft.queries.Stateful.st4Sql,
     "x3_stream_resolver"       -> graft.queries.Graph.st1Sql,
