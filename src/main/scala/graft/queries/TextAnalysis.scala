@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import QUtil._
@@ -803,7 +803,137 @@ object TextAnalysis {
       |HAVING count(*) * 41 > n
       |ORDER BY cnt DESC, tok""".stripMargin
 
+  /** Number of BPE merge rounds trained by [[t18_bpe_merges]] (the oracle
+    * unrolls the same number of rounds symbolically). */
+  val bpeRounds = 4
+
+  /** Greedy left-to-right merge of adjacent pair (a, b) inside one token
+    * array — a single in-order fold (`aggregate`), the exact semantics every
+    * BPE trainer applies per word: scan left to right, replace the first
+    * available `a b` adjacency with the merged symbol, and never let a
+    * freshly merged symbol re-match as the LEFT of an overlapping pair
+    * (automatic here: the merged symbol `a_b` ≠ `a` since `b` is nonempty).
+    * `try_element_at` keeps the empty-accumulator probe ANSI-safe. */
+  private[graft] def mergeGreedy(arr: Column, a: Column, b: Column): Column =
+    aggregate(arr, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === a && x === b,
+             concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(a, lit("_"), b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** T18 distributed BPE tokenizer training — the [[bpeRounds]] first merge
+    * rounds of byte-pair encoding learned over the whole corpus, the
+    * canonical tokenizer-training job of an LLM data pipeline (Sennrich et
+    * al. 2016; the word-level variant sentencepiece/HF trainers run before
+    * byte fallback). Each round: (1) count every adjacent token pair
+    * corpus-wide, (2) pick the most frequent pair (ties broken
+    * lexicographically — determinism contract), (3) re-tokenize every
+    * document by greedily merging that pair left to right.
+    *
+    * Spark plan, per round: the pair count is ONE map-side-combined shuffle
+    * over (w1, w2); the winning rule is a `TakeOrderedAndProject` top-1
+    * (never a global sort) broadcast as a single row; re-tokenization is a
+    * SHUFFLE-FREE narrow projection — a per-document `aggregate` fold over
+    * the token array ([[mergeGreedy]]), so document payloads never move
+    * between executors across rounds. Each round's corpus is materialized
+    * (`localCheckpoint`; `persist(MEMORY_AND_DISK)` on a cluster) because
+    * two consumers branch from it (next round's pair count + the
+    * tokens-after audit) and the merge-rule lineage is inherently
+    * sequential. K rounds = K linear passes — the same shape a
+    * thousand-executor BPE trainer runs at 100 TB, where the vocabulary
+    * (pair-count) shuffle is bounded by distinct adjacent pairs, not corpus
+    * bytes. Output: one row per round — the learned merge rule, its count
+    * at merge time, and the corpus token total after applying it. */
+  def t18_bpe_merges(s: SparkSession, dir: String): DataFrame = {
+    var docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .localCheckpoint()
+    val steps = (1 to bpeRounds).map { r =>
+      val n1 = size(col("arr")) - 1
+      val pairs = docs
+        .select(explode(zip_with(
+          slice(col("arr"), lit(1), greatest(n1, lit(0))),
+          slice(col("arr"), lit(2), greatest(n1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val best = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(1)
+        .localCheckpoint() // 1 row; consumed by the re-tokenize AND the output
+      docs = docs.crossJoin(broadcast(best))
+        .select(col("doc_id"),
+                mergeGreedy(col("arr"), col("w1"), col("w2")).as("arr"))
+        .localCheckpoint()
+      val after = docs.agg(sum(size(col("arr"))).cast("long").as("tokens_after"))
+      best.crossJoin(broadcast(after))
+        .select(lit(r.toLong).as("step"), col("w1"), col("w2"), col("cnt"),
+                col("tokens_after"))
+    }
+    steps.reduce(_.union(_)).orderBy("step")
+  }
+
+  /** The t18 oracle: [[bpeRounds]] rounds unrolled as chained MATERIALIZED
+    * CTEs (the s4/c2 symbolic-unroll discipline — MATERIALIZED because each
+    * round's corpus is referenced by three downstream CTEs, and DuckDB's
+    * default inlining would re-evaluate the chain exponentially). The greedy
+    * left-to-right merge is expressed relationally: candidate adjacencies →
+    * maximal runs of consecutive candidates (overlap is only possible when
+    * w1 = w2) → odd run offsets are the merge starts — provably the same
+    * positions [[mergeGreedy]]'s in-order fold merges. */
+  val t18Sql: String = {
+    def round(r: Int): String =
+      s"""tok$r AS MATERIALIZED (
+         |  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+         |  FROM t${r - 1}
+         |), pc$r AS (
+         |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS cnt
+         |  FROM tok$r a JOIN tok$r b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2
+         |), b$r AS MATERIALIZED (
+         |  SELECT w1, w2, cnt FROM pc$r ORDER BY cnt DESC, w1, w2 LIMIT 1
+         |), cand$r AS (
+         |  SELECT t.doc_id, t.pos,
+         |    (t.tok = b.w1 AND
+         |     lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) = b.w2) AS cand
+         |  FROM tok$r t CROSS JOIN b$r b
+         |), cr$r AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS runid
+         |  FROM cand$r WHERE cand
+         |), ms$r AS MATERIALIZED (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY doc_id, runid ORDER BY pos) AS rn
+         |    FROM cr$r) WHERE rn % 2 = 1
+         |), nt$r AS MATERIALIZED (
+         |  SELECT t.doc_id, t.pos,
+         |    CASE WHEN m1.pos IS NOT NULL
+         |         THEN (SELECT w1 || '_' || w2 FROM b$r) ELSE t.tok END AS tok
+         |  FROM tok$r t
+         |  LEFT JOIN ms$r m1 ON t.doc_id = m1.doc_id AND t.pos = m1.pos
+         |  LEFT JOIN ms$r m2 ON t.doc_id = m2.doc_id AND t.pos = m2.pos + 1
+         |  WHERE m2.pos IS NULL
+         |), t$r AS (
+         |  SELECT doc_id, list(tok ORDER BY pos) AS arr FROM nt$r GROUP BY doc_id
+         |)""".stripMargin
+    val ctes = (1 to bpeRounds).map(round).mkString(",\n")
+    val outs = (1 to bpeRounds).map(r =>
+      s"""SELECT $r AS step, w1, w2, cnt,
+         |    (SELECT count(*) FROM nt$r) AS tokens_after FROM b$r""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |$ctes,
+       |out AS (
+       |  $outs
+       |)
+       |SELECT step::BIGINT AS step, w1, w2, cnt::BIGINT AS cnt,
+       |  tokens_after::BIGINT AS tokens_after
+       |FROM out ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_bpe_merges" -> (t18_bpe_merges _),
     "t17_heavy_hitters" -> (t17_heavy_hitters _),
     "t16_blocklist_scrub" -> (t16_blocklist_scrub _),
     "t15_mixture_weights" -> (t15_mixture_weights _),
@@ -823,6 +953,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t18_bpe_merges" -> t18Sql,
     "t17_heavy_hitters" -> t17Sql,
     "t16_blocklist_scrub" -> t16Sql,
     "t15_mixture_weights" -> t15Sql,

@@ -1066,7 +1066,67 @@ object Streams {
       .orderBy("win_start", "rank")
   }
 
+  case class AdmitOut(event_id: Long, user_id: Long, admit_seq: Long)
+  case class AdmitState(admitted: Long)
+
+  /** X19: streaming per-key ADMISSION QUOTA — the rate-limiting /
+    * per-customer-cap operator every event-ingest front door runs (API
+    * quotas, bot throttling, per-tenant sampling budgets): each user's
+    * first Q events in (event-time, event_id) order are admitted with
+    * their admission index; everything after the quota is dropped at the
+    * door. The batch twin of the admission decision is a per-stratum order
+    * statistic (t13's quota sampling); here the decision is made ONLINE
+    * with O(1) state per key — a single admitted-count `ValueState` — so
+    * the operator never buffers, sorts, or re-reads history the way the
+    * batch window does.
+    *
+    * Scale: one shuffle on the key, a few bytes of state per user in the
+    * RocksDB store, per-event O(1) work. In production the counter would
+    * carry a `ProcessingTimeTimeout` (or a windowed key) to expire idle
+    * tenants; the bounded replay keeps `NoTimeout` so the final state
+    * equals the batch order statistic the oracle computes. */
+  def x19_stream_admission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Q = 5L
+    val ds: Dataset[Ev] = eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsMicros"), lit(0.0).as("value"))
+      .as[Ev]
+    runToMemory(admissionStateful(ds, Q).toDF(), OutputMode.Append(),
+        s"x19_mem_${System.nanoTime()}")
+      .orderBy("event_id")
+  }
+
+  /** The x19 stateful core, shared with `StreamingSpec`'s cross-trigger
+    * test — the admitted-count `ValueState` must carry across micro-batches
+    * so a key's quota is enforced globally, not per trigger. */
+  def admissionStateful(ds: Dataset[Ev], q: Long): Dataset[AdmitOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AdmitState, AdmitOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[Ev], state: GroupState[AdmitState]) =>
+          var n = state.getOption.map(_.admitted).getOrElse(0L)
+          val outs = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            .flatMap { e =>
+              if (n < q) { n += 1; Some(AdmitOut(e.event_id, e.user_id, n)) }
+              else None
+            }
+          state.update(AdmitState(n))
+          outs.iterator
+      }
+  }
+
+  val x19Sql: String =
+    """SELECT event_id, user_id,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ns(ts) // 1000, event_id) AS admit_seq
+      |FROM events
+      |QUALIFY admit_seq <= 5
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_stream_admission"     -> (x19_stream_admission _),
     "x18_stream_window_topk"   -> (x18_stream_window_topk _),
     "x1_stream_sliding_counts" -> (x1_sliding_counts _),
     "x2_stream_running_sum"    -> (x2_running_user_sum _),
@@ -1089,6 +1149,7 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x19_stream_admission"     -> x19Sql,
     "x18_stream_window_topk"   -> graft.queries.Windows.w11Sql,
     "x1_stream_sliding_counts" -> graft.queries.Windows.w2Sql,
     "x2_stream_running_sum"    -> graft.queries.Stateful.st4Sql,

@@ -201,4 +201,30 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("admission quota state carries across micro-batches") {
+    // A user's events split across two triggers: the quota must bind
+    // GLOBALLY (3 admitted total), not reset per trigger (which would
+    // admit 2 + 2). The second trigger's lone admit continues the
+    // admission index at 3 — proof the ValueState survived the batch
+    // boundary.
+    import graft.streaming.Streams.{Ev, admissionStateful}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val out = admissionStateful(mem.toDS(), q = 3L)
+    val q = out.toDF().writeStream.format("memory").queryName("admit_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Ev(1L, 7L, 1000L, 0.0), Ev(2L, 7L, 2000L, 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3L, 7L, 3000L, 0.0), Ev(4L, 7L, 4000L, 0.0),
+                  Ev(5L, 8L, 1000L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("admit_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 7L, 1L), (2L, 7L, 2L), (3L, 7L, 3L),
+                         (5L, 8L, 1L)))
+    } finally q.stop()
+  }
 }
