@@ -437,6 +437,19 @@ object Dedup {
   def d8_dup_clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = d3Pairs(s, dir).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
+    val labels = minLabelComponents(pairs)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("n").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label propagation over an undirected pair relation (doc_a, doc_b)
+    * → (n, lbl = component min). Shared by d8 and the m7 media keep-best
+    * composite; rounds = component diameter (d9's star contraction is the
+    * log-round twin for adversarial diameters). */
+  private[graft] def minLabelComponents(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v").localCheckpoint()
@@ -453,10 +466,7 @@ object Dedup {
       changed = next.filter(col("nlbl") < col("lbl")).count()
       labels = next.select(col("n"), col("nlbl").as("lbl")).localCheckpoint()
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, Seq("lbl"))
-      .select(col("n").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** Oracle: the same components via a recursive reachability CTE over the

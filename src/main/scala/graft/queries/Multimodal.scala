@@ -319,7 +319,12 @@ object Multimodal {
     * the per-band key space grows 256×; the remaining candidates are
     * dominated by the corpus's genuine near-dup pair mass (~2.3M), which
     * no complete banding scheme can prune. */
-  def m6_media_neardup(s: SparkSession, dir: String): DataFrame = {
+  def m6_media_neardup(s: SparkSession, dir: String): DataFrame =
+    m6Pairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** m6's verified near-dup pair relation (doc_a < doc_b, hamming ≤ 3) —
+    * shared by m6 and the m7 keep-best composite. */
+  private def m6Pairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ph = assets(s, dir).as[Asset]
       .mapPartitions(_.flatMap { a =>
@@ -341,7 +346,6 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** m6's oracle: the signed-random-projection hash re-derived per doc in
@@ -352,7 +356,7 @@ object Multimodal {
     * banding must return the identical set. The j=63 addend is −2⁶³, so
     * the signed sum stays in BIGINT range and equals the engine's
     * two's-complement long. */
-  val m6Sql: String =
+  private val m6SqlBody: String =
     """WITH b AS (
       |  SELECT doc_id, i, ascii(substring(text, i, 1)) AS byte
       |  FROM documents CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(length(text)) FROM documents))) AS i)
@@ -371,10 +375,70 @@ object Multimodal {
       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |       bit_count(xor(a.phash, b2.phash))::BIGINT AS hamming
       |FROM ph a JOIN ph b2 ON a.doc_id < b2.doc_id
-      |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |WHERE bit_count(xor(a.phash, b2.phash)) <= 3""".stripMargin
+
+  val m6Sql: String = m6SqlBody + "\nORDER BY doc_a, doc_b"
+
+  /** M7: the media-curation KEEP-BEST composite — what an image/video
+    * dataset build actually ships from near-dup detection: m6's verified
+    * pair relation → connected components (min-label propagation, shared
+    * with d8) → ONE representative kept per duplicate cluster, best-fidelity
+    * wins (largest payload; doc_id breaks ties — all-integer, so the
+    * decision is hash-exact cross-engine). Emits the drop-list every
+    * curation pipeline materializes: each clustered asset with its cluster,
+    * cluster size, and keep/drop verdict (assets with no near-dup never
+    * enter the relation — they are implicitly kept, and at 100 TB never
+    * shuffle at all).
+    *
+    * Scale shape: inherits m6's banding (payload bytes never shuffle — only
+    * 8-byte hashes and ids) and d8's diameter-bounded label propagation
+    * (near-dup clusters are shallow; d9's star contraction is the log-depth
+    * fallback). The keep decision is one partitioned window over cluster
+    * members — no global sort. */
+  def m7_media_keep_best(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = Dedup.minLabelComponents(m6Pairs(s, dir))
+    val members = labels
+      .select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+      .join(assets(s, dir).select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    members
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(desc("n_bytes"), asc("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"),
+              count(lit(1)).over(byCluster).as("n_members"),
+              (col("rk") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** m7's oracle: m6's pair SQL spliced verbatim, components via the d8
+    * recursive-reachability discipline, keep = first by (n_bytes DESC,
+    * doc_id) per cluster. */
+  val m7Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$m6SqlBody
+       |), ed AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(src, node) AS (
+       |  SELECT u, u FROM ed
+       |  UNION
+       |  SELECT r.src, e.v FROM reach r JOIN ed e ON r.node = e.u
+       |), comp AS (
+       |  SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1
+       |), q AS (
+       |  SELECT c.doc_id, c.cluster_id, length(d.text)::BIGINT AS n_bytes
+       |  FROM comp c JOIN documents d USING (doc_id)
+       |)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |  (row_number() OVER (PARTITION BY cluster_id
+       |     ORDER BY n_bytes DESC, doc_id) = 1) AS keep
+       |FROM q ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_media_keep_best" -> (m7_media_keep_best _),
     "m6_media_neardup"   -> (m6_media_neardup _),
     "m5_media_neardup"   -> (m5_media_neardup _),
     "m4_media_dedup"     -> (m4_media_dedup _),
@@ -383,6 +447,7 @@ object Multimodal {
     "m3_frame_sample"    -> (m3_frame_sample _))
 
   val oracles: Map[String, String] = Map(
+    "m7_media_keep_best" -> m7Sql,
     "m6_media_neardup"   -> m6Sql,
     "m5_media_neardup"   -> m5Sql,
     "m4_media_dedup"     -> m4Sql,

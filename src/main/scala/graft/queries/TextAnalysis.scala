@@ -932,7 +932,86 @@ object TextAnalysis {
        |FROM out ORDER BY step""".stripMargin
   }
 
+  /** T19 context-window SEQUENCE PACKING — the GPT-style concat-and-chunk
+    * step that turns a curated corpus into fixed-length training sequences:
+    * documents are laid end to end in doc_id order and the token stream is
+    * cut into chunks of L = 128 tokens. Emits the packing manifest every
+    * trainer shard-reader needs: per chunk, its token fill (only the last
+    * chunk is short — concat packing has zero padding waste by
+    * construction), how many documents overlap it, and how many begin in it
+    * (the boundaries where attention masks / EOD tokens go).
+    *
+    * The load-bearing primitive is the GLOBAL token offset of every
+    * document — an exact prefix sum over the corpus order. The naive
+    * spelling is `sum() OVER (ORDER BY doc_id)`: a single-partition global
+    * sort-window, the same 100 TB bottleneck [[QUtil.denseIds]] kills for
+    * ranks. Same cure here, applied to sums: (1) running sums WITHIN
+    * doc_id-range buckets — partitioned windows, parallel across buckets;
+    * (2) per-bucket totals prefix-summed in ONE window over only the bucket
+    * relation (rows = docs / [[packBucketWidth]] — the declared scaling
+    * knob; at petabyte doc counts it becomes a two-level cascade, same
+    * algebra); (3) broadcast the bounded bucket-offset relation back. The
+    * chunk explosion amplifies rows only to output size (a doc spans
+    * ⌈n_tok/L⌉ chunks). One shuffle for the final per-chunk aggregation. */
+  def t19_sequence_packing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 128L
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+              expr(s"doc_id div $packBucketWidth").as("bkt"))
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(bktOff), lit(0L)))
+      .select(col("bkt"), col("boff")) // docs/packBucketWidth rows — bounded
+    val total = d.agg(sum(col("n_tok")).as("total"))
+    d.withColumn("brun", coalesce(sum(col("n_tok")).over(inBkt), lit(0L)))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("off", col("boff") + col("brun"))
+      .select(col("off"), col("n_tok"),
+              explode(sequence(expr(s"off div $L"),
+                               expr(s"(off + n_tok - 1) div $L"))).as("chunk_id"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(expr(s"off div $L") === col("chunk_id"), 1L)
+             .otherwise(0L)).as("n_starts"))
+      .crossJoin(broadcast(total))
+      .select(col("chunk_id"),
+              least(lit(L), col("total") - col("chunk_id") * L).as("n_tokens"),
+              col("n_docs"), col("n_starts"))
+      .orderBy("chunk_id")
+  }
+
+  /** doc_id range per offset bucket in [[t19_sequence_packing]] — sized so
+    * the bucket-offset relation stays broadcastable at the bench SFs (sf1:
+    * 50k docs → ~196 buckets). */
+  val packBucketWidth = 256L
+
+  val t19Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, n_tok,
+      |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+      |  FROM d
+      |), t AS (SELECT sum(n_tok)::BIGINT AS total FROM d),
+      |ch AS (
+      |  SELECT off, n_tok,
+      |    unnest(range(off // 128, (off + n_tok - 1) // 128 + 1)) AS chunk_id
+      |  FROM o
+      |)
+      |SELECT chunk_id::BIGINT AS chunk_id,
+      |  least(128, t.total - chunk_id * 128)::BIGINT AS n_tokens,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN off // 128 = chunk_id THEN 1 ELSE 0 END)::BIGINT AS n_starts
+      |FROM ch, t GROUP BY chunk_id, t.total ORDER BY chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_sequence_packing" -> (t19_sequence_packing _),
     "t18_bpe_merges" -> (t18_bpe_merges _),
     "t17_heavy_hitters" -> (t17_heavy_hitters _),
     "t16_blocklist_scrub" -> (t16_blocklist_scrub _),
@@ -953,6 +1032,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t19_sequence_packing" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,
     "t17_heavy_hitters" -> t17Sql,
     "t16_blocklist_scrub" -> t16Sql,
