@@ -464,7 +464,9 @@ object Dedup {
                 least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("nlbl"))
         .localCheckpoint()
       changed = next.filter(col("nlbl") < col("lbl")).count()
-      labels = next.select(col("n"), col("nlbl").as("lbl")).localCheckpoint()
+      // narrow projection over the checkpoint — a second materialization per
+      // round would only re-write the same blocks
+      labels = next.select(col("n"), col("nlbl").as("lbl"))
     }
     labels
   }

@@ -845,7 +845,15 @@ object TextAnalysis {
     * (pair-count) shuffle is bounded by distinct adjacent pairs, not corpus
     * bytes. Output: one row per round — the learned merge rule, its count
     * at merge time, and the corpus token total after applying it. */
-  def t18_bpe_merges(s: SparkSession, dir: String): DataFrame = {
+  def t18_bpe_merges(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(s, dir)._2.reduce(_.union(_)).orderBy("step")
+
+  /** The shared BPE training chain: [[bpeRounds]] rounds of pair-count →
+    * top-1 rule → greedy re-tokenize. Returns (final re-tokenized corpus,
+    * one 1-row step summary per round). t18 reports the steps; t20 applies
+    * the final corpus. */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     var docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .localCheckpoint()
@@ -870,10 +878,50 @@ object TextAnalysis {
         .select(lit(r.toLong).as("step"), col("w1"), col("w2"), col("cnt"),
                 col("tokens_after"))
     }
-    steps.reduce(_.union(_)).orderBy("step")
+    (docs, steps)
   }
 
-  /** The t18 oracle: [[bpeRounds]] rounds unrolled as chained MATERIALIZED
+  /** T20: the APPLY half of the tokenizer — encode the corpus with the
+    * merge table [[t18_bpe_merges]] learned and report the per-language
+    * compression ledger (docs, tokens before/after, compression ratio)
+    * that decides whether a tokenizer is fit for a mixture. Training and
+    * application are the same chain here (the corpus IS the training set);
+    * in production the 4-rule table is the broadcast artifact and the
+    * apply pass is the chain's shuffle-free fold over any OTHER corpus —
+    * which is why the fold ([[mergeGreedy]]) and the rule selection are
+    * separate stages. One extra shuffle total: the final (lang) rollup. */
+  def t20_bpe_encode(s: SparkSession, dir: String): DataFrame = {
+    val encoded = bpeTrain(s, dir)._1
+    encoded
+      .join(Tables.documents(s, dir)
+              .select(col("doc_id"), col("lang"),
+                      size(split(col("text"), " ")).cast("long").as("n_before")),
+            Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_before")).as("tok_before"),
+           sum(size(col("arr"))).cast("long").as("tok_after"))
+      .withColumn("ratio",
+        round4(col("tok_after").cast("double") / col("tok_before")))
+      .orderBy("lang")
+  }
+
+  /** t20's oracle: the t18 chain's final corpus CTE rolled up per language. */
+  val t20Sql: String = {
+    val ctes = (1 to bpeRounds).map(bpeRoundSqlCtes).mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |$ctes
+       |SELECT d.lang, count(*)::BIGINT AS n_docs,
+       |  sum(len(string_split(d.text, ' ')))::BIGINT AS tok_before,
+       |  sum(len(t.arr))::BIGINT AS tok_after,
+       |  floor(sum(len(t.arr))::DOUBLE / sum(len(string_split(d.text, ' ')))
+       |        * 10000.0 + 0.5) / 10000.0 AS ratio
+       |FROM t$bpeRounds t JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** One BPE round's oracle CTE block (tok/pc/b/cand/cr/ms/nt/t$r) — shared
+    * by the t18 and t20 oracles. [[bpeRounds]] rounds chain as MATERIALIZED
     * CTEs (the s4/c2 symbolic-unroll discipline — MATERIALIZED because each
     * round's corpus is referenced by three downstream CTEs, and DuckDB's
     * default inlining would re-evaluate the chain exponentially). The greedy
@@ -881,9 +929,8 @@ object TextAnalysis {
     * maximal runs of consecutive candidates (overlap is only possible when
     * w1 = w2) → odd run offsets are the merge starts — provably the same
     * positions [[mergeGreedy]]'s in-order fold merges. */
-  val t18Sql: String = {
-    def round(r: Int): String =
-      s"""tok$r AS MATERIALIZED (
+  private def bpeRoundSqlCtes(r: Int): String =
+    s"""tok$r AS MATERIALIZED (
          |  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
          |  FROM t${r - 1}
          |), pc$r AS (
@@ -917,7 +964,9 @@ object TextAnalysis {
          |), t$r AS (
          |  SELECT doc_id, list(tok ORDER BY pos) AS arr FROM nt$r GROUP BY doc_id
          |)""".stripMargin
-    val ctes = (1 to bpeRounds).map(round).mkString(",\n")
+
+  val t18Sql: String = {
+    val ctes = (1 to bpeRounds).map(bpeRoundSqlCtes).mkString(",\n")
     val outs = (1 to bpeRounds).map(r =>
       s"""SELECT $r AS step, w1, w2, cnt,
          |    (SELECT count(*) FROM nt$r) AS tokens_after FROM b$r""".stripMargin)
@@ -1011,6 +1060,7 @@ object TextAnalysis {
       |FROM ch, t GROUP BY chunk_id, t.total ORDER BY chunk_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_bpe_encode" -> (t20_bpe_encode _),
     "t19_sequence_packing" -> (t19_sequence_packing _),
     "t18_bpe_merges" -> (t18_bpe_merges _),
     "t17_heavy_hitters" -> (t17_heavy_hitters _),
@@ -1032,6 +1082,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t20_bpe_encode" -> t20Sql,
     "t19_sequence_packing" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,
     "t17_heavy_hitters" -> t17Sql,
