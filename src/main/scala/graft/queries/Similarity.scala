@@ -949,7 +949,107 @@ object Similarity {
       |FROM asgd a LEFT JOIN rem r USING (vec_id)
       |ORDER BY a.vec_id""".stripMargin
 
+  /** S11: per-class kNN-GRAPH construction — the first s-query with an
+    * UNBOUNDED query side: EVERY vector finds its top-3 same-label
+    * neighbors (the kNN graph UMAP/HNSW builds, SemDeDup's graph variant
+    * consumes, and every "related items within category" service serves).
+    * s1-s10 all lean on the bounded-query-side contract; here the thing
+    * that makes an all-corpus query side feasible is that the filter is a
+    * PARTITIONABLE equi-key: joining on `label` turns the corpus×corpus
+    * blowup into Σ n_label² co-partitioned blocks — the metadata-filtered
+    * vector search every production vector store optimizes for, and the
+    * same block-bounding algebra as c2's cells (block size is the declared
+    * scaling knob: at 100 TB labels are sharded further by an LSH sub-key,
+    * same plan shape).
+    *
+    * Exactness at unbounded scale is the second problem this query solves:
+    * the oracle contract ranks by exact-decimal cosine, but running the
+    * order-independent DECIMAL(30,20) fold over every within-class pair is
+    * the expensive path. Two stages, provably lossless: (1) a native
+    * codegen'd `dot_f32` double cosine over all within-class pairs ranks
+    * candidates; everything within 1.2e-4 of each query's 3rd-best double
+    * cosine survives — the margin covers the 1e-4 output rounding quantum
+    * plus the ≲1e-13 64-term double-fold error, so NO vector that could
+    * place top-3 under the rounded exact ranking can be excluded (if
+    * rounded(m) were in the top-3, at most two vectors may exceed m's
+    * double cosine by more than the quantum); (2) the exact-decimal fold
+    * re-ranks only the survivors (≈3-30 per query, duplicate cliques
+    * included by the margin). */
+  def s11_knn_graph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val decDot = (a: Column, b: Column) =>
+      aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
+        lit(0).cast(DEC),
+        (acc, x) => (acc + x).cast(DEC)).cast("double")
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              decDot(col("embedding"), col("embedding")).as("n2"))
+      .localCheckpoint() // norms: n exact folds, consumed by both stages
+    // Stage 1 stays NARROW end to end: dcos is computed inside the join
+    // task and the 64-float payloads are dropped before anything shuffles —
+    // the within-class pair stream that reaches the ranking exchange is
+    // (q_id, n_id, dcos). The 3rd-best double cosine rides the SAME
+    // window partitioning as the rank (Exchange reused, the st8 trick),
+    // so stage 1 is exactly one narrow shuffle.
+    val byQ = Window.partitionBy(col("q_id"))
+    val cand = emb.select(col("vec_id").as("q_id"), col("label"),
+                          col("embedding").as("qe"), col("n2").as("qn2"))
+      .join(emb.select(col("vec_id").as("n_id"), col("label"),
+                       col("embedding").as("ne"), col("n2").as("nn2")),
+            Seq("label"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (call_function("dot_f32", col("qe"), col("ne"))
+          / sqrt(col("qn2") * col("nn2"))).as("dcos"))
+      .withColumn("rk_d", row_number().over(
+        byQ.orderBy(col("dcos").desc, col("n_id"))))
+      .withColumn("kth_dcos",
+        max(when(col("rk_d") === 3, col("dcos"))).over(byQ))
+      .filter(col("dcos") >= coalesce(col("kth_dcos"), lit(-2.0)) - 1.2e-4)
+      .select(col("q_id"), col("n_id"))
+    // Stage 2: payloads move ONLY for the ≈3-30 candidates per query.
+    cand
+      .join(emb.select(col("vec_id").as("q_id"), col("label"),
+                       col("embedding").as("qe"), col("n2").as("qn2")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"),
+                       col("embedding").as("ne"), col("n2").as("nn2")), Seq("n_id"))
+      .withColumn("cosine",
+        round4(decDot(col("qe"), col("ne")) / sqrt(col("qn2") * col("nn2"))))
+      .withColumn("rank", row_number().over(
+        byQ.orderBy(col("cosine").desc, col("n_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("label"), col("n_id"), col("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** s11's oracle: the full exact within-class ranking — no prefilter
+    * oracle-side; the margin argument above is exactly the claim that the
+    * engine's two-stage plan equals this. */
+  val s11Sql: String =
+    s"""WITH $elemsSqlCte, norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |), dots AS (
+      |  SELECT a.vec_id AS q_id, a.label AS label, b.vec_id AS n_id,
+      |         sum((a.v * b.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+      |                   AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2, 3
+      |), scored AS (
+      |  SELECT q_id, label, n_id,
+      |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = n_id
+      |), ranked AS (
+      |  SELECT q_id, label, n_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, label, n_id, cosine, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_knn_graph"    -> (s11_knn_graph _),
     "c2_semdedup"      -> (c2_semdedup _),
     "s10_ivfpq_recall" -> (s10_ivfpq_recall _),
     "s8_recall_audit" -> (s8_recall_audit _),
@@ -962,6 +1062,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s11_knn_graph"    -> s11Sql,
     "c2_semdedup"      -> c2Sql,
     "s10_ivfpq_recall" -> s10Sql,
     "s8_recall_audit" -> s8Sql,

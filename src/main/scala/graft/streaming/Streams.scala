@@ -53,6 +53,26 @@ object Streams {
     normalizeTs(raw)
   }
 
+  /** The documents table as an unbounded-source DataFrame — the same
+    * symlink-directory file stream as [[eventsStream]], for the x20
+    * tokenizer-feed twin. */
+  def docsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "documents")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !Files.exists(link))
+      Files.delete(link)
+    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link,
+        Paths.get(Tables.path(dir, "documents")).toAbsolutePath)
+    s.readStream.schema(
+        s.read.parquet(Tables.path(dir, "documents")).schema)
+      .parquet(streamDir.toString)
+  }
+
   /** Same ts normalization as the batch reader (`Tables.events`): nanos-long
     * → µs timestamp; timezone-naive (NTZ) → session-UTC timestamp. */
   private def normalizeTs(raw: DataFrame): DataFrame =
@@ -1125,7 +1145,56 @@ object Streams {
       |QUALIFY admit_seq <= 5
       |ORDER BY event_id""".stripMargin
 
+  case class DocTok(doc_id: Long, lang: String, n_tok: Long)
+  case class PackOut(doc_id: Long, lang: String, off: Long, chunk_id: Long)
+
+  /** X20: the streaming TOKENIZER FEED — t19's sequence packing run online:
+    * documents arrive as an unbounded stream and each is assigned its
+    * per-language shard placement (global token offset + 128-token chunk
+    * id) the moment it arrives, from a single running-offset `ValueState`
+    * per language. This is the front half of a streaming training-data
+    * loader: the batch job (t19) rebuilds the manifest from scratch with a
+    * corpus-wide prefix sum; the online op EXTENDS it in O(1) state and
+    * O(1) work per document — no re-scan, no re-sort, the same numbers.
+    * Keyed by language (t19 packs one global stream; per-language feeds are
+    * what a mixture-weighted loader actually consumes). */
+  def x20_stream_packing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = docsStream(s, dir)
+      .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[DocTok]
+    val out = ds.groupByKey(_.lang)
+      .flatMapGroupsWithState[Long, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[DocTok], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val outs = it.toSeq.sortBy(_.doc_id).map { d =>
+            val mine = off
+            off += d.n_tok
+            PackOut(d.doc_id, d.lang, mine, mine / 128L)
+          }
+          state.update(off)
+          outs.iterator
+      }
+    runToMemory(out.toDF(), OutputMode.Append(),
+        s"x20_mem_${System.nanoTime()}")
+      .orderBy("doc_id")
+  }
+
+  val x20Sql: String =
+    """SELECT doc_id, lang,
+      |  coalesce(sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0)::BIGINT AS off,
+      |  (coalesce(sum(len(string_split(text, ' '))) OVER (PARTITION BY lang
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) // 128)::BIGINT AS chunk_id
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_stream_packing"       -> (x20_stream_packing _),
     "x19_stream_admission"     -> (x19_stream_admission _),
     "x18_stream_window_topk"   -> (x18_stream_window_topk _),
     "x1_stream_sliding_counts" -> (x1_sliding_counts _),
@@ -1149,6 +1218,7 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x20_stream_packing"       -> x20Sql,
     "x19_stream_admission"     -> x19Sql,
     "x18_stream_window_topk"   -> graft.queries.Windows.w11Sql,
     "x1_stream_sliding_counts" -> graft.queries.Windows.w2Sql,

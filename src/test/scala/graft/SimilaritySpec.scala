@@ -145,6 +145,52 @@ class SimilaritySpec extends SparkSpec {
     assert(maxDiff < 1e-10, s"double fold strayed $maxDiff from the exact-decimal fold")
   }
 
+  test("s11 two-stage re-rank is lossless on rounding-quantum near-ties") {
+    // Adversarial input for the 1.2e-4 margin: a clique of vectors whose
+    // pairwise cosines differ by ~1e-6..1e-5 — far below the 1e-4 output
+    // rounding quantum — so the final (rounded cosine, n_id) ranking is
+    // decided by vec_id TIE-BREAKS among vectors stage 1's double ranking
+    // orders differently. If the margin failed to admit every member of
+    // the rounded 3rd-best class, ranks would diverge from the full exact
+    // ranking computed here in the driver.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    def perturbed(eps: Double): Array[Float] =
+      base.zipWithIndex.map { case (x, i) =>
+        (x + eps * (if (i % 2 == 0) 1 else -1) * rnd.nextDouble()).toFloat }
+    val vecs: Seq[(Long, Array[Float], Int)] =
+      (0L until 12L).map(i => (i, perturbed(1e-5 * (i + 1)), 1)) ++ // near-tie clique
+      (12L until 14L).map(i => (i, base, 1)) ++                     // exact duplicates
+      (14L until 20L).map(i =>
+        (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat), 2)) // control block
+    val tmp = java.nio.file.Files.createTempDirectory("s11_spec_").toString
+    spark.createDataFrame(vecs).toDF("vec_id", "embedding", "label")
+      .write.parquet(tmp + "/embeddings.parquet")
+
+    def decFold(a: Array[Float], b: Array[Float]): BigDecimal =
+      a.zip(b).map { case (p, q) =>
+        BigDecimal(p.toDouble * q.toDouble)
+          .setScale(20, BigDecimal.RoundingMode.HALF_EVEN) }.sum
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val expected = vecs.flatMap { case (q, qe, lbl) =>
+      vecs.filter(v => v._3 == lbl && v._1 != q)
+        .map { case (n, ne, _) =>
+          val cos = r4(decFold(qe, ne).toDouble /
+            math.sqrt(decFold(qe, qe).toDouble * decFold(ne, ne).toDouble))
+          (q, n, cos)
+        }
+        .sortBy { case (_, n, cos) => (-cos, n) }
+        .take(3).zipWithIndex
+        .map { case ((qq, n, cos), i) => (qq, lbl, n, cos, (i + 1).toLong) }
+    }.sortBy(r => (r._1, r._5))
+    val got = Similarity.s11_knn_graph(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+                 r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   test("semdedupK shrinks the within-cell pair space (the k ∝ corpus contract)") {
     // c2's pairwise stage is (n/k)²·k at fixed k; growing k must shrink the
     // pair space the prefilter scans. Assert it concretely: sum over cells

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Event-time streaming semantics with controlled out-of-order input via
   * MemoryStream: watermark dropping (L1/L2) and final-value fidelity of the
@@ -225,6 +225,39 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(rows == Set((1L, 7L, 1L), (2L, 7L, 2L), (3L, 7L, 3L),
                          (5L, 8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming packing offsets continue across micro-batches") {
+    // A language's token offset must carry over the trigger boundary: doc 3
+    // arrives in batch 2 and lands at offset 200 (not 0), crossing into
+    // chunk 1 — the online manifest EXTENDS, never restarts.
+    import graft.streaming.Streams.DocTok
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[DocTok]
+    val out = mem.toDS().groupByKey(_.lang)
+      .flatMapGroupsWithState[Long, graft.streaming.Streams.PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[DocTok], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val outs = it.toSeq.sortBy(_.doc_id).map { d =>
+            val mine = off; off += d.n_tok
+            graft.streaming.Streams.PackOut(d.doc_id, d.lang, mine, mine / 128L)
+          }
+          state.update(off); outs.iterator
+      }
+    val q = out.toDF().writeStream.format("memory").queryName("pack_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(DocTok(1L, "en", 120L), DocTok(2L, "en", 80L))
+      q.processAllAvailable()
+      mem.addData(DocTok(3L, "en", 50L), DocTok(4L, "de", 10L))
+      q.processAllAvailable()
+      val rows = spark.table("pack_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows == Set((1L, "en", 0L, 0L), (2L, "en", 120L, 0L),
+                         (3L, "en", 200L, 1L), (4L, "de", 0L, 0L)))
     } finally q.stop()
   }
 }
