@@ -100,13 +100,23 @@ object LdbcE2E {
     * divergence between the row-level reader and the expression parser
     * breaks the hash. */
   def ldbc_dsv2(s: SparkSession, dir: String): DataFrame = {
+    val unified = s.read.format("graft.sources.ActivityDataSource")
+      .load(cachedWireLines(s, dir).toString)
+      .filter(col("type") =!= "tombstone" && col("type") =!= "error")
+    resolveAndCount(unified)
+  }
+
+  /** The materialized tagged-wire slice, cached by a CONTENT fingerprint of
+    * the source parquet (size + mtime of every part), not just the
+    * sanitized dir string — a regenerated sf dir (e.g. target/sf1 rebuilt
+    * in place) must invalidate the lines, or consumers would read stale
+    * lines while the DuckDB oracle reads fresh parquet. Shared by
+    * ldbc_dsv2 and ldbc_roundtrip (both resolve the SAME fingerprint — a
+    * newest-dir heuristic could pick a stale cache after A→B→A
+    * regeneration). */
+  private def cachedWireLines(s: SparkSession, dir: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     import scala.util.Using
-    // Cache keyed by a CONTENT fingerprint of the source parquet (size +
-    // mtime of every part), not just the sanitized dir string — a
-    // regenerated sf dir (e.g. target/sf1 rebuilt in place) must invalidate
-    // the materialized wire lines, or this query would read stale lines
-    // while the DuckDB oracle reads fresh parquet.
     val src = Paths.get(graft.Tables.path(dir, "events"))
     val fp = {
       val parts =
@@ -133,8 +143,27 @@ object LdbcE2E {
         _.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p)))
     }
+    marker
+  }
+
+  /** The WRITE half of the DataSource V2 extension point on the oracle
+    * path: parse the wire lines (ldbc_dsv2's cached slice), write the
+    * unified rows BACK to the tagged format through the V2 batch writer
+    * (two-phase commit, overwrite = `SupportsTruncate`), read the
+    * re-serialized files with the same V2 reader, and run the identical
+    * resolve→window pipeline — the closed-form oracle can only stay green
+    * if `serializeLine ∘ parseLine` is the identity on every corpus row.
+    * This is the Kafka-producer round trip (serialize → broker → consumer
+    * re-parse) with files standing in for the env-blocked broker. */
+  def ldbc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val parsed = s.read.format("graft.sources.ActivityDataSource")
+      .load(cachedWireLines(s, dir).toString)
+    val rt = Files.createTempDirectory("graft_ldbc_rt_").toString
+    parsed.write.format("graft.sources.ActivityDataSource")
+      .mode("overwrite").save(rt)
     val unified = s.read.format("graft.sources.ActivityDataSource")
-      .load(marker.toString)
+      .load(rt)
       .filter(col("type") =!= "tombstone" && col("type") =!= "error")
     resolveAndCount(unified)
   }
@@ -150,9 +179,11 @@ object LdbcE2E {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ldbc_e2e"  -> (ldbc_e2e _),
-    "ldbc_dsv2" -> (ldbc_dsv2 _))
+    "ldbc_dsv2" -> (ldbc_dsv2 _),
+    "ldbc_roundtrip" -> (ldbc_roundtrip _))
 
   val oracles: Map[String, String] = Map(
     "ldbc_e2e"  -> ldbcSql,
-    "ldbc_dsv2" -> ldbcSql) // identical pipeline through the DSv2 reader
+    "ldbc_dsv2" -> ldbcSql, // identical pipeline through the DSv2 reader
+    "ldbc_roundtrip" -> ldbcSql) // parse → V2 write → re-parse → pipeline
 }

@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -149,15 +150,145 @@ object ActivityDataSource {
         u(line), null, null, null, null, emptyTags, null, null)
     }
   }
+
+  // ---- the writer's inverse mapping ----
+
+  /** Epoch micros → the wire timestamp [[parseTsMicros]] reads back to the
+    * same value: seconds + optional 3-digit millis + trailing Z. */
+  private def formatTsMicros(micros: Long): String = {
+    val base = java.time.LocalDateTime
+      .ofEpochSecond(Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    val ms = Math.floorMod(micros, 1000000L) / 1000L
+    base + (if (ms > 0) f".$ms%03d" else "") + "Z"
+  }
+
+  /** One unified-schema row → its tagged wire line — the exact inverse of
+    * [[parseLine]] on parsed corpus rows (null scalars serialize as empty
+    * fields, which parse back to null; `error` rows re-emit their original
+    * line verbatim, so even unparseable input round-trips). The one
+    * documented degradation: a null STRING field in a position the parser
+    * reads (e.g. a handcrafted post with null content) serializes as the
+    * empty field and reads back as "" — absent-vs-empty is not
+    * representable in the wire format itself. */
+  def serializeLine(row: InternalRow): String = {
+    def s(i: Int): String =
+      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    def n(i: Int): String =
+      if (row.isNullAt(i)) "" else row.getInt(i).toString
+    def ts(i: Int): String =
+      if (row.isNullAt(i)) "" else formatTsMicros(row.getLong(i))
+    def tags(i: Int): String =
+      if (row.isNullAt(i)) ""
+      else {
+        val a = row.getArray(i)
+        "[" + (0 until a.numElements()).map(j =>
+          if (a.isNullAt(j)) "" else a.getInt(j).toString).mkString(", ") + "]"
+      }
+    s(0) match {
+      case "post" =>
+        s"P|${n(1)}|${n(2)}|${ts(5)}|${s(7)}|${s(8)}|${s(9)}|${s(10)}|${s(6)}|${tags(11)}|${n(12)}|${n(13)}"
+      case "comment" =>
+        s"C|${n(1)}|${n(2)}|${ts(5)}|${s(8)}|${s(9)}|${s(6)}|${n(3)}||${n(13)}"
+      case "reply" =>
+        s"C|${n(1)}|${n(2)}|${ts(5)}|${s(8)}|${s(9)}|${s(6)}||${n(4)}|${n(13)}"
+      case "like" =>
+        s"L|${n(2)}|${n(3)}|${ts(5)}"
+      case "tombstone" =>
+        s"T|${n(3)}|${ts(5)}"
+      case _ => s(6) // error: the original raw line, verbatim
+    }
+  }
 }
 
-private[sources] class ActivityTable(path: String) extends Table with SupportsRead {
+private[sources] class ActivityTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"activity($path)"
   override def schema(): StructType = ActivityDataSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Set.of(TableCapability.BATCH_READ)
+    java.util.Set.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+                     TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ActivityScanBuilder(Option(path).getOrElse(options.get("path")))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ActivityWriteBuilder(
+      Option(path).getOrElse(info.options.get("path")))
+}
+
+/** The WRITE half of the extension point — the Kafka-producer stand-in
+  * serializing the unified activity schema BACK to the tagged wire format
+  * ([[ActivityDataSource.serializeLine]] is the exact inverse of
+  * [[ActivityDataSource.parseLine]] on parsed corpus rows, asserted
+  * round-trip in `ActivityDataSourceSpec`). Standard V2 two-phase commit:
+  * tasks write `_tmp-` part files (invisible to the reader's `_`-prefix
+  * filter), the driver commit renames them — and, for overwrite mode
+  * (`SupportsTruncate`), first deletes the previous committed files — so a
+  * failed job never leaves a half-visible mix. */
+private[sources] class ActivityWriteBuilder(path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new ActivityBatchWrite(path, doTruncate)
+  }
+}
+
+private[sources] case class ActivityCommitMessage(tmpFile: String)
+    extends WriterCommitMessage
+
+private[sources] class ActivityBatchWrite(path: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    new ActivityWriterFactory(path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val tmps = messages.map(_.asInstanceOf[ActivityCommitMessage].tmpFile).toSet
+    if (truncate)
+      scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+        st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filterNot(p => tmps.contains(p.toString))
+          .foreach(java.nio.file.Files.delete)
+      }
+    tmps.foreach { t =>
+      val p = java.nio.file.Paths.get(t)
+      java.nio.file.Files.move(p,
+        p.resolveSibling(p.getFileName.toString.stripPrefix("_tmp-")),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case ActivityCommitMessage(t) =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t))
+    }
+}
+
+private[sources] class ActivityWriterFactory(path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ActivityDataWriter(path, partitionId, taskId)
+}
+
+private[sources] class ActivityDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val tmp = java.nio.file.Paths.get(path,
+    f"_tmp-part-$partitionId%05d-$taskId")
+  private val out = java.nio.file.Files.newBufferedWriter(tmp)
+  override def write(row: InternalRow): Unit = {
+    out.write(ActivityDataSource.serializeLine(row))
+    out.write("\n")
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ActivityCommitMessage(tmp.toString)
+  }
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] class ActivityScanBuilder(path: String)

@@ -109,4 +109,41 @@ class ActivityDataSourceSpec extends SparkSpec {
       Seq("garbage").toDF("v").select(col("v").cast("int")).collect()
     }
   }
+
+  test("write path round-trips the full sf0.001 wire slice") {
+    // serializeLine is the exact inverse of parseLine on parsed corpus
+    // rows: read → write (DSV2 batch write) → read must be row-identical,
+    // including quirky timestamps, tag lists, and the error rows (which
+    // re-emit their original line verbatim).
+    val sf = "/root/testdata/sf0.001"
+    val lines = graft.queries.LdbcE2E.taggedWireLines(spark, sf)
+      .collect().map(_.getString(0)).toSeq
+    val src = writeLines(lines)
+    val df = spark.read.format("graft.sources.ActivityDataSource").load(src)
+    val out = Files.createTempDirectory("graft_dsv2_w_").toString
+    df.write.format("graft.sources.ActivityDataSource")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("graft.sources.ActivityDataSource").load(out)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    assert(back.count() == lines.size)
+    // append doubles every row; a second overwrite truncates back
+    df.write.format("graft.sources.ActivityDataSource")
+      .mode("append").save(out)
+    assert(spark.read.format("graft.sources.ActivityDataSource")
+      .load(out).count() == 2L * lines.size)
+    df.write.format("graft.sources.ActivityDataSource")
+      .mode("overwrite").save(out)
+    assert(spark.read.format("graft.sources.ActivityDataSource")
+      .load(out).count() == lines.size)
+  }
+
+  test("write path round-trips the handcrafted quirk lines") {
+    val src = writeLines(quirkLines)
+    val df = spark.read.format("graft.sources.ActivityDataSource").load(src)
+    val out = Files.createTempDirectory("graft_dsv2_wq_").toString
+    df.write.format("graft.sources.ActivityDataSource")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("graft.sources.ActivityDataSource").load(out)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
 }
