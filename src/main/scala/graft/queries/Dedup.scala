@@ -716,7 +716,68 @@ object Dedup {
       |    AS cov_ratio
       |FROM t LEFT JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** D12 incremental (delta-vs-base) exact dedup — the daily-increment shape
+    * every production corpus runs: yesterday's corpus (the BASE, here
+    * `doc_id % 10 <> 0`) is already deduplicated; only the arriving DELTA
+    * (`doc_id % 10 = 0`) must be checked, (a) against the base and (b)
+    * within itself, without ever re-pairing base×base. Each delta doc is
+    * classified `dup_of_base` (its content hash exists in the base, with
+    * the canonical base doc), `dup_in_delta` (first seen inside this
+    * delta), or `unique`, plus the canonical `dup_of` pointer — exactly
+    * the drop-list an incremental ingest publishes.
+    *
+    * Scale shape — the whole point of the query: the base side collapses
+    * to its (hash, min doc_id) fingerprint aggregate BEFORE the join
+    * (partial agg, map-side combined), so 99.9 TB of settled corpus ships
+    * only fixed-width digests once, and the per-increment cost is
+    * O(delta) + one co-partitioned hash join; nothing quadratic in base
+    * size ever forms, and re-running yesterday's pairs never happens. The
+    * delta-internal pass is one window over the same hash key — the same
+    * Exchange the join already made. */
+  def d12_incremental_dedup(s: SparkSession, dir: String): DataFrame =
+    incrClassify(Tables.documents(s, dir) // d1's canonical content key, as a
+      .select(col("doc_id"),              // fixed-width digest — only 16
+        md5(substring(col("text"), 1, 64)).as("h"))) // bytes per doc ship
+      .orderBy("doc_id")
+
+  /** The d12 classification on an arbitrary (doc_id, h) relation — split
+    * out so specs can drive all three status branches with engineered
+    * hash collisions. Base = `doc_id % 10 <> 0`, delta = the rest. */
+  private[graft] def incrClassify(docs: DataFrame): DataFrame = {
+    val baseMin = docs.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("base_id"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("delta_first",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .join(baseMin, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("base_id").isNotNull, lit("dup_of_base"))
+          .when(col("doc_id") =!= col("delta_first"), lit("dup_in_delta"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("base_id"),
+          when(col("doc_id") =!= col("delta_first"), col("delta_first")))
+          .as("dup_of"))
+  }
+
+  val d12Sql: String =
+    """WITH d AS (SELECT doc_id, md5(substring(text, 1, 64)) AS h FROM documents),
+      |base AS (
+      |  SELECT h, min(doc_id) AS base_id FROM d WHERE doc_id % 10 <> 0 GROUP BY h
+      |), delta AS (
+      |  SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS delta_first
+      |  FROM d WHERE doc_id % 10 = 0
+      |)
+      |SELECT dl.doc_id,
+      |  CASE WHEN b.base_id IS NOT NULL THEN 'dup_of_base'
+      |       WHEN dl.doc_id <> dl.delta_first THEN 'dup_in_delta'
+      |       ELSE 'unique' END AS status,
+      |  coalesce(b.base_id,
+      |    CASE WHEN dl.doc_id <> dl.delta_first THEN dl.delta_first END) AS dup_of
+      |FROM delta dl LEFT JOIN base b USING (h)
+      |ORDER BY dl.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_incremental_dedup" -> (d12_incremental_dedup _),
     "d11_dupspan_coverage" -> (d11_dupspan_coverage _),
     "d10_boilerplate" -> (d10_boilerplate _),
     "d9_dup_clusters_star" -> (d9_dup_clusters_star _),
@@ -730,6 +791,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
+    "d12_incremental_dedup" -> d12Sql,
     "d11_dupspan_coverage" -> d11Sql,
     "d10_boilerplate" -> d10Sql,
     "d9_dup_clusters_star" -> d8Sql, // identical-result twin shares d8's oracle

@@ -511,7 +511,8 @@ object Graph {
   def g4_kcore(s: SparkSession, dir: String): DataFrame = {
     val pairs = coengagementPairs(s, dir)
     val ed = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .repartition(col("v")) // checkpoint preserves this hash partitioning, so
+      .localCheckpoint()     // the ~21 per-round joins never re-shuffle the E side
     kcoreOf(ed).select(col("u").as("user_id"), col("c").as("core"))
       .orderBy("user_id")
   }
@@ -529,12 +530,17 @@ object Graph {
       .agg(coalesce(max(when(col("nc") >= col("rn"), col("rn"))), lit(0))
         .cast("long").as("c"))
     var c = ed.groupBy("u").agg(count(lit(1)).as("c")).localCheckpoint()
+    // Values are monotone NON-INCREASING longs, so the global sum strictly
+    // decreases iff any node changed — convergence detection is one |V|-row
+    // partial-aggregated sum per round, not a |V|⋈|V| join + count.
+    var sum = c.agg(org.apache.spark.sql.functions.sum("c")).first().getLong(0)
     var rounds = 0
     var changed = true
     while (changed && rounds < KCoreRounds) {
       val nxt = hIndex(ed, c).localCheckpoint()
-      changed = nxt.join(c.withColumnRenamed("c", "pc"), Seq("u"))
-        .filter(col("c") =!= col("pc")).limit(1).count() > 0
+      val nxtSum = nxt.agg(org.apache.spark.sql.functions.sum("c")).first().getLong(0)
+      changed = nxtSum != sum
+      sum = nxtSum
       rounds += 1
       c = nxt
     }

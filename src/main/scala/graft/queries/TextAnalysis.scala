@@ -1059,11 +1059,55 @@ object TextAnalysis {
       |  sum(CASE WHEN off // 128 = chunk_id THEN 1 ELSE 0 END)::BIGINT AS n_starts
       |FROM ch, t GROUP BY chunk_id, t.total ORDER BY chunk_id""".stripMargin
 
+  /** T21 pattern-class redaction — the PII-scrub SHAPE of a C4/CCNet-style
+    * privacy pass (emails, phones, IDs → placeholder tokens), exercised
+    * here with pattern classes the synthetic vocabulary actually contains:
+    * an entity class (`customer|supplier|part` as whole words) and a
+    * suffix class (`\w+er` words) redacted IN ORDER, so the second pattern
+    * scans the already-entity-redacted text exactly as a chained scrub
+    * pipeline would. Emits per-doc match counts per class and the digest
+    * of the fully-redacted text — the audit row a redaction job publishes.
+    *
+    * Differs from t16 (token-set membership over a split) in machinery:
+    * this is REGEX-SPAN matching — `regexp_extract_all` + global
+    * `regexp_replace` — the form real PII patterns need (boundaries,
+    * alternation, quantifiers), with Java-regex/RE2 portability pinned to
+    * the common subset (`\b`, `\w`, alternation; no backrefs/lookaround —
+    * DuckDB needs the explicit 'g' flag where Spark replaces globally).
+    * Pure per-row projection: no shuffle, scan-pruned to (doc_id, text),
+    * codegen'd end-to-end — at 100 TB this is the cheapest pass class. */
+  def t21_regex_redact(s: SparkSession, dir: String): DataFrame = {
+    val entPat = "\\b(customer|supplier|part)\\b"
+    val sfxPat = "\\b\\w+er\\b"
+    val red1 = regexp_replace(col("text"), entPat, "[ENT]")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(entPat), lit(0)))
+          .cast("long").as("n_ent"),
+        size(regexp_extract_all(red1, lit(sfxPat), lit(0)))
+          .cast("long").as("n_sfx"),
+        md5(regexp_replace(red1, sfxPat, "[SFX]")).as("redact_md5"))
+      .orderBy("doc_id")
+  }
+
+  val t21Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\b(customer|supplier|part)\b'))::BIGINT
+      |    AS n_ent,
+      |  len(regexp_extract_all(
+      |    regexp_replace(text, '\b(customer|supplier|part)\b', '[ENT]', 'g'),
+      |    '\b\w+er\b'))::BIGINT AS n_sfx,
+      |  md5(regexp_replace(
+      |    regexp_replace(text, '\b(customer|supplier|part)\b', '[ENT]', 'g'),
+      |    '\b\w+er\b', '[SFX]', 'g')) AS redact_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_bpe_encode" -> (t20_bpe_encode _),
     "t19_sequence_packing" -> (t19_sequence_packing _),
     "t18_bpe_merges" -> (t18_bpe_merges _),
     "t17_heavy_hitters" -> (t17_heavy_hitters _),
+    "t21_regex_redact" -> (t21_regex_redact _),
     "t16_blocklist_scrub" -> (t16_blocklist_scrub _),
     "t15_mixture_weights" -> (t15_mixture_weights _),
     "t14_contamination" -> (t14_contamination _),
@@ -1086,6 +1130,7 @@ object TextAnalysis {
     "t19_sequence_packing" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,
     "t17_heavy_hitters" -> t17Sql,
+    "t21_regex_redact" -> t21Sql,
     "t16_blocklist_scrub" -> t16Sql,
     "t15_mixture_weights" -> t15Sql,
     "t14_contamination" -> t14Sql,

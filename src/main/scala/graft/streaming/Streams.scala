@@ -1145,6 +1145,53 @@ object Streams {
       |QUALIFY admit_seq <= 5
       |ORDER BY event_id""".stripMargin
 
+  /** The admission counter on the `transformWithState` API — x19's machine
+    * with a named `ValueState` handle (RocksDB-mandatory), the modern state
+    * API twin the x2/x9 pair established for running sums. */
+  private class AdmissionProcessor(q: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, AdmitOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AdmitOut] = {
+      var n = if (st.exists()) st.get() else 0L
+      val outs = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).flatMap { e =>
+        if (n < q) { n += 1; Some(AdmitOut(e.event_id, e.user_id, n)) }
+        else None
+      }
+      st.update(n)
+      outs.iterator
+    }
+  }
+
+  /** X21: the admission quota via `transformWithState` — shares x19's
+    * oracle (identical admission decisions), runs on the RocksDB provider
+    * TWS mandates, restoring the previous provider after. */
+  def x21_tws_admission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds: Dataset[Ev] = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("tsMicros"), lit(0.0).as("value"))
+        .as[Ev]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new AdmissionProcessor(5L),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      runToMemory(out.toDF(), OutputMode.Append(), s"x21_mem_${System.nanoTime()}")
+        .orderBy("event_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   case class DocTok(doc_id: Long, lang: String, n_tok: Long)
   case class PackOut(doc_id: Long, lang: String, off: Long, chunk_id: Long)
 
@@ -1193,7 +1240,57 @@ object Streams {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  case class IncrIn(doc_id: Long, h: String, base_id: Option[Long])
+  case class IncrOut(doc_id: Long, status: String, dup_of: Option[Long])
+
+  /** X22: d12's incremental dedup ONLINE — the ingest-side twin: arriving
+    * delta documents are classified the moment they land, against (a) the
+    * SETTLED corpus via a stream-static left join on the base fingerprint
+    * aggregate (stateless, re-planned per micro-batch — like x5, no
+    * broadcast hint: the planner size-bounds the dim here, and at 100 TB
+    * the same plan shuffle-joins against the base digest table) and (b)
+    * the delta seen SO FAR via one first-arrival `ValueState` per content
+    * hash — O(1) state per distinct hash, the same admission discipline as
+    * x19. Batch d12 rebuilds the classification corpus-wide; this extends
+    * it per document with no re-scan — identical final rows, shared
+    * oracle. */
+  def x22_stream_incr_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseMin = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("base_id"))
+    val in = docsStream(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("h"))
+      .join(baseMin, Seq("h"), "left_outer")
+      .select(col("doc_id"), col("h"), col("base_id"))
+      .as[IncrIn]
+    val out = in.groupByKey(_.h)
+      .flatMapGroupsWithState[Long, IncrOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[IncrIn], state: GroupState[Long]) =>
+          var first = state.getOption
+          val outs = it.toSeq.sortBy(_.doc_id).map { r =>
+            r.base_id match {
+              case Some(b) => IncrOut(r.doc_id, "dup_of_base", Some(b))
+              case None => first match {
+                case Some(f) => IncrOut(r.doc_id, "dup_in_delta", Some(f))
+                case None =>
+                  first = Some(r.doc_id); IncrOut(r.doc_id, "unique", None)
+              }
+            }
+          }
+          first.foreach(state.update)
+          outs.iterator
+      }
+    runToMemory(out.toDF(), OutputMode.Append(), s"x22_mem_${System.nanoTime()}")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_stream_incr_dedup"    -> (x22_stream_incr_dedup _),
+    "x21_tws_admission"        -> (x21_tws_admission _),
     "x20_stream_packing"       -> (x20_stream_packing _),
     "x19_stream_admission"     -> (x19_stream_admission _),
     "x18_stream_window_topk"   -> (x18_stream_window_topk _),
@@ -1218,6 +1315,8 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x22_stream_incr_dedup"    -> graft.queries.Dedup.d12Sql, // same final rows
+    "x21_tws_admission"        -> x19Sql, // identical admission decisions
     "x20_stream_packing"       -> x20Sql,
     "x19_stream_admission"     -> x19Sql,
     "x18_stream_window_topk"   -> graft.queries.Windows.w11Sql,

@@ -207,4 +207,49 @@ class CheckpointRestartSpec extends SparkSpec {
       }
     }
   }
+
+  test("admission quota killed mid-replay resumes exactly-once (no re-admission)") {
+    // L6 on the RATE-LIMITER state: if the admitted-count ValueState were
+    // lost at restart, the replayed batches would re-admit up to 5 MORE
+    // events per user (extra rows); if replay double-counted, legitimate
+    // admissions would be denied (missing rows). The union of committed
+    // batches must equal the batch order statistic exactly.
+    val src = chunkedStreamDir(4)
+    val base = Files.createTempDirectory("graft_adm_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val expectedAdm: Set[Seq[Any]] = Tables.events(spark, dir)
+      .withColumn("admit_seq", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+        .cast("long"))
+      .filter(col("admit_seq") <= 5)
+      .select(col("event_id"), col("user_id"), col("admit_seq"))
+      .collect().map(_.toSeq).toSet
+    def startAdm(availableNow: Boolean) = {
+      val schema = spark.read.parquet(src.resolve("0_chunk.parquet").toString).schema
+      val ds: Dataset[Ev] = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("tsMicros"), col("value"))
+        .as[Ev]
+      Streams.admissionStateful(ds, 5L).toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    val q1 = startAdm(availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    val q2 = startAdm(availableNow = true)
+    q2.awaitTermination()
+    assert(batchResult(out) == expectedAdm)
+  }
 }

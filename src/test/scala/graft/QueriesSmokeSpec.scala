@@ -31,6 +31,23 @@ class QueriesSmokeSpec extends SparkSpec {
       s"unexpected empty results: ${empties.mkString(", ")}")
   }
 
+  test("incremental dedup classifies all three statuses (d12)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A"), (2L, "A"), (3L, "B"), // base (doc_id % 10 <> 0)
+      (10L, "A"),              // delta, hash settled in base → dup_of_base(1)
+      (20L, "C"), (30L, "C"),  // delta-internal collision → first wins
+      (40L, "D")               // genuinely new
+    ).toDF("doc_id", "h")
+    val got = graft.queries.Dedup.incrClassify(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      (10L, "dup_of_base", Some(1L)),
+      (20L, "unique", None),
+      (30L, "dup_in_delta", Some(20L)),
+      (40L, "unique", None)))
+  }
+
   test("every query has an oracle (the approx entries audit their own bounds)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: ${missing.mkString(", ")}")
