@@ -268,6 +268,17 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(err.getMessage.contains("100 TB contract"))
   }
 
+  test("grouped top-k lowers to WindowGroupLimit, not a full per-key sort (w11)") {
+    // Spark 3.5+ infers a bounded per-partition top-k (partial heap before
+    // the shuffle, final after) from a rank-limit filter — the built-in
+    // operator a hand-rolled heap would duplicate. This pins that the
+    // queries' rank-filter FORM actually triggers it: at 100 TB the
+    // difference is sorting every group fully vs keeping k rows per task.
+    val plan = graft.queries.Windows.w11_window_topk(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
