@@ -120,6 +120,52 @@ object Windows {
       |       count(*) AS n_events, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
 
+  /** W12: DYNAMIC-GAP session windows — `session_window` with a per-row gap
+    * expression (purchases hold a session open 2 h, everything else
+    * 30 min), the engagement-weighted sessionization an activity pipeline
+    * actually wants (a conversion event extends the visit; a stray click
+    * doesn't). Each event spans [ts, ts + its own gap) and overlapping
+    * spans merge per user — so unlike w9's fixed gap, a session's end is
+    * the running MAX of member ends, not last-event + constant.
+    *
+    * The oracle mirrors exactly that: a running max of per-event end
+    * micros over the (user, time) window, break when the next event
+    * starts at-or-after it (the same µs grid and >= boundary w9 pinned),
+    * then the standard island sum. Plan shape is identical to w9: one
+    * shuffle on user_id, sessions assembled inside the aggregation —
+    * the gap expression is a pure projection, free at any scale. */
+  def w12_dynamic_sessions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", "2 hours").otherwise("30 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+      .select(winStart("session_window.start").as("sess_start"),
+              col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+
+  val w12Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value, event_id, epoch_ns(ts) // 1000 AS us,
+      |    epoch_ns(ts) // 1000 + CASE WHEN event_type = 'purchase'
+      |      THEN 7200000000 ELSE 1800000000 END AS end_us
+      |  FROM events
+      |), m AS (
+      |  SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM o
+      |), b AS (
+      |  SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+      |    THEN 1 ELSE 0 END AS brk FROM m
+      |), sess AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM b)
+      |SELECT floor(epoch(min(ts)))::BIGINT AS sess_start, user_id,
+      |       count(*) AS n_events,
+      |       floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
+
   /** W7/F6: top-5 "recommendations" — per event_type, per-user dynamic
     * (sum of value) and static (activity count) scores are min-max
     * normalized (degenerate span → 1.0, FriendRecommender.java:346-354),
@@ -350,6 +396,7 @@ object Windows {
     "w4_unique_users_approx" -> (w4_unique_users_approx _),
     "w8_user_tumbling_sum"   -> (w8_user_tumbling_sum _),
     "w9_session_windows"     -> (w9_session_windows _),
+    "w12_dynamic_sessions"   -> (w12_dynamic_sessions _),
     "w7_top5_blend"          -> (w7_top5_blend _))
 
   val oracles: Map[String, String] = Map(
@@ -363,5 +410,6 @@ object Windows {
     "w4_unique_users"      -> w4Sql,
     "w8_user_tumbling_sum" -> w8Sql,
     "w9_session_windows"   -> w9Sql,
+    "w12_dynamic_sessions" -> w12Sql,
     "w7_top5_blend"        -> w7Sql)
 }
