@@ -928,7 +928,71 @@ object Relational {
       |  UNION ALL SELECT user_id, 'error', c_error FROM w)
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Q28 typed cogroup reconciliation — `KeyValueGroupedDataset.cogroup`,
+    * the one relational-algebra-adjacent operator the q-family hadn't
+    * exercised: both sides grouped on the same key and merged by arbitrary
+    * per-key logic in a single reduce round (the classic two-source
+    * reconciliation job: purchase EVENTS vs high-value ORDERS per
+    * customer, with `both` / `events_only` / `orders_only` verdicts — all
+    * three branches populated at the driver's gate SF).
+    *
+    * Scale contract: each side is pre-reduced to ONE row per key BEFORE
+    * the cogroup (exact-decimal partial-agg sums, map-side combined), so
+    * the per-key iterators the merge function sees are O(1) — cogroup's
+    * per-key-in-memory semantics stay safe at any corpus size, and the
+    * whole operator is two aggregation shuffles + one co-partitioned
+    * merge. Oracle: the equivalent FULL OUTER JOIN with CASE status. */
+  def q28_cogroup_reconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purch"),
+           round2(sum(col("value").cast("decimal(18,6)")).cast("double"))
+             .as("purch_value"))
+      .as[(Long, Long, Double)]
+    val od = Tables.orders(s, dir).filter(col("o_totalprice") > 350000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           round2(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"))
+             .as("order_value"))
+      .as[(Long, Long, Double)]
+    ev.groupByKey(_._1).cogroup(od.groupByKey(_._1)) { (k, eIt, oIt) =>
+      val e = eIt.buffered.headOption
+      val o = oIt.buffered.headOption
+      val status = (e, o) match {
+        case (Some(_), Some(_)) => "both"
+        case (Some(_), None)    => "events_only"
+        case _                  => "orders_only"
+      }
+      Iterator((k, e.map(_._2).getOrElse(0L), e.map(_._3).getOrElse(0.0),
+                o.map(_._2).getOrElse(0L), o.map(_._3).getOrElse(0.0), status))
+    }.toDF("user_id", "n_purch", "purch_value", "n_orders", "order_value", "status")
+      .orderBy("user_id")
+  }
+
+  val q28Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, count(*) AS n_purch,
+      |    floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS purch_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), o AS (
+      |  SELECT o_custkey AS user_id, count(*) AS n_orders,
+      |    floor(sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS order_value
+      |  FROM orders WHERE o_totalprice > 350000.0 GROUP BY 1
+      |)
+      |SELECT coalesce(e.user_id, o.user_id) AS user_id,
+      |  coalesce(e.n_purch, 0)::BIGINT AS n_purch,
+      |  coalesce(e.purch_value, 0.0) AS purch_value,
+      |  coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+      |  coalesce(o.order_value, 0.0) AS order_value,
+      |  CASE WHEN e.user_id IS NOT NULL AND o.user_id IS NOT NULL THEN 'both'
+      |       WHEN e.user_id IS NOT NULL THEN 'events_only'
+      |       ELSE 'orders_only' END AS status
+      |FROM e FULL JOIN o ON e.user_id = o.user_id
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_cogroup_reconcile" -> (q28_cogroup_reconcile _),
     "q27_unpivot"        -> (q27_unpivot _),
     "q26_json_extract"   -> (q26_json_extract _),
     "q25_zorder"         -> (q25_zorder _),
@@ -958,6 +1022,7 @@ object Relational {
     "q7_coengagement"    -> (q7_coengagement _))
 
   val oracles: Map[String, String] = Map(
+    "q28_cogroup_reconcile" -> q28Sql,
     "q27_unpivot"        -> q27Sql,
     "q26_json_extract"   -> q26Sql,
     "q25_zorder"         -> q25Sql,

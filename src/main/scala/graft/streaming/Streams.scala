@@ -743,6 +743,30 @@ object Streams {
       .orderBy("user_id", "sess_start")
   }
 
+  /** X23: w12's DYNAMIC-GAP sessions online — `session_window` with a
+    * per-row gap expression under a watermarked stream: purchase events
+    * hold their session open 2 h in the state store, everything else
+    * 30 min, and a session flushes (append mode) only once the watermark
+    * passes its running-max end. Same replay, same sentinel flush, same
+    * oracle as the batch twin — the dynamic gap changes WHEN state evicts,
+    * not the final rows. */
+  def x23_stream_dynamic_sessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = sharedSentinelStream(s, dir)
+    val agg = ev
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "purchase", "2 hours").otherwise("30 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           (floor(sum(col("value").cast("decimal(18,6)")).cast("double") * 100.0 + 0.5)
+             / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("session_window.start")).as("sess_start"),
+              col("user_id"), col("n_events"), col("sum_value"))
+    runToMemory(agg, OutputMode.Append(), s"x23_mem_${System.nanoTime()}")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "sess_start")
+  }
+
   /** X8: streaming exact deduplication — `dropDuplicates` over the event
     * stream keyed by (user_id, event_type): the stateful first-arrival
     * dedup a training-data ingest pipeline runs on the fly (batch twin: the
@@ -1303,6 +1327,7 @@ object Streams {
     "x9_tws_running_sum"       -> (x9_tws_running_sum _),
     "x10_tws_timer_resolver"   -> (x10_tws_timer_resolver _),
     "x4_stream_sessions"       -> (x4_stream_sessions _),
+    "x23_stream_dyn_sessions"  -> (x23_stream_dynamic_sessions _),
     "x5_stream_static_join"    -> (x5_stream_static_join _),
     "x11_stream_stream_join"   -> (x11_stream_stream_join _),
     "x12_stream_outer_join"    -> (x12_stream_outer_join _),
@@ -1329,6 +1354,7 @@ object Streams {
     "x9_tws_running_sum"       -> graft.queries.Stateful.st4Sql,
     "x10_tws_timer_resolver"   -> graft.queries.Graph.st1Sql,
     "x4_stream_sessions"       -> graft.queries.Windows.w9Sql,
+    "x23_stream_dyn_sessions"  -> graft.queries.Windows.w12Sql, // same final rows
     "x5_stream_static_join"    -> x5Sql,
     "x11_stream_stream_join"   -> x11Sql,
     "x12_stream_outer_join"    -> x12Sql,
