@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-count invariance — the discipline behind every "no global
+  * sort" / "two-phase" decomposition in the repo: the RESULT of a query
+  * must not depend on how many shuffle partitions executed it. On a real
+  * cluster the partition count changes with executor count, AQE coalescing,
+  * and data volume; a decomposition that only matches its oracle at one
+  * parallelism is wrong, it just hasn't failed yet.
+  *
+  * This pins the claim empirically for the queries whose docs assert it:
+  * t6 (exact global deciles via distributed two-pass ranking), t13 (exact
+  * per-language quotas via two-phase top-N), c5 (bucketed prefix-sum
+  * mixture materialization), st3_anomaly_scalable (bucket-granular prefix
+  * decomposition of a sequential fold), d3 (LSH banding over the dense-id
+  * dictionary built from bucketed ranks). Each runs at 1, 3, and 7 shuffle
+  * partitions — divisor-free odd counts that scramble bucket→partition
+  * assignments — and must produce byte-identical ordered rows. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val cases: Seq[(String, () => DataFrame)] = Seq(
+    "t6_quality_deciles" -> (() => queries.TextAnalysis.t6_quality_deciles(spark, dir)),
+    "t13_quota_sample" -> (() => queries.TextAnalysis.t13_quota_sample(spark, dir)),
+    "c5_mixture_materialize" -> (() => queries.Pipeline.c5_mixture_materialize(spark, dir)),
+    "st3_anomaly_scalable" -> (() => queries.Stateful.st3_anomaly_scalable(spark, dir)),
+    "d3_minhash_lsh" -> (() => queries.Dedup.d3_minhash_lsh(spark, dir)))
+
+  for ((name, mk) <- cases)
+    test(s"$name is invariant under shuffle-partition count (1, 3, 7)") {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      def run(): Seq[Seq[Any]] = {
+        queries.Similarity.clearShared()
+        queries.Dedup.clearShared()
+        queries.Graph.clearShared()
+        mk().collect().toSeq.map(_.toSeq)
+      }
+      try {
+        val results = Seq("1", "3", "7").map { n =>
+          spark.conf.set(key, n); run()
+        }
+        assert(results(0) == results(1) && results(1) == results(2),
+          s"$name rows differ across shuffle-partition counts")
+      } finally spark.conf.set(key, prev)
+    }
+}
