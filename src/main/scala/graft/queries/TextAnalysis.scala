@@ -1102,11 +1102,147 @@ object TextAnalysis {
       |    '\b\w+er\b', '[SFX]', 'g')) AS redact_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** T22 in-engine quality-classifier TRAINING — the fastText-style learned
+    * quality filter of a modern data pipeline (labels from a cheap
+    * heuristic, a linear model trained to reproduce and generalize it),
+    * run entirely as relational algebra: two batch-gradient-descent
+    * iterations of logistic regression over 16 hashed token-frequency
+    * features, the text-domain twin of s4's in-engine Lloyd loop. Labels
+    * are the integer-exact unique-words rule (2·distinct ≥ total); the
+    * feature hash is the [[QUtil.denseIds]] dictionary id mod 16 (the
+    * engine-portable bucket assignment every sketch query shares). Emits
+    * the trained weight per bucket (bias at bucket −1) and the training
+    * accuracy — the artifact a filter-training job ships.
+    *
+    * Cross-engine exactness through training, by the established
+    * discipline: grid-pinned features (6 dp), residual products summed in
+    * DECIMAL(30,20) (shuffle-order-proof), cast-then-divide for the 1/N
+    * step, and the ONE transcendental (the iteration-2 sigmoid — iteration
+    * 1 starts at w=0 where p is exactly ½) pinned to the 6-dp grid before
+    * re-entering arithmetic, the t10/t15 ln/pow treatment. The oracle
+    * unrolls both iterations as MATERIALIZED CTEs.
+    *
+    * Scale shape: per iteration, ONE (doc,bucket)-keyed join+agg against a
+    * ≤17-row weight relation (bounded by construction B=16, broadcast) and
+    * one doc-keyed residual join — gradients are map-side-combined partial
+    * sums; nothing ever collects to the driver and the corpus streams once
+    * per iteration, exactly Lloyd's profile. */
+  def t22_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val B = 16
+    val DEC = "decimal(30,20)"
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .localCheckpoint() // consumed by dict, labels, and features
+    val dict = QUtil.denseIds(toks.select("tok").distinct(), "tok", "tok_id")
+    val labels = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), count_distinct(col("tok")).as("nd"))
+      .select(col("doc_id"), col("n"),
+              when(col("nd") * 2 >= col("n"), 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint()
+    val nRel = labels.agg(count(lit(1)).as("nn"))
+    val feats = toks.join(dict, Seq("tok"))
+      .select(col("doc_id"), (col("tok_id") % B).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(labels.select("doc_id", "n"), Seq("doc_id"))
+      .select(col("doc_id"), col("b"),
+              round6(col("cnt").cast("double") / col("n")).as("x"))
+      .localCheckpoint() // consumed by every gradient and margin pass
+    // gradient of the log-loss at prediction relation p(doc_id, p):
+    // per-bucket and bias components, decimal-folded, grid-pinned
+    def grad(p: DataFrame): (DataFrame, DataFrame) = {
+      val r = p.join(labels.select("doc_id", "y"), Seq("doc_id"))
+        .select(col("doc_id"), (col("p") - col("y")).as("r"))
+      val gb = feats.join(r, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum((col("x") * col("r")).cast(DEC)).as("sd"))
+        .crossJoin(broadcast(nRel))
+        .select(col("b"), round6(col("sd").cast("double") / col("nn")).as("g"))
+      val g0 = r.agg(sum(col("r").cast(DEC)).as("sd"))
+        .crossJoin(broadcast(nRel))
+        .select(round6(col("sd").cast("double") / col("nn")).as("g0"))
+      (gb, g0)
+    }
+    // iteration 1: w = 0 ⇒ p ≡ 0.5 exactly (no transcendental)
+    val (g1, g01) = grad(labels.select(col("doc_id"), lit(0.5).as("p")))
+    val w1 = g1.select(col("b"), (-col("g")).as("w")).localCheckpoint()
+    val bias1 = g01.select((-col("g0")).as("bias"))
+    // iteration 2: margins under w1, sigmoid pinned to the grid
+    val p2 = feats.join(broadcast(w1), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum((col("x") * col("w")).cast(DEC)).as("sd"))
+      .crossJoin(broadcast(bias1))
+      .select(col("doc_id"),
+              round6(col("sd").cast("double") + col("bias")).as("m"))
+      .select(col("doc_id"),
+              round6(lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+      .localCheckpoint() // consumed by the gradient and the accuracy audit
+    val (g2, g02) = grad(p2)
+    val acc = p2.join(labels.select("doc_id", "y"), Seq("doc_id"))
+      .agg(sum(when((col("p") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as("ok"))
+      .crossJoin(broadcast(nRel))
+      .select(round4(col("ok").cast("double") / col("nn")).as("train_acc"))
+    val wOut = w1.join(g2, Seq("b"))
+      .select(col("b").cast("long").as("bucket"), (col("w") - col("g")).as("w"))
+      .unionAll(bias1.crossJoin(g02)
+        .select(lit(-1L).as("bucket"), (col("bias") - col("g0")).as("w")))
+    wOut.crossJoin(broadcast(acc)).orderBy("bucket")
+  }
+
+  val t22Sql: String = {
+    val R6 = (e: String) => s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+    s"""WITH tok AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), dtoks AS (SELECT DISTINCT tok FROM tok),
+      |dict AS MATERIALIZED (
+      |${QUtil.denseIdsSqlCte("dtoks", "tok", "tok_id")}
+      |), labels AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS n,
+      |    CASE WHEN 2 * count(DISTINCT tok) >= count(*) THEN 1.0 ELSE 0.0 END AS y
+      |  FROM tok GROUP BY 1
+      |), nrel AS (SELECT count(*)::BIGINT AS nn FROM labels),
+      |featc AS (
+      |  SELECT t.doc_id, d.tok_id % 16 AS b, count(*) AS cnt
+      |  FROM tok t JOIN dict d USING (tok) GROUP BY 1, 2
+      |), feats AS MATERIALIZED (
+      |  SELECT f.doc_id, f.b, ${R6("f.cnt::DOUBLE / l.n")} AS x
+      |  FROM featc f JOIN labels l USING (doc_id)
+      |), g1 AS (
+      |  SELECT f.b, ${R6("sum((f.x * (0.5 - l.y))::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g
+      |  FROM feats f JOIN labels l USING (doc_id) GROUP BY 1
+      |), w1 AS MATERIALIZED (SELECT b, -g AS w FROM g1),
+      |b1 AS MATERIALIZED (
+      |  SELECT -(${R6("sum((0.5 - y)::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")}) AS bias
+      |  FROM labels
+      |), p2 AS MATERIALIZED (
+      |  SELECT doc_id, ${R6("1.0 / (1.0 + exp(-m))")} AS p FROM (
+      |    SELECT f.doc_id,
+      |      ${R6("sum((f.x * w.w)::DECIMAL(30,20))::DOUBLE + (SELECT bias FROM b1)")} AS m
+      |    FROM feats f JOIN w1 w USING (b) GROUP BY 1)
+      |), g2 AS MATERIALIZED (
+      |  SELECT f.b, ${R6("sum((f.x * (p.p - l.y))::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g
+      |  FROM feats f JOIN p2 p USING (doc_id) JOIN labels l USING (doc_id)
+      |  GROUP BY 1
+      |), b2 AS MATERIALIZED (
+      |  SELECT ${R6("sum((p.p - l.y)::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g0
+      |  FROM p2 p JOIN labels l USING (doc_id)
+      |), acc AS MATERIALIZED (
+      |  SELECT floor(sum(CASE WHEN (p.p >= 0.5) = (l.y = 1.0) THEN 1 ELSE 0 END)::DOUBLE
+      |    / (SELECT nn FROM nrel) * 10000.0 + 0.5) / 10000.0 AS train_acc
+      |  FROM p2 p JOIN labels l USING (doc_id)
+      |)
+      |SELECT w.b::BIGINT AS bucket, w.w - g2.g AS w,
+      |       (SELECT train_acc FROM acc) AS train_acc
+      |FROM w1 w JOIN g2 USING (b)
+      |UNION ALL
+      |SELECT -1, (SELECT bias FROM b1) - (SELECT g0 FROM b2),
+      |       (SELECT train_acc FROM acc)
+      |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t20_bpe_encode" -> (t20_bpe_encode _),
     "t19_sequence_packing" -> (t19_sequence_packing _),
     "t18_bpe_merges" -> (t18_bpe_merges _),
     "t17_heavy_hitters" -> (t17_heavy_hitters _),
+    "t22_quality_classifier" -> (t22_quality_classifier _),
     "t21_regex_redact" -> (t21_regex_redact _),
     "t16_blocklist_scrub" -> (t16_blocklist_scrub _),
     "t15_mixture_weights" -> (t15_mixture_weights _),
@@ -1130,6 +1266,7 @@ object TextAnalysis {
     "t19_sequence_packing" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,
     "t17_heavy_hitters" -> t17Sql,
+    "t22_quality_classifier" -> t22Sql,
     "t21_regex_redact" -> t21Sql,
     "t16_blocklist_scrub" -> t16Sql,
     "t15_mixture_weights" -> t15Sql,
