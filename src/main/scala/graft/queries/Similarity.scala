@@ -120,7 +120,13 @@ object Similarity {
     * <v, r_j> with r_j[i] = ((a_j·(i+1) + b_j) mod 1009)/1009 − 0.5. The
     * projection accumulates exact decimals, so the sign is deterministic. */
   private def fingerprint16(emb: Column, exact: Boolean): Column =
-    (0 until 16).map { j =>
+    fingerprintBits(emb, exact, 16)
+
+  /** [[fingerprint16]] at a parametric width — the s11 sub-shard knob needs
+    * wider fingerprints (2 bands × b bits) when bucket count scales with
+    * the corpus; `hyper(j)` is defined for any j. */
+  private def fingerprintBits(emb: Column, exact: Boolean, nbits: Int): Column =
+    (0 until nbits).map { j =>
       val (a, b) = hyper(j)
       def plane(i: Column) = ((lit(a) * i + lit(b)) % 1009).cast("double") / 1009.0 - 0.5
       val proj =
@@ -610,32 +616,47 @@ object Similarity {
       .groupBy(col("j"), col("c"), col("i"))
       .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
       .localCheckpoint() // consumed by the corpus encode and the query LUTs
-    val codes = pqEncode(pqCand(sub, cb1))
+    val cand1 = pqCand(sub, cb1) // checkpointed; encoder + 1-probe LUT share it
+    val codes = pqEncode(cand1)
       .join(res.select("vec_id", "cell").distinct(), Seq("vec_id"))
-    // query routing: the nprobe nearest cells, probe rank attached
-    val qroute = emb.filter(col("vec_id") % 100 === 0)
-      .crossJoin(broadcast(coarse))
-      .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
-      .withColumn("probe", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))).cast("long"))
-      .filter(col("probe") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("probe"),
-              col("cluster").as("cell"), col("embedding"), col("cemb"))
-    // per-(query, probed cell) residuals — the residual basis is the PROBED
-    // cell's centroid (for probe 1 this is bit-identical to the corpus
-    // residual the old single-probe path read out of cand1)
-    val qres = qroute.select(col("q_id"), col("probe"), col("cell"),
-        posexplode(zip_with(col("embedding"), col("cemb"),
-          (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
-      .select(col("q_id"), col("probe"), col("cell"),
-              expr("i div 8").as("j"), col("i"), col("v"))
-    // integer micro-grid LUT per (query, probed cell, subspace, code)
-    val lut = qres.join(cb1, Seq("j", "i"))
-      .groupBy(col("q_id"), col("probe"), col("cell"), col("j"), col("c"))
-      .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
-        .cast("double").as("sqd"))
-      .select(col("q_id"), col("probe"), col("cell"), col("j"), col("c"),
-              floor(col("sqd") * 1000000.0).cast("long").as("lm"))
+    // Single-probe fast path: a query's probe-1 cell IS its corpus
+    // assignment (assignToNearest and the qroute window rank by the same
+    // (dist, cluster) key), so the probe-1 residual equals the corpus
+    // residual and the per-(query, j, c) subspace distances are exactly the
+    // rows cand1 already holds — read the LUT off the checkpointed
+    // candidate table instead of recomputing route → residual → fold.
+    val lut = if (nprobe == 1)
+      cand1.filter(col("vec_id") % 100 === 0)
+        .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .select(col("vec_id").as("q_id"), lit(1L).as("probe"), col("cell"),
+                col("j"), col("c"),
+                floor(col("sqd") * 1000000.0).cast("long").as("lm"))
+    else {
+      // query routing: the nprobe nearest cells, probe rank attached
+      val qroute = emb.filter(col("vec_id") % 100 === 0)
+        .crossJoin(broadcast(coarse))
+        .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
+        .withColumn("probe", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))).cast("long"))
+        .filter(col("probe") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("probe"),
+                col("cluster").as("cell"), col("embedding"), col("cemb"))
+      // per-(query, probed cell) residuals — the residual basis is the PROBED
+      // cell's centroid (for probe 1 this is bit-identical to the corpus
+      // residual, which is what the nprobe == 1 branch above exploits)
+      val qres = qroute.select(col("q_id"), col("probe"), col("cell"),
+          posexplode(zip_with(col("embedding"), col("cemb"),
+            (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
+        .select(col("q_id"), col("probe"), col("cell"),
+                expr("i div 8").as("j"), col("i"), col("v"))
+      // integer micro-grid LUT per (query, probed cell, subspace, code)
+      qres.join(cb1, Seq("j", "i"))
+        .groupBy(col("q_id"), col("probe"), col("cell"), col("j"), col("c"))
+        .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
+          .cast("double").as("sqd"))
+        .select(col("q_id"), col("probe"), col("cell"), col("j"), col("c"),
+                floor(col("sqd") * 1000000.0).cast("long").as("lm"))
+    }
     codes.join(broadcast(lut), Seq("cell", "j", "c")) // cell-pruned ADC scan
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("probe"), col("cell"), col("vec_id"))
@@ -1048,7 +1069,124 @@ object Similarity {
       |SELECT q_id, label, n_id, cosine, rank FROM ranked
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** S11-SHARDED: the kNN graph under the LSH SUB-SHARD key — the 100 TB
+    * form of [[s11_knn_graph]]. s11's block key is `label` alone, so its
+    * pair mass is Σ n_label² — at 100× scale one hot label (`lang=en`) is a
+    * quadratic cliff however narrow the rows. This variant sub-shards every
+    * label by random-hyperplane LSH: each vector carries a 2×b-bit sign
+    * fingerprint (s2's hyperplanes, [[fingerprintBits]]), splits it into 2
+    * bands of b bits, and the block key becomes (label, band, bucket) —
+    * candidates are pairs agreeing on label AND at least one band. Per-label
+    * pair mass drops n_label² → ~n_label²/2^(b−1), and because b is a knob
+    * (`spark.graft.s11BandBits`, default 8 = 256 buckets/band), bucket count
+    * grows with the corpus to hold PER-BLOCK pair mass constant — the same
+    * deployment contract as c2's k ∝ corpus, here as code: growing b by 1
+    * quarters the block pair mass, so 4× data + b+1 ⇒ the same per-block
+    * cost (measured at sf1 in STRESS_sf1.md). Like `semdedupK`, a non-default
+    * b trades oracle hash-equality for the production shape — the oracle
+    * unrolls b = 8 symbolically; the dataflow is b-agnostic.
+    *
+    * Semantics: top-3 by exact rounded cosine WITHIN the LSH candidate set —
+    * the per-bucket recall contract (a neighbor colliding in neither band is
+    * not a candidate; s2 measures that recall for the same hyperplanes).
+    * Determinism is inherited unchanged: candidates are defined by exact-
+    * decimal sign bits (both engines agree bit-for-bit), and ranking reuses
+    * s11's two-stage exact margin — a native double-cosine rank keeps
+    * everything within 1.2e-4 of the 3rd-best (the rounding-quantum +
+    * double-error margin), then the exact-decimal fold re-ranks survivors.
+    * The plan keeps s11's narrow discipline: dcos is computed inside the
+    * co-partitioned (label, band, bucket) block join and payloads are
+    * dropped before anything shuffles; the only addition is one narrow
+    * distinct (a pair colliding in BOTH bands appears twice, with an
+    * identical double dcos) ahead of the ranking exchange. */
+  def s11_knn_graph_sharded(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val b = s.conf.get("spark.graft.s11BandBits", "8").toInt
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              dot(col("embedding"), col("embedding"), exact = true).as("n2"),
+              fingerprintBits(col("embedding"), exact = true, nbits = 2 * b).as("fp"))
+      .localCheckpoint() // norms + fingerprints: n exact folds, consumed twice
+    val bnd = emb.select(col("vec_id"), col("label"), col("embedding"), col("n2"),
+        explode(array((0 until 2).map(k =>
+          struct(lit(k).as("k"),
+                 (shiftright(col("fp"), b * k) % (1L << b)).as("bv"))): _*)).as("nb"))
+      .select(col("vec_id"), col("label"), col("nb.k").as("k"), col("nb.bv").as("bv"),
+              col("embedding"), col("n2"))
+    val byQ = Window.partitionBy(col("q_id"))
+    val cand = bnd.select(col("vec_id").as("q_id"), col("label"), col("k"), col("bv"),
+                          col("embedding").as("qe"), col("n2").as("qn2"))
+      .join(bnd.select(col("vec_id").as("n_id"), col("label"), col("k"), col("bv"),
+                       col("embedding").as("ne"), col("n2").as("nn2")),
+            Seq("label", "k", "bv"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (call_function("dot_f32", col("qe"), col("ne"))
+          / sqrt(col("qn2") * col("nn2"))).as("dcos"))
+      .distinct() // both-bands collisions: identical double, exact dedupe
+      .withColumn("rk_d", row_number().over(
+        byQ.orderBy(col("dcos").desc, col("n_id"))))
+      .withColumn("kth_dcos",
+        max(when(col("rk_d") === 3, col("dcos"))).over(byQ))
+      .filter(col("dcos") >= coalesce(col("kth_dcos"), lit(-2.0)) - 1.2e-4)
+      .select(col("q_id"), col("n_id"))
+    cand
+      .join(emb.select(col("vec_id").as("q_id"), col("label"),
+                       col("embedding").as("qe"), col("n2").as("qn2")), Seq("q_id"))
+      .join(emb.select(col("vec_id").as("n_id"),
+                       col("embedding").as("ne"), col("n2").as("nn2")), Seq("n_id"))
+      .withColumn("cosine",
+        round4(dot(col("qe"), col("ne"), exact = true)
+          / sqrt(col("qn2") * col("nn2"))))
+      .withColumn("rank", row_number().over(
+        byQ.orderBy(col("cosine").desc, col("n_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("label"), col("n_id"), col("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** s11-sharded oracle: the same 16-bit fingerprint CTE as s2's, banded
+    * into (label, band, bucket) blocks; exact ranking over the candidate
+    * set — no prefilter oracle-side (s11's margin argument). */
+  lazy val s11ShardedSql: String = {
+    val bitSums = (0 until 16).map { j =>
+      val (a, b) = hyper(j)
+      s"CASE WHEN sum((v * ((($a * (i + 1) + $b) % 1009)::DOUBLE / 1009.0 - 0.5))::DECIMAL(30,20)) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $elemsSqlCte, fp AS (
+      |  SELECT vec_id, label, ($bitSums)::BIGINT AS fp FROM e GROUP BY vec_id, label
+      |), bnd AS (
+      |  SELECT vec_id, label, k, (fp >> (8 * k)) % 256 AS bv
+      |  FROM fp CROSS JOIN (SELECT unnest(range(2)) AS k)
+      |), cand AS (
+      |  SELECT DISTINCT x.vec_id AS q_id, x.label, y.vec_id AS n_id
+      |  FROM bnd x JOIN bnd y ON x.label = y.label AND x.k = y.k AND x.bv = y.bv
+      |                       AND x.vec_id <> y.vec_id
+      |), norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |), dots AS (
+      |  SELECT c.q_id, c.label, c.n_id,
+      |         sum((a.v * b.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM cand c
+      |  JOIN e a ON a.vec_id = c.q_id
+      |  JOIN e b ON b.vec_id = c.n_id AND b.i = a.i
+      |  GROUP BY 1, 2, 3
+      |), scored AS (
+      |  SELECT q_id, label, n_id,
+      |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = n_id
+      |), ranked AS (
+      |  SELECT q_id, label, n_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, label, n_id, cosine, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_knn_graph_sharded" -> (s11_knn_graph_sharded _),
     "s11_knn_graph"    -> (s11_knn_graph _),
     "c2_semdedup"      -> (c2_semdedup _),
     "s10_ivfpq_recall" -> (s10_ivfpq_recall _),
@@ -1062,6 +1200,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s11_knn_graph_sharded" -> s11ShardedSql,
     "s11_knn_graph"    -> s11Sql,
     "c2_semdedup"      -> c2Sql,
     "s10_ivfpq_recall" -> s10Sql,

@@ -130,13 +130,24 @@ object Stateful {
   /** ST3 UnusualUserDetector, exact semantics: each event compared against
     * the running mean over ALL prior events in global ts order
     * (Signatures.update, AnomalousUserDetector.java:160-200); flag when the
-    * event's measure breaches 2× the running mean. Single-partition window =
-    * the exact sequential fold.
+    * event's measure breaches 2× the running mean.
     *
     * The running mean is computed as exact-decimal running sum / count —
     * decimal addition is associative (unlike IEEE doubles), so the result is
-    * bit-identical across engines and across any parallel execution order. */
-  def st3_anomaly_exact(s: SparkSession, dir: String): DataFrame = {
+    * bit-identical across engines and across any parallel execution order.
+    * Associativity is also why the query EXECUTES as the identical-result
+    * bucket decomposition ([[st3_exact_scalable]]) rather than a
+    * single-partition global window: the naive sequential fold
+    * ([[st3_anomaly_naive]]) stays as the spec-level oracle cross-check
+    * (`StatefulDecompositionSpec`), so the default plan is the one that
+    * survives 100 TB and a bench run emits no global-window warnings. */
+  def st3_anomaly_exact(s: SparkSession, dir: String): DataFrame =
+    st3_exact_scalable(s, dir)
+
+  /** The naive single-partition sequential fold of [[st3_anomaly_exact]] —
+    * NOT a query entry; kept as the oracle cross-check the decomposition is
+    * proven against. */
+  private[graft] def st3_anomaly_naive(s: SparkSession, dir: String): DataFrame = {
     val prior = globalOrder.rowsBetween(Window.unboundedPreceding, -1)
     val runAvg = (sum(col("value").cast("decimal(18,6)")).over(prior).cast("double")
                   / count(lit(1)).over(prior))
@@ -226,8 +237,15 @@ object Stateful {
 
   /** ST5: global running average (Timely `average` custom unary operator,
     * session-5-custom-operators/average/src/main.rs:15-34): emits
-    * (x, mean-so-far) per element in stream order. */
-  def st5_running_avg(s: SparkSession, dir: String): DataFrame = {
+    * (x, mean-so-far) per element in stream order. Executes as the
+    * identical-result bucket decomposition ([[st5_scalable]]); the naive
+    * single-partition fold ([[st5_running_avg_naive]]) stays as the
+    * spec-level cross-check. */
+  def st5_running_avg(s: SparkSession, dir: String): DataFrame =
+    st5_scalable(s, dir)
+
+  /** The naive single-partition form of [[st5_running_avg]] — spec-only. */
+  private[graft] def st5_running_avg_naive(s: SparkSession, dir: String): DataFrame = {
     val run = globalOrder.rowsBetween(Window.unboundedPreceding, 0)
     val runAvg = (sum(col("value").cast("decimal(18,6)")).over(run).cast("double")
                   / count(lit(1)).over(run))
@@ -349,8 +367,19 @@ object Stateful {
     * Documented divergence: the reference accumulates the length means in
     * Java INTEGER arithmetic (truncating at every step,
     * AnomalousUserDetector.java:165-175); this engine uses exact decimal
-    * sums — the mathematically-intended mean, identical across engines. */
-  def st6_conditional_signature(s: SparkSession, dir: String): DataFrame = {
+    * sums — the mathematically-intended mean, identical across engines.
+    *
+    * Executes as the identical-result bucket decomposition
+    * ([[st6_scalable]]) — the conditional running sums/counts are
+    * associative, so the plans agree bit-for-bit; the naive
+    * single-partition fold ([[st6_naive]]) stays as the spec-level
+    * cross-check. */
+  def st6_conditional_signature(s: SparkSession, dir: String): DataFrame =
+    st6_scalable(s, dir)
+
+  /** The naive single-partition form of [[st6_conditional_signature]] —
+    * spec-only. */
+  private[graft] def st6_naive(s: SparkSession, dir: String): DataFrame = {
     val run = globalOrder.rowsBetween(Window.unboundedPreceding, 0)
     val withMeans = sigFeatures.foldLeft(withFeatures(s, dir)) { case (df, (c, _)) =>
       df.withColumn(s"avg_$c",

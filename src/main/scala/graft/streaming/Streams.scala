@@ -70,6 +70,10 @@ object Streams {
         Paths.get(Tables.path(dir, "documents")).toAbsolutePath)
     s.readStream.schema(
         s.read.parquet(Tables.path(dir, "documents")).schema)
+      // bounded-trigger contract (x20 and every doc-stream consumer that
+      // buffers a per-key batch slice relies on it): each micro-batch is at
+      // most one source file — production swaps in maxBytesPerTrigger
+      .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
   }
 
@@ -1228,7 +1232,19 @@ object Streams {
     * corpus-wide prefix sum; the online op EXTENDS it in O(1) state and
     * O(1) work per document — no re-scan, no re-sort, the same numbers.
     * Keyed by language (t19 packs one global stream; per-language feeds are
-    * what a mixture-weighted loader actually consumes). */
+    * what a mixture-weighted loader actually consumes).
+    *
+    * Bounded-trigger contract: the `it.toSeq.sortBy` below buffers ONE
+    * language's slice of ONE micro-batch on one task — safe only because
+    * trigger size is bounded at the source (`docsStream` caps files per
+    * trigger; a production deployment caps bytes/rows per trigger the same
+    * way, e.g. `maxFilesPerTrigger`/`maxBytesPerTrigger`), so the buffer is
+    * O(trigger/|langs|), never O(corpus). Parallelism is bounded by the
+    * number of languages — inherent to the per-language running offset
+    * (same sequential-state class as the reference's global signature,
+    * AnomalousUserDetector.java:160-185): each language's offset chain is a
+    * strict serial dependency however many executors exist. The in-batch
+    * sort is doc_id-deterministic so replay/retry emits identical offsets. */
   def x20_stream_packing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds = docsStream(s, dir)
