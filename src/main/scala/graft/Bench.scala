@@ -46,6 +46,13 @@ object Bench {
     // toggles the similarity production-precision flag
     sys.env.get("SPARK_GRAFT_EXACT_DECIMALS")
       .foreach(v => spark.conf.set("spark.graft.exactDecimals", v))
+    // SPARK_GRAFT_CONF="k1=v1;k2=v2" sets arbitrary session confs (the
+    // s11BandBits / semdedupK scaling studies); SPARK_GRAFT_RUNS=1 runs
+    // each query once — the full-surface sf1 sweep, where per-query
+    // medians would triple a multi-hour run for no extra signal
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // untimed warmup: JVM/codegen/parquet-footer caches
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -68,7 +75,7 @@ object Bench {
     val timings = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      var good = (1 to 3).flatMap(_ => timedRun(name, fn))
+      var good = (1 to nRuns).flatMap(_ => timedRun(name, fn))
       // wide spread ⇒ contention contaminated the sample: take two extra
       // measurements, then report the MIN of the good runs — the
       // uncontended cost — instead of a median a contended run can steer

@@ -432,14 +432,18 @@ object Similarity {
       .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
 
   /** Every (vector, subspace, centroid) candidate distance — exact-decimal
-    * subspace fold against a (c, j, i, cv) codebook; MATERIALIZED (the
-    * encoder argmin and the query LUTs both consume it). */
-  private def pqCand(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(cb, Seq("j", "i"))
+    * subspace fold against a (c, j, i, cv) codebook; MATERIALIZED by
+    * default (the encoder argmin and the query LUTs both consume it) —
+    * `materialize = false` for single-consumer stages (ivfpqScored's enc0
+    * pass), where the checkpoint is only a barrier. */
+  private def pqCand(sub: DataFrame, cb: DataFrame,
+                     materialize: Boolean = true): DataFrame = {
+    val cand = sub.join(cb, Seq("j", "i"))
       .groupBy(col("vec_id"), col("j"), col("c"))
       .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
         .cast("double").as("sqd"))
-      .localCheckpoint()
+    if (materialize) cand.localCheckpoint() else cand
+  }
 
   /** Argmin code per (vector, subspace); ties to the lower code id. */
   private def pqEncode(cand: DataFrame): DataFrame =
@@ -611,14 +615,18 @@ object Similarity {
     // residual codebook: anchor subvectors refined by one Lloyd step (s6)
     val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
       .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
-    val enc0 = pqEncode(pqCand(sub, cb0))
-    val cb1 = sub.join(enc0, Seq("vec_id", "j"))
+    val enc0 = pqEncode(pqCand(sub, cb0, materialize = false))
+    val cb1raw = sub.join(enc0, Seq("vec_id", "j"))
       .groupBy(col("j"), col("c"), col("i"))
       .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
-      .localCheckpoint() // consumed by the corpus encode and the query LUTs
+    // at nprobe = 1 cb1 has a single consumer (cand1, itself checkpointed)
+    // — a checkpoint would only add a barrier; multi-probe shares it with
+    // the per-probe query LUTs
+    val cb1 = if (nprobe == 1) cb1raw else cb1raw.localCheckpoint()
     val cand1 = pqCand(sub, cb1) // checkpointed; encoder + 1-probe LUT share it
     val codes = pqEncode(cand1)
-      .join(res.select("vec_id", "cell").distinct(), Seq("vec_id"))
+      // cell lookup from the 1-row-per-vector asg, not a |res|-row distinct
+      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
     // Single-probe fast path: a query's probe-1 cell IS its corpus
     // assignment (assignToNearest and the qroute window rank by the same
     // (dist, cluster) key), so the probe-1 residual equals the corpus
@@ -892,9 +900,15 @@ object Similarity {
     graft.functions.DotProduct.register(s) // stage-1 prefilter is always native
     // The scaling knob: production holds the per-cell pair block constant
     // by growing k with the corpus (k = n / target cell size — the
-    // SemDeDup deployment contract, quadratic onset measured at sf1 in
-    // STRESS_sf1.md). The oracle unrolls the default k = 10 symbolically,
-    // so like exactDecimals this knob trades oracle hash-equality for the
+    // SemDeDup deployment contract). MEASURED at sf1 (STRESS_sf1.md round
+    // 6): k ∝ n pins the mean cell at ~200 vectors and turns the 100×
+    // quadratic pair mass into a linear 10× with zero dataflow changes —
+    // and exposes the next bottleneck, the n·k Lloyd assignment, which at
+    // scaled k must run on the production-precision path (37× the
+    // exact-decimal harness) and in a real deployment trains on a sample
+    // and assigns via the ANN index (s3's routed search), per the paper.
+    // The oracle unrolls the default k = 10 symbolically, so like
+    // exactDecimals this knob trades oracle hash-equality for the
     // production shape; the dataflow is identical at any k.
     val k = s.conf.get("spark.graft.semdedupK", "10").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -1100,13 +1114,21 @@ object Similarity {
     * distinct (a pair colliding in BOTH bands appears twice, with an
     * identical double dcos) ahead of the ranking exchange. */
   def s11_knn_graph_sharded(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.DotProduct.register(s)
+    val ex = exactDecimals(s)
+    graft.functions.DotProduct.register(s) // stage-1 prefilter is always native
     val b = s.conf.get("spark.graft.s11BandBits", "8").toInt
+    // The fingerprint honors the production-precision switch exactly like
+    // s2's — the 2b×64 projection folds are the dominant LINEAR cost at
+    // scale (measured at sf1 in STRESS_sf1.md), so the oracle's
+    // exact-decimal signs are the default and production flips to the
+    // native double fold. The stage-2 re-rank below stays exact-decimal on
+    // both paths — it only ever touches the ≈3-30 margin survivors per
+    // query.
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
               dot(col("embedding"), col("embedding"), exact = true).as("n2"),
-              fingerprintBits(col("embedding"), exact = true, nbits = 2 * b).as("fp"))
-      .localCheckpoint() // norms + fingerprints: n exact folds, consumed twice
+              fingerprintBits(col("embedding"), ex, nbits = 2 * b).as("fp"))
+      .localCheckpoint() // norms + fingerprints: n folds, consumed twice
     val bnd = emb.select(col("vec_id"), col("label"), col("embedding"), col("n2"),
         explode(array((0 until 2).map(k =>
           struct(lit(k).as("k"),
@@ -1185,7 +1207,42 @@ object Similarity {
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** S12: the sub-shard RECALL audit — s11_sharded's per-bucket recall
+    * contract turned into a measured query (s8/s10's discipline applied to
+    * the kNN graph): per query vector, how many of its EXACT same-label
+    * top-3 (s11, the ground truth) does the (label, band, bucket)-blocked
+    * graph return? A neighbor colliding in neither band is invisible to
+    * the sharded plan — this measures that loss instead of asserting it,
+    * per query, over the FULL unbounded query side (every vector). Cost =
+    * the two underlying graphs + one |V|·k co-partitioned join; at scale
+    * this runs as a sampled audit exactly like s8 (the sampling predicate
+    * composes with both sides' shared q_id key). */
+  def s12_shard_recall(s: SparkSession, dir: String): DataFrame = {
+    val exact = s11_knn_graph(s, dir).select(col("q_id"), col("n_id"))
+    val shard = s11_knn_graph_sharded(s, dir)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    exact.join(shard, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("hit")).as("hits"), count(lit(1)).as("k_exact"))
+      .select(col("q_id"), col("hits"), col("k_exact"),
+              round4(col("hits").cast("double") / col("k_exact")).as("recall"))
+      .orderBy("q_id")
+  }
+
+  lazy val s12Sql: String =
+    s"""WITH ex AS (
+       |$s11Sql
+       |), sh AS (
+       |$s11ShardedSql
+       |)
+       |SELECT e.q_id, count(s.n_id)::BIGINT AS hits, count(*)::BIGINT AS k_exact,
+       |  floor(count(s.n_id)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS recall
+       |FROM ex e
+       |LEFT JOIN sh s ON s.q_id = e.q_id AND s.n_id = e.n_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_shard_recall" -> (s12_shard_recall _),
     "s11_knn_graph_sharded" -> (s11_knn_graph_sharded _),
     "s11_knn_graph"    -> (s11_knn_graph _),
     "c2_semdedup"      -> (c2_semdedup _),
@@ -1200,6 +1257,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s12_shard_recall" -> s12Sql,
     "s11_knn_graph_sharded" -> s11ShardedSql,
     "s11_knn_graph"    -> s11Sql,
     "c2_semdedup"      -> c2Sql,

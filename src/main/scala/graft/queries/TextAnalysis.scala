@@ -1237,7 +1237,60 @@ object TextAnalysis {
       |ORDER BY bucket""".stripMargin
   }
 
+  /** T23: sliding-window document CHUNKING — the context-window shaper
+    * every RAG indexer and long-document pretraining pipeline runs between
+    * cleaning and packing: each document becomes overlapping token windows
+    * of W = 64 tokens at stride S = 48 (16-token overlap, the standard
+    * boundary-context trick). Emitted per chunk: its position (chunk_id =
+    * start/S, token start/length) and an md5 fingerprint of the chunk text
+    * — the manifest a chunk-level dedup or an embedding job consumes,
+    * without materializing chunk text as output.
+    *
+    * Scale shape: a pure per-row projection — `sequence` + `explode` +
+    * `slice` generate each document's chunk set inside the scan task; NO
+    * shuffle anywhere (the orderBy is presentation-only), no state, and
+    * chunk count is ⌈n_tok/S⌉ per document — output is ~(1 + W/S)× input
+    * tokens by construction. Whole-stage codegen covers the entire plan.
+    * Cross-engine: chunk boundaries are integer arithmetic; the fingerprint
+    * is md5 of the space-joined token slice, byte-identical in DuckDB. */
+  def t23_doc_chunking(s: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("tk"),
+              size(toks).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("lang"), col("tk"), col("n_tok"),
+        explode(sequence(lit(0L), greatest(col("n_tok") - 1, lit(0L)),
+                         lit(S.toLong))).as("tok_start"))
+      .filter(col("tok_start") < col("n_tok")) // n_tok = 0 ⇒ no chunks
+      .withColumn("tok_len", least(lit(W.toLong), col("n_tok") - col("tok_start")))
+      .select(col("doc_id"), col("lang"),
+              (col("tok_start") / S).cast("long").as("chunk_id"),
+              col("tok_start"), col("tok_len"),
+              md5(concat_ws(" ",
+                slice(col("tk"), (col("tok_start") + 1).cast("int"),
+                      col("tok_len").cast("int")))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val t23Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+      |         len(string_split(text, ' '))::BIGINT AS n_tok
+      |  FROM documents
+      |), starts AS (
+      |  SELECT doc_id, lang, tk, n_tok, unnest(range(0, greatest(n_tok, 1), 48)) AS tok_start
+      |  FROM d
+      |)
+      |SELECT doc_id, lang, (tok_start // 48)::BIGINT AS chunk_id,
+      |  tok_start::BIGINT AS tok_start,
+      |  least(64, n_tok - tok_start)::BIGINT AS tok_len,
+      |  md5(array_to_string(tk[tok_start + 1 : tok_start + least(64, n_tok - tok_start)], ' ')) AS chunk_hash
+      |FROM starts WHERE tok_start < n_tok
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_doc_chunking" -> (t23_doc_chunking _),
     "t20_bpe_encode" -> (t20_bpe_encode _),
     "t19_sequence_packing" -> (t19_sequence_packing _),
     "t18_bpe_merges" -> (t18_bpe_merges _),
@@ -1262,6 +1315,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t23_doc_chunking" -> t23Sql,
     "t20_bpe_encode" -> t20Sql,
     "t19_sequence_packing" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,

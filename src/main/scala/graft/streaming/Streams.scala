@@ -1280,6 +1280,36 @@ object Streams {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** X24: t23's sliding-window chunker ONLINE — documents stream in and
+    * each emits its chunk manifest (chunk_id, token span, md5 fingerprint)
+    * the moment it arrives. Deliberately the STATELESS end of the streaming
+    * spectrum: chunk boundaries depend only on the document itself, so the
+    * whole op is a per-row generator (`sequence` + `explode` + `slice`)
+    * with no state store, no watermark, no shuffle — the plan a streaming
+    * RAG ingester wants, since it scales with input rate alone. Shares
+    * t23's oracle verbatim (same rows, batch or online). */
+  def x24_stream_chunking(s: SparkSession, dir: String): DataFrame = {
+    val W = 64L
+    val S = 48L
+    val tk = split(col("text"), " ")
+    val out = docsStream(s, dir)
+      .select(col("doc_id"), col("lang"), tk.as("tk"),
+              size(tk).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("lang"), col("tk"), col("n_tok"),
+        explode(sequence(lit(0L), greatest(col("n_tok") - 1, lit(0L)),
+                         lit(S))).as("tok_start"))
+      .filter(col("tok_start") < col("n_tok"))
+      .withColumn("tok_len", least(lit(W), col("n_tok") - col("tok_start")))
+      .select(col("doc_id"), col("lang"),
+              (col("tok_start") / S).cast("long").as("chunk_id"),
+              col("tok_start"), col("tok_len"),
+              md5(concat_ws(" ",
+                slice(col("tk"), (col("tok_start") + 1).cast("int"),
+                      col("tok_len").cast("int")))).as("chunk_hash"))
+    runToMemory(out, OutputMode.Append(), s"x24_mem_${System.nanoTime()}")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   case class IncrIn(doc_id: Long, h: String, base_id: Option[Long])
   case class IncrOut(doc_id: Long, status: String, dup_of: Option[Long])
 
@@ -1331,6 +1361,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_stream_incr_dedup"    -> (x22_stream_incr_dedup _),
     "x21_tws_admission"        -> (x21_tws_admission _),
+    "x24_stream_chunking"      -> (x24_stream_chunking _),
     "x20_stream_packing"       -> (x20_stream_packing _),
     "x19_stream_admission"     -> (x19_stream_admission _),
     "x18_stream_window_topk"   -> (x18_stream_window_topk _),
@@ -1358,6 +1389,7 @@ object Streams {
   val oracles: Map[String, String] = Map(
     "x22_stream_incr_dedup"    -> graft.queries.Dedup.d12Sql, // same final rows
     "x21_tws_admission"        -> x19Sql, // identical admission decisions
+    "x24_stream_chunking"      -> graft.queries.TextAnalysis.t23Sql,
     "x20_stream_packing"       -> x20Sql,
     "x19_stream_admission"     -> x19Sql,
     "x18_stream_window_topk"   -> graft.queries.Windows.w11Sql,

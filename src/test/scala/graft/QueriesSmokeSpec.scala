@@ -268,6 +268,30 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(err.getMessage.contains("100 TB contract"))
   }
 
+  test("chunk manifests tile every document exactly (t23)") {
+    // per doc: starts are 0, S, 2S, ...; every chunk ≤ W tokens; the last
+    // chunk ends at n_tok — the union of chunks covers the document with
+    // no gap past the stride and no token past the end
+    val W = 64L; val S = 48L
+    val chunks = graft.queries.TextAnalysis.t23_doc_chunking(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    val nTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == nTok.keySet.filter(nTok(_) > 0))
+    for ((doc, cs) <- chunks) {
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.zipWithIndex.forall { case ((_, cid, st, _), i) =>
+        cid == i && st == i * S }, s"doc $doc: stride broken")
+      assert(sorted.forall { case (_, _, st, len) =>
+        len >= 1 && len <= W && st + len <= nTok(doc) }, s"doc $doc: bad span")
+      val (_, _, lastSt, lastLen) = sorted.last
+      assert(lastSt + lastLen == nTok(doc), s"doc $doc: tail not covered")
+      assert(lastSt < nTok(doc), s"doc $doc: empty tail chunk")
+    }
+  }
+
   test("grouped top-k lowers to WindowGroupLimit, not a full per-key sort (w11)") {
     // Spark 3.5+ infers a bounded per-partition top-k (partial heap before
     // the shuffle, final after) from a rank-limit filter — the built-in
