@@ -169,7 +169,10 @@ object Dedup {
   /** Drop all shared materialized intermediates (bench isolation). */
   def clearShared(): Unit = d3Cache.clear()
 
-  private def d3PairsUncached(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, mh0, mh1) MinHash band signatures for every document —
+    * the LSH index relation d3 self-joins and d13 keys its settled staging
+    * table by; MATERIALIZED (multiple join sides downstream). */
+  private def bandSigs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     // bucketed distributed dense ids — no single-partition global sort
     // shuffle equi-join on sh: the dictionary is one row per distinct shingle
@@ -181,11 +184,16 @@ object Dedup {
     val mh = ids.join(broadcast(paramsDf(s)))
       .groupBy(col("doc_id"), col("j"))
       .agg(min((col("a") * (col("sh_id") % P) + col("b")) % P).as("mh"))
-    val bands = mh.withColumn("band", (col("j") / 2).cast("long"))
+    mh.withColumn("band", (col("j") / 2).cast("long"))
       .groupBy(col("doc_id"), col("band"))
       .agg(max(when(col("j") % 2 === 0, col("mh"))).as("mh0"),
            max(when(col("j") % 2 === 1, col("mh"))).as("mh1"))
-      .localCheckpoint() // self-joined below: avoid recomputing minhash twice
+      .localCheckpoint() // self-joined/split below: never recompute minhash
+  }
+
+  private def d3PairsUncached(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val bands = bandSigs(s, dir)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.mh0") === col("y.mh0") &&
         col("x.mh1") === col("y.mh1") && col("x.doc_id") < col("y.doc_id"))
@@ -205,8 +213,10 @@ object Dedup {
 
   /** d3's pair relation without the presentation ORDER BY — reused verbatim
     * as a CTE body by the d8 clustering oracle. */
-  private val d3SqlBody: String =
-    s"""WITH $shinglesSqlCte, dsrc AS (
+  /** The shingle → dict → minhash → band CTE chain shared by the d3 and
+    * d13 oracles (the SQL twin of [[bandSigs]]). */
+  private val bandsSqlCtes: String =
+    s"""$shinglesSqlCte, dsrc AS (
       |  SELECT DISTINCT sh FROM sh
       |), dict AS (
       |  ${denseIdsSqlCte("dsrc", "sh", "sh_id")}
@@ -219,7 +229,10 @@ object Dedup {
       |    max(CASE WHEN j % 2 = 0 THEN mh END) AS mh0,
       |    max(CASE WHEN j % 2 = 1 THEN mh END) AS mh1
       |  FROM mh GROUP BY 1, 2
-      |), cand AS (
+      |)""".stripMargin
+
+  private val d3SqlBody: String =
+    s"""WITH $bandsSqlCtes, cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM bands x JOIN bands y
       |    ON x.band = y.band AND x.mh0 = y.mh0 AND x.mh1 = y.mh1
@@ -776,7 +789,110 @@ object Dedup {
       |FROM delta dl LEFT JOIN base b USING (h)
       |ORDER BY dl.doc_id""".stripMargin
 
+  /** D13: incremental NEAR-dup — d12's daily-increment discipline applied
+    * to d3's MinHash LSH: the settled corpus (doc_id % 10 ≠ 0) keeps its
+    * band-signature table as a staging relation; each arriving delta
+    * document (doc_id % 10 = 0) computes its own signatures in O(1) and
+    * finds near-duplicates via (a) a co-partitioned (band, mh0, mh1)
+    * equi-join against the settled band table and (b) the same join
+    * against earlier delta arrivals (lower doc_id). Exact Jaccard verify
+    * (≥ 0.5, d2's threshold) only on the banded candidates; the chosen
+    * partner is deterministic — settled matches win over delta matches,
+    * then lowest id. This is the realistic crawl-ingest shape at 100 TB:
+    * settled×settled pairs NEVER form (the corpus was deduplicated when
+    * it settled), per-increment work is O(delta) signature rows plus
+    * bucket-bounded candidate pairs, and the band table is exactly the
+    * index a production ingest keeps warm between increments. */
+  def d13_incremental_neardup(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val bands = bandSigs(s, dir)
+    val isDelta = col("doc_id") % 10 === 0
+    val deltaB = bands.filter(isDelta)
+    val partnerB = bands.select(col("doc_id").as("cand_id"), col("band"),
+                                col("mh0"), col("mh1"))
+    val candBase = deltaB.join(partnerB.filter(col("cand_id") % 10 =!= 0),
+        Seq("band", "mh0", "mh1"))
+      .select(col("doc_id"), col("cand_id")).distinct()
+      .withColumn("is_base", lit(true))
+    val candDelta = deltaB.join(partnerB.filter(col("cand_id") % 10 === 0),
+        Seq("band", "mh0", "mh1"))
+      .filter(col("cand_id") < col("doc_id"))
+      .select(col("doc_id"), col("cand_id")).distinct()
+      .withColumn("is_base", lit(false))
+    val cand = candBase.unionByName(candDelta)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id"), col("sh")), Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("cand_id"), col("sh")), Seq("cand_id", "sh"))
+      .groupBy(col("doc_id"), col("cand_id")).agg(count(lit(1)).as("inter"))
+    val best = cand
+      .join(inter, Seq("doc_id", "cand_id"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes, Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("cand_id"), col("n_sh").as("nb")), Seq("cand_id"))
+      .withColumn("jaccard", jaccard(col("inter"), col("n_sh"), col("nb")))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(when(col("is_base"), lit(0)).otherwise(lit(1)), col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_id"), col("is_base"), col("jaccard"))
+    Tables.documents(s, dir).select(col("doc_id")).filter(isDelta)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_base") === true, lit("neardup_of_base"))
+          .when(col("is_base") === false, lit("neardup_in_delta"))
+          .otherwise(lit("unique")).as("status"),
+        col("cand_id").as("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val d13Sql: String =
+    s"""WITH $bandsSqlCtes, candb AS (
+      |  SELECT DISTINCT d.doc_id, b.doc_id AS cand_id, true AS is_base
+      |  FROM bands d JOIN bands b
+      |    ON d.band = b.band AND d.mh0 = b.mh0 AND d.mh1 = b.mh1
+      |  WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |), candd AS (
+      |  SELECT DISTINCT d.doc_id, b.doc_id AS cand_id, false AS is_base
+      |  FROM bands d JOIN bands b
+      |    ON d.band = b.band AND d.mh0 = b.mh0 AND d.mh1 = b.mh1
+      |  WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 = 0 AND b.doc_id < d.doc_id
+      |), cand AS (
+      |  SELECT * FROM candb UNION ALL SELECT * FROM candd
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT c.doc_id, c.cand_id, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_id
+      |  JOIN sh b ON b.doc_id = c.cand_id AND a.sh = b.sh
+      |  GROUP BY 1, 2
+      |), ver AS (
+      |  SELECT c.doc_id, c.cand_id, c.is_base,
+      |    floor(coalesce(i.inter, 0)::DOUBLE
+      |          / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0)) * 10000.0 + 0.5)
+      |      / 10000.0 AS jaccard
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.cand_id = c.cand_id
+      |  JOIN sizes sa ON sa.doc_id = c.doc_id
+      |  JOIN sizes sb ON sb.doc_id = c.cand_id
+      |), best AS (
+      |  SELECT doc_id, cand_id, is_base, jaccard,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CASE WHEN is_base THEN 0 ELSE 1 END, cand_id) AS rn
+      |  FROM ver WHERE jaccard >= 0.5
+      |)
+      |SELECT dl.doc_id,
+      |  CASE WHEN b.is_base THEN 'neardup_of_base'
+      |       WHEN b.is_base = false THEN 'neardup_in_delta'
+      |       ELSE 'unique' END AS status,
+      |  b.cand_id AS dup_of, b.jaccard
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dl
+      |LEFT JOIN best b ON b.doc_id = dl.doc_id AND b.rn = 1
+      |ORDER BY dl.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_incremental_neardup" -> (d13_incremental_neardup _),
     "d12_incremental_dedup" -> (d12_incremental_dedup _),
     "d11_dupspan_coverage" -> (d11_dupspan_coverage _),
     "d10_boilerplate" -> (d10_boilerplate _),
@@ -791,6 +907,7 @@ object Dedup {
     "d5_embedding_neardup" -> (d5_embedding_neardup _))
 
   val oracles: Map[String, String] = Map(
+    "d13_incremental_neardup" -> d13Sql,
     "d12_incremental_dedup" -> d12Sql,
     "d11_dupspan_coverage" -> d11Sql,
     "d10_boilerplate" -> d10Sql,
