@@ -1289,7 +1289,47 @@ object TextAnalysis {
       |FROM starts WHERE tok_start < n_tok
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** T24: chunk-level exact dedup — d1's canonical-min discipline applied
+    * to t23's chunk manifest: chunks with identical content (same md5 of
+    * the token window) dedupe ACROSS documents, each group keeping its
+    * lexicographically-first (doc_id, chunk_id) as canonical — the
+    * near-verbatim-span removal a RAG index runs between chunking and
+    * embedding, at chunk granularity where d11's substring dedup works at
+    * gram granularity. One shuffle on chunk_hash; audit-friendly full
+    * output (every chunk row with its verdict), same as d1. */
+  def t24_chunk_dedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("chunk_hash"))
+    val ordered = byHash.orderBy(col("doc_id"), col("chunk_id"))
+    t23_doc_chunking(s, dir)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .withColumn("canon_doc", first(col("doc_id")).over(ordered))
+      .withColumn("canon_chunk", first(col("chunk_id")).over(ordered))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_hash"), col("n_copies"),
+              col("canon_doc"), col("canon_chunk"),
+              (col("doc_id") =!= col("canon_doc") ||
+               col("chunk_id") =!= col("canon_chunk")).as("is_dup"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val t24Sql: String =
+    s"""WITH chunks AS (
+      |$t23Sql
+      |)
+      |SELECT doc_id, chunk_id, chunk_hash,
+      |  count(*) OVER h AS n_copies,
+      |  first_value(doc_id) OVER o AS canon_doc,
+      |  first_value(chunk_id) OVER o AS canon_chunk,
+      |  (doc_id <> first_value(doc_id) OVER o
+      |   OR chunk_id <> first_value(chunk_id) OVER o) AS is_dup
+      |FROM chunks
+      |WINDOW h AS (PARTITION BY chunk_hash),
+      |       o AS (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_chunk_dedup" -> (t24_chunk_dedup _),
     "t23_doc_chunking" -> (t23_doc_chunking _),
     "t20_bpe_encode" -> (t20_bpe_encode _),
     "t19_sequence_packing" -> (t19_sequence_packing _),
@@ -1315,6 +1355,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t24_chunk_dedup" -> t24Sql,
     "t23_doc_chunking" -> t23Sql,
     "t20_bpe_encode" -> t20Sql,
     "t19_sequence_packing" -> t19Sql,

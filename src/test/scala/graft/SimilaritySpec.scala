@@ -213,4 +213,45 @@ class SimilaritySpec extends SparkSpec {
         s"pair space did not shrink: k=10 -> $base pairs, k=50 -> $scaled")
     } finally spark.conf.unset(key)
   }
+
+  test("kNN ranking shuffles stay narrow: no array payload feeds a window (s11 + sharded)") {
+    // The narrow-plan contract both kNN graphs claim: the 64-float
+    // embedding payloads move only through the candidate/payload joins —
+    // the exchange DIRECTLY feeding each ranking window (through its sort)
+    // must carry scalar columns only. A regression that lets payloads ride
+    // a ranking shuffle multiplies that exchange's bytes ~64× at any scale.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // AQE hides the finalized stages behind AdaptiveSparkPlanExec /
+    // QueryStageExec wrappers — descend through them explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    def exchangeBelow(p: SparkPlan): Option[ShuffleExchangeExec] = p match {
+      case e: ShuffleExchangeExec => Some(e)
+      case q: QueryStageExec      => exchangeBelow(q.plan)
+      case other => other.children.headOption.flatMap(exchangeBelow)
+    }
+    for ((name, df) <- Seq(
+        "s11" -> Similarity.s11_knn_graph(spark, "/root/testdata/sf0.001"),
+        "s11_sharded" -> Similarity.s11_knn_graph_sharded(spark, "/root/testdata/sf0.001"))) {
+      df.collect() // finalize the adaptive plan
+      val windows = flatten(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected ranking windows")
+      for (w <- windows; e <- exchangeBelow(w.child)) {
+        val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(wide.isEmpty,
+          s"$name: array payload ${wide.map(_.name).mkString(",")} rides the ranking shuffle")
+      }
+    }
+  }
 }
