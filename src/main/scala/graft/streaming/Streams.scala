@@ -1358,7 +1358,75 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  case class ChunkIn(doc_id: Long, chunk_id: Long, chunk_hash: String)
+  case class ChunkOut(doc_id: Long, chunk_id: Long, chunk_hash: String,
+                      canon_doc: Long, canon_chunk: Long, is_dup: Boolean)
+
+  /** X25: t24's chunk-level dedup ONLINE — the chunk manifests of x24
+    * keyed by content hash, with ONE first-arrival `ValueState` per
+    * distinct chunk hash (x22's admission discipline at chunk
+    * granularity): the first (doc_id, chunk_id) to carry a hash becomes
+    * canonical; every later arrival is marked dup-of-first the moment it
+    * lands. O(1) state per distinct chunk, no re-scan — the online
+    * half of a RAG index's ingest dedup. Oracle = t24's canonical-min
+    * columns (n_copies is inherently retrospective — a row emitted at
+    * arrival time cannot know future copies — so the online twin emits
+    * the canonical verdict only; in-batch arrivals sort by (doc_id,
+    * chunk_id), making first-arrival ≡ canonical-min). */
+  def x25_stream_chunk_dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 64L
+    val S = 48L
+    val tk = split(col("text"), " ")
+    val in = docsStream(s, dir)
+      .select(col("doc_id"), tk.as("tk"), size(tk).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("tk"), col("n_tok"),
+        explode(sequence(lit(0L), greatest(col("n_tok") - 1, lit(0L)),
+                         lit(S))).as("tok_start"))
+      .filter(col("tok_start") < col("n_tok"))
+      .withColumn("tok_len", least(lit(W), col("n_tok") - col("tok_start")))
+      .select(col("doc_id"),
+              (col("tok_start") / S).cast("long").as("chunk_id"),
+              md5(concat_ws(" ",
+                slice(col("tk"), (col("tok_start") + 1).cast("int"),
+                      col("tok_len").cast("int")))).as("chunk_hash"))
+      .as[ChunkIn]
+    val out = in.groupByKey(_.chunk_hash)
+      .flatMapGroupsWithState[(Long, Long), ChunkOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, it: Iterator[ChunkIn], state: GroupState[(Long, Long)]) =>
+          var first = state.getOption
+          val outs = it.toSeq.sortBy(c => (c.doc_id, c.chunk_id)).map { c =>
+            first match {
+              case Some((fd, fc)) =>
+                ChunkOut(c.doc_id, c.chunk_id, h, fd, fc, is_dup = true)
+              case None =>
+                first = Some((c.doc_id, c.chunk_id))
+                ChunkOut(c.doc_id, c.chunk_id, h, c.doc_id, c.chunk_id, is_dup = false)
+            }
+          }
+          first.foreach(state.update)
+          outs.iterator
+      }
+    runToMemory(out.toDF(), OutputMode.Append(), s"x25_mem_${System.nanoTime()}")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val x25Sql: String =
+    s"""WITH chunks AS (
+      |${graft.queries.TextAnalysis.t23Sql}
+      |)
+      |SELECT doc_id, chunk_id, chunk_hash,
+      |  first_value(doc_id) OVER o AS canon_doc,
+      |  first_value(chunk_id) OVER o AS canon_chunk,
+      |  (doc_id <> first_value(doc_id) OVER o
+      |   OR chunk_id <> first_value(chunk_id) OVER o) AS is_dup
+      |FROM chunks
+      |WINDOW o AS (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x25_stream_chunk_dedup"   -> (x25_stream_chunk_dedup _),
     "x22_stream_incr_dedup"    -> (x22_stream_incr_dedup _),
     "x21_tws_admission"        -> (x21_tws_admission _),
     "x24_stream_chunking"      -> (x24_stream_chunking _),
@@ -1389,6 +1457,7 @@ object Streams {
   val oracles: Map[String, String] = Map(
     "x22_stream_incr_dedup"    -> graft.queries.Dedup.d12Sql, // same final rows
     "x21_tws_admission"        -> x19Sql, // identical admission decisions
+    "x25_stream_chunk_dedup"   -> x25Sql,
     "x24_stream_chunking"      -> graft.queries.TextAnalysis.t23Sql,
     "x20_stream_packing"       -> x20Sql,
     "x19_stream_admission"     -> x19Sql,

@@ -268,6 +268,30 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(err.getMessage.contains("100 TB contract"))
   }
 
+  test("incremental near-dup verdicts are internally consistent (d13)") {
+    // status/dup_of/jaccard invariants: unique ⇔ no partner; a base
+    // partner is settled (id % 10 ≠ 0); a delta partner arrived earlier
+    // (lower id, itself delta); every non-unique passed the 0.5 gate
+    val rows = graft.queries.Dedup.d13_incremental_neardup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (id, status) = (r.getLong(0), r.getString(1))
+      val dupOf = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val j = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(id % 10 == 0, s"$id not a delta doc")
+      status match {
+        case "unique" => assert(dupOf.isEmpty && j.isEmpty, s"$id: unique with partner")
+        case "neardup_of_base" =>
+          assert(dupOf.exists(_ % 10 != 0), s"$id: base partner not settled")
+          assert(j.exists(_ >= 0.5), s"$id: jaccard below gate")
+        case "neardup_in_delta" =>
+          assert(dupOf.exists(d => d % 10 == 0 && d < id), s"$id: bad delta partner")
+          assert(j.exists(_ >= 0.5), s"$id: jaccard below gate")
+        case other => fail(s"$id: unknown status $other")
+      }
+    }
+  }
+
   test("chunk manifests tile every document exactly (t23)") {
     // per doc: starts are 0, S, 2S, ...; every chunk ≤ W tokens; the last
     // chunk ends at n_tok — the union of chunks covers the document with
