@@ -37,8 +37,8 @@ import QUtil._
 object Dedup {
 
   private val P = 2147483647L // 2^31 - 1, Mersenne prime
-  private[queries] val lshA = Seq(1299721L, 7919L, 104729L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L)
-  private[queries] val lshB = Seq(104659L, 1299709L, 512927377L, 15487469L, 86028157L, 982451653L, 472882027L, 533000389L)
+  private[graft] val lshA = Seq(1299721L, 7919L, 104729L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L)
+  private[graft] val lshB = Seq(104659L, 1299709L, 512927377L, 15487469L, 86028157L, 982451653L, 472882027L, 533000389L)
 
   /** SQL literal `(VALUES ...)` table of the hash params, j = 0..7. */
   private def paramsSql: String =

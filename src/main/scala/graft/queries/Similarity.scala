@@ -48,6 +48,7 @@ object Similarity {
     if (!exact) {
       graft.functions.DotProduct.register(s)
       graft.functions.SqDist.register(s)
+      graft.functions.HyperplaneFp.register(s)
     }
     exact
   }
@@ -124,17 +125,34 @@ object Similarity {
 
   /** [[fingerprint16]] at a parametric width — the s11 sub-shard knob needs
     * wider fingerprints (2 bands × b bits) when bucket count scales with
-    * the corpus; `hyper(j)` is defined for any j. */
+    * the corpus; `hyper(j)` is defined for any j.
+    *
+    * The production (non-exact) path is the native codegen'd
+    * `hyperplane_fp` expression — one fused pass over the raw buffer for
+    * all bits, bit-identical to the composed per-bit double folds it
+    * replaces ([[graft.functions.HyperplaneFp]]; equality asserted over
+    * the corpus in `SimilaritySpec`). Callers on that path registered the
+    * function via [[exactDecimals]]. */
   private def fingerprintBits(emb: Column, exact: Boolean, nbits: Int): Column =
-    (0 until nbits).map { j =>
+    if (!exact) call_function("hyperplane_fp", emb, lit(nbits))
+    else (0 until nbits).map { j =>
       val (a, b) = hyper(j)
       def plane(i: Column) = ((lit(a) * i + lit(b)) % 1009).cast("double") / 1009.0 - 0.5
-      val proj =
-        if (exact) aggregate(
+      val proj = aggregate(
           zip_with(emb, sequence(lit(1), lit(D)), (x, i) =>
             (x.cast("double") * plane(i)).cast(DEC)),
           lit(0).cast(DEC), (acc, x) => (acc + x).cast(DEC)).cast("double")
-        else aggregate(
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The composed per-bit plain-double fold — superseded on the production
+    * path by the native `hyperplane_fp` but kept as the bit-identical
+    * baseline `SimilaritySpec` verifies the native expression against. */
+  private[graft] def fingerprintBitsComposedDouble(emb: Column, nbits: Int): Column =
+    (0 until nbits).map { j =>
+      val (a, b) = hyper(j)
+      def plane(i: Column) = ((lit(a) * i + lit(b)) % 1009).cast("double") / 1009.0 - 0.5
+      val proj = aggregate(
           zip_with(emb, sequence(lit(1), lit(D)), (x, i) =>
             x.cast("double") * plane(i)),
           lit(0.0), (acc, x) => acc + x)

@@ -214,6 +214,25 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("native hyperplane_fp equals the composed per-bit double folds bit-for-bit") {
+    // the fused one-pass fingerprint must reproduce the composed
+    // aggregate(zip_with) double folds exactly — same plane arithmetic,
+    // same ascending accumulation — for every corpus vector and at both a
+    // narrow and a wide bit count (the s11BandBits knob range)
+    graft.functions.HyperplaneFp.register(spark)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (nbits <- Seq(16, 24)) {
+      val rows = emb.select(
+          call_function("hyperplane_fp", col("embedding"), lit(nbits)).as("native"),
+          Similarity.fingerprintBitsComposedDouble(col("embedding"), nbits).as("composed"))
+        .collect()
+      assert(rows.nonEmpty)
+      val bad = rows.filter(r => r.getLong(0) != r.getLong(1))
+      assert(bad.isEmpty, s"nbits=$nbits: ${bad.length} fingerprint mismatches")
+    }
+  }
+
   test("kNN ranking shuffles stay narrow: no array payload feeds a window (s11 + sharded)") {
     // The narrow-plan contract both kNN graphs claim: the 64-float
     // embedding payloads move only through the candidate/payload joins —
