@@ -1328,7 +1328,48 @@ object TextAnalysis {
       |       o AS (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** T25: per-SOURCE quota capping — the C4/crawl-curation pass that stops
+    * any one domain from dominating the corpus: each source keeps at most
+    * its 15 highest-quality documents (t2's composite score, ties to the
+    * lower doc_id), everything else is dropped. Complements t13 (hash-fair
+    * per-language quotas) with quality-ranked per-domain caps — together
+    * they are the two standard anti-skew admission rules a crawl pipeline
+    * runs.
+    *
+    * Scale shape: one shuffle on source; the rank-≤-N filter lowers to
+    * `WindowGroupLimit` (bounded per-task top-N heaps before the shuffle,
+    * final heaps after — asserted for this query class in
+    * `QueriesSmokeSpec`), so no source's full document list is ever sorted
+    * or held on one task beyond N rows. */
+  def t25_source_quota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = 15
+    val q = t2_quality_score(s, dir).select(col("doc_id"), col("quality"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      .filter(col("src_rank") <= N)
+      .select(col("doc_id"), col("source"), col("quality"), col("src_rank"))
+      .orderBy("doc_id")
+  }
+
+  val t25Sql: String =
+    s"""WITH q AS (
+      |$t2Sql
+      |), ranked AS (
+      |  SELECT d.doc_id, d.source, q.quality,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY q.quality DESC, d.doc_id) AS src_rank
+      |  FROM documents d JOIN q USING (doc_id)
+      |)
+      |SELECT doc_id, source, quality, src_rank
+      |FROM ranked WHERE src_rank <= 15
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_source_quota" -> (t25_source_quota _),
     "t24_chunk_dedup" -> (t24_chunk_dedup _),
     "t23_doc_chunking" -> (t23_doc_chunking _),
     "t20_bpe_encode" -> (t20_bpe_encode _),
@@ -1355,6 +1396,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t25_source_quota" -> t25Sql,
     "t24_chunk_dedup" -> t24Sql,
     "t23_doc_chunking" -> t23Sql,
     "t20_bpe_encode" -> t20Sql,

@@ -325,6 +325,11 @@ class QueriesSmokeSpec extends SparkSpec {
     val plan = graft.queries.Windows.w11_window_topk(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    // same contract for the per-source quality quota (t25): no source's
+    // full list is sorted — per-task top-N heaps before and after the shuffle
+    val t25 = graft.queries.TextAnalysis.t25_source_quota(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(t25.contains("WindowGroupLimit"), s"no WindowGroupLimit in t25:\n$t25")
   }
 
   test("whole-stage codegen covers the aggregation hot path (q1)") {
