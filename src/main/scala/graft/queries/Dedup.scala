@@ -165,14 +165,23 @@ object Dedup {
 
   private val d3Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val bandsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Drop all shared materialized intermediates (bench isolation). */
-  def clearShared(): Unit = d3Cache.clear()
+  def clearShared(): Unit = { d3Cache.clear(); bandsCache.clear() }
 
   /** (doc_id, band, mh0, mh1) MinHash band signatures for every document —
     * the LSH index relation d3 self-joins and d13 keys its settled staging
-    * table by; MATERIALIZED (multiple join sides downstream). */
-  private def bandSigs(s: SparkSession, dir: String): DataFrame = {
+    * table by. Cached per (session, sf-dir) like [[d3Pairs]]/`s2Pairs`:
+    * this IS the staging table a production ingest keeps warm between
+    * increments (d13's scaladoc), so consumers must not re-run the
+    * signature computation within a session; `Bench.clearShared` drops it
+    * before each timed run so benchmark numbers stay cold-cost. */
+  private def bandSigs(s: SparkSession, dir: String): DataFrame =
+    QUtil.cachedPerSession(bandsCache, s, dir)(bandSigsUncached(s, dir))
+
+  private def bandSigsUncached(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     // bucketed distributed dense ids — no single-partition global sort
     // shuffle equi-join on sh: the dictionary is one row per distinct shingle
