@@ -58,11 +58,19 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
+    // SPARK_GRAFT_KEEP_SHARED=1 keeps the per-session staging tables
+    // (s2Pairs, d3Pairs, bandSigs) warm BETWEEN timed runs — the
+    // warm-staging study knob (e.g. d13's per-increment marginal cost with
+    // the settled band index already materialized); default is cold-cost
+    // isolation
+    val keepShared = sys.env.get("SPARK_GRAFT_KEEP_SHARED").contains("1")
     def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Double] = {
-      queries.Similarity.clearShared()
-      queries.Dedup.clearShared()
-      queries.Graph.clearShared()
+      if (!keepShared) {
+        queries.Similarity.clearShared()
+        queries.Dedup.clearShared()
+        queries.Graph.clearShared()
+      }
       val t0 = System.nanoTime()
       // failures must be LOUD in the artifact itself, not just stderr: a
       // swallowed exception otherwise records a near-zero timing that
