@@ -26,7 +26,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t13_quota_sample" -> (() => queries.TextAnalysis.t13_quota_sample(spark, dir)),
     "c5_mixture_materialize" -> (() => queries.Pipeline.c5_mixture_materialize(spark, dir)),
     "st3_anomaly_scalable" -> (() => queries.Stateful.st3_anomaly_scalable(spark, dir)),
-    "d3_minhash_lsh" -> (() => queries.Dedup.d3_minhash_lsh(spark, dir)))
+    "d3_minhash_lsh" -> (() => queries.Dedup.d3_minhash_lsh(spark, dir)),
+    // round 6: the incremental near-dup's band joins + deterministic
+    // partner choice, and the per-source quality quota's two-phase top-N
+    "d13_incremental_neardup" -> (() => queries.Dedup.d13_incremental_neardup(spark, dir)),
+    "t25_source_quota" -> (() => queries.TextAnalysis.t25_source_quota(spark, dir)))
 
   for ((name, mk) <- cases)
     test(s"$name is invariant under shuffle-partition count (1, 3, 7)") {
