@@ -97,6 +97,22 @@ object BroadcastContract {
     })
   }
 
+  /** The ONLY sanctioned driver-side materialization of a computed
+    * relation: collect rows of a relation that is bounded BY CONSTRUCTION
+    * (asserted with the same structural walk the broadcast contract
+    * uses). Exists for streaming ROUTING TABLES — a streaming projection
+    * cannot reference a computed relation without a join, and the join
+    * form of (say) nearest-centroid routing would fan every arriving row
+    * out ×k and need a per-row argmin aggregation, where the collected
+    * k-row table folds into a pure per-row expression. The reference does
+    * the same thing when it broadcast-replicates bounded state to every
+    * instance (SURVEY §2.2 P7). */
+  def boundedCollect(df: DataFrame, reason: String): Array[org.apache.spark.sql.Row] = {
+    require(bounded(df.queryExecution.analyzed),
+      s"boundedCollect($reason): relation has no bounding construction (100 TB contract)")
+    df.collect()
+  }
+
   /** Assert the contract on a (batch or streaming) DataFrame's analyzed
     * plan. Called by `Streams.runToMemory` before every stream start. */
   def assertBounded(df: DataFrame, context: String): Unit = {

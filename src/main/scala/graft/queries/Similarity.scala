@@ -239,12 +239,13 @@ object Similarity {
     * query routes to its nearest centroid (max dot) and searches only that
     * cell. k = 3. The corpus side is filtered to one cell before any pair
     * work — the partition-pruned ANN shape. */
-  def s3_ivf_topk(s: SparkSession, dir: String): DataFrame = {
-    val ex = exactDecimals(s)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    // centroids via explode (cheap: N×D rows, exact-decimal means)
-    val cent = emb
+  /** (label, cemb) per-label centroid arrays — s3's coarse cells, factored
+    * out so the streaming ANN twin (x26) routes through byte-identical
+    * centroids. Exact-decimal per-dimension means, the oracle's `cent`
+    * CTE verbatim. One Aggregate per level: structurally bounded (one row
+    * per label). */
+  private[graft] def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
       .groupBy(col("label"), col("i"))
       .agg((sum(col("v").cast("double").cast("decimal(38,30)")).cast("double")
@@ -252,6 +253,17 @@ object Similarity {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("i"), col("cv")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p.getField("cv")).as("cemb"))
+
+  /** The exact-decimal dot product as a shared builder (x26's routing and
+    * scoring must reproduce the oracle's decimal folds bit-for-bit). */
+  private[graft] def exactDot(a: Column, b: Column): Column = dot(a, b, exact = true)
+
+  def s3_ivf_topk(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    // centroids via explode (cheap: N×D rows, exact-decimal means)
+    val cent = labelCentroids(s, dir)
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
     val q2c = q.crossJoin(broadcast(cent))

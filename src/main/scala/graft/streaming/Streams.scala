@@ -77,6 +77,27 @@ object Streams {
       .parquet(streamDir.toString)
   }
 
+  /** The embeddings table as an unbounded file stream (same symlink-dir
+    * mechanism as [[docsStream]]) — the arriving-query-vector feed the
+    * streaming ANN twin (x26) serves. */
+  def embStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "embeddings")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("embeddings.parquet")
+    if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !Files.exists(link))
+      Files.delete(link)
+    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link,
+        Paths.get(Tables.path(dir, "embeddings")).toAbsolutePath)
+    s.readStream.schema(
+        s.read.parquet(Tables.path(dir, "embeddings")).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+  }
+
   /** Same ts normalization as the batch reader (`Tables.events`): nanos-long
     * → µs timestamp; timezone-naive (NTZ) → session-UTC timestamp. */
   private def normalizeTs(raw: DataFrame): DataFrame =
@@ -1425,7 +1446,71 @@ object Streams {
       |WINDOW o AS (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** X26: ONLINE ANN SERVING — s3's IVF cell search with the query side
+    * as an unbounded stream: query vectors arrive, route to their nearest
+    * coarse cell, and are answered with their exact top-3 from that cell
+    * of the STATIC corpus — the "vector search endpoint" shape, where the
+    * index is a settled relation and queries are traffic.
+    *
+    * The three scale decisions:
+    *  1. ROUTING is a pure per-row expression: the per-label centroid
+    *     table (one row per label, structurally bounded) is materialized
+    *     via `BroadcastContract.boundedCollect` and folded into a
+    *     nearest-centroid argmax over literals — the reference's
+    *     replicate-bounded-state-to-all-instances move (SURVEY §2.2 P7);
+    *     no per-row join fan-out, no stream-side aggregation for routing.
+    *  2. The cell scan is a stream-static EQUI join on the cell key — the
+    *     partition-pruned ANN shape; each arriving query touches one
+    *     cell's rows, never the corpus.
+    *  3. Per-query state is O(k): the running top-3 lives in a mergeable
+    *     bounded [[graft.functions.TopKAgg]] aggregation (complete mode —
+    *     a serving endpoint's answer table), NOT a window sort; a
+    *     million-row cell leaves exactly 3 rows of store state per query.
+    *
+    * Exactness: routing and scoring reuse the oracle's decimal folds
+    * (`Similarity.exactDot` against the byte-identical `labelCentroids`),
+    * argmax ties break to the smaller label and top-k boundary ties to the
+    * smaller vec_id — bit-for-bit s3's ranking; shares `s3Sql`. */
+  def x26_stream_ann_topk(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Similarity
+    val cents = graft.plans.BroadcastContract.boundedCollect(
+        Similarity.labelCentroids(s, dir), "IVF routing table: one row per label")
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // argmax as array_min over (−cdp, cell) structs: each decimal dot is
+    // computed ONCE inside the array constructor (a nested when-fold would
+    // duplicate the fold subtree 2^labels times and blow up codegen);
+    // min of (−cdp asc, cell asc) ≡ s3's ORDER BY cdp DESC, label — the
+    // identical tie-break
+    val best = array_min(array(cents.map { case (lab, ce) =>
+      struct((-Similarity.exactDot(col("qemb"), typedlit(ce))).as("ncdp"),
+             lit(lab).as("cell"))
+    }: _*))
+    val routed = embStream(s, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+      .withColumn("cell", best.getField("cell"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("n_id"), col("label").as("cell"),
+              col("embedding").as("ne"))
+    val topk = graft.functions.TopKAgg.topK(3)
+    val answers = routed.join(corpus, Seq("cell")) // stream-static, cell-pruned
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"),
+              graft.queries.QUtil.round4(Similarity.exactDot(col("ne"), col("qemb"))).as("cosine"),
+              col("n_id"))
+      .groupBy(col("q_id"), col("cell"))
+      .agg(topk(col("cosine"), col("n_id")).as("top"))
+    runToMemory(answers, OutputMode.Complete(), s"x26_mem_${System.nanoTime()}")
+      .select(col("q_id"), col("cell"),
+              posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("cell"), col("e._2").as("n_id"),
+              col("e._1").as("cosine"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x26_stream_ann_topk"      -> (x26_stream_ann_topk _),
     "x25_stream_chunk_dedup"   -> (x25_stream_chunk_dedup _),
     "x22_stream_incr_dedup"    -> (x22_stream_incr_dedup _),
     "x21_tws_admission"        -> (x21_tws_admission _),
@@ -1457,6 +1542,7 @@ object Streams {
   val oracles: Map[String, String] = Map(
     "x22_stream_incr_dedup"    -> graft.queries.Dedup.d12Sql, // same final rows
     "x21_tws_admission"        -> x19Sql, // identical admission decisions
+    "x26_stream_ann_topk"      -> graft.queries.Similarity.s3Sql,
     "x25_stream_chunk_dedup"   -> x25Sql,
     "x24_stream_chunking"      -> graft.queries.TextAnalysis.t23Sql,
     "x20_stream_packing"       -> x20Sql,
