@@ -250,13 +250,49 @@ object Pipeline {
        |WHERE cum.cum - cum.n_tokens < tgt.tgt
        |GROUP BY 1, 4 ORDER BY 1""".stripMargin
 
+  /** C6: deterministic TRAIN/VAL/TEST SPLIT — the reproducibility
+    * primitive every training-data prep ends with: each document is
+    * assigned to a split by a SALTED CONTENT-INDEPENDENT HASH of its id,
+    * so (a) the assignment is stable across reruns, engines, and cluster
+    * sizes (no rand(), no row order dependence), (b) adding documents
+    * never reassigns existing ones (the property that keeps eval sets
+    * frozen as the corpus grows), and (c) the salt ("split:") decorrelates
+    * this hash from every other doc_id-hash use in the pipeline (t8's
+    * sampling, c5's LCG order). Fractions: 12/16 train, 2/16 val, 2/16
+    * test via the first hex digit of md5 — hash uniformity makes the split
+    * stratified per language without a per-language pass.
+    *
+    * Scale shape: a pure per-row projection inside the parquet scan — NO
+    * shuffle (the orderBy is presentation-only), whole-stage codegen,
+    * embarrassingly parallel at any scale. Token counts ride along so the
+    * downstream budget accounting never rescans text. */
+  def c6_train_split(s: SparkSession, dir: String): DataFrame = {
+    val hx = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"),
+              when(hx <= "b", "train").when(hx <= "d", "val").otherwise("test")
+                .as("split"))
+      .orderBy("doc_id")
+  }
+
+  val c6Sql: String =
+    """SELECT doc_id, lang,
+      |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |  CASE WHEN substring(md5('split:' || doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+      |       WHEN substring(md5('split:' || doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c6_train_split" -> (c6_train_split _),
     "c5_mixture_materialize" -> (c5_mixture_materialize _),
     "c4_corpus_card" -> (c4_corpus_card _),
     "c3_decontaminated" -> (c3_decontaminated _),
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c6_train_split" -> c6Sql,
     "c5_mixture_materialize" -> c5Sql,
     "c4_corpus_card" -> c4Sql,
     "c3_decontaminated" -> c3Sql,

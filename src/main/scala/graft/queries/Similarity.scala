@@ -701,8 +701,11 @@ object Similarity {
       .agg(sum(col("lm")).as("score_micro"))
   }
 
-  val s7Sql: String =
-    s"""WITH $elemsSqlCte, $coarseTrainCtes, asg AS (
+  /** The full IVF-PQ ADC chain as SQL CTEs, through the pre-rank scored
+    * relation `sc (q_id, cell, n_id, score_micro)` — shared by the s7
+    * (rank ≤ 5) and s13 (shortlist ≤ 10 → exact re-rank) oracles. */
+  private val ivfpqAdcCtes: String =
+    s"""$elemsSqlCte, $coarseTrainCtes, asg AS (
       |  SELECT vec_id, cluster AS cell FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
@@ -737,11 +740,79 @@ object Similarity {
       |  SELECT l.q_id, l.cell, d.vec_id AS n_id, sum(l.lm)::BIGINT AS score_micro
       |  FROM codes d JOIN lut l ON l.cell = d.cell AND l.j = d.j AND l.c = d.c
       |  WHERE d.vec_id <> l.q_id GROUP BY 1, 2, 3
-      |), ranked AS (
+      |)""".stripMargin
+
+  val s7Sql: String =
+    s"""WITH $ivfpqAdcCtes, ranked AS (
       |  SELECT q_id, cell, n_id, score_micro,
       |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
       |  FROM sc)
       |SELECT q_id, cell, n_id, score_micro, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** S13: IVF-PQ with EXACT RE-RANK — the FAISS-style "refine" stage every
+    * production ANN deployment bolts onto a PQ index: the quantized ADC
+    * scores are cheap but lossy, so the index returns a SHORTLIST (here the
+    * ADC top-10 per query, s7's machinery at nprobe = 1) and the engine
+    * re-scores only those candidates against the RAW vectors, emitting the
+    * exact top-5. Re-ranking recovers most of the recall PQ loses while
+    * touching R = 10 raw vectors per query instead of the whole corpus —
+    * the standard accuracy/IO trade (Jégou et al., "Searching with
+    * quantization", the IVFADC+R variant).
+    *
+    * Scale shape: the shortlist is |Q|·R scalar rows (bounded by the
+    * declared query-side contract); joining it back to raw embeddings is
+    * one broadcast-able join against the corpus scan (the corpus never
+    * shuffles — AQE broadcasts the shortlist side), the query vectors are
+    * the bounded broadcast s1 already declared, and the exact distance is
+    * one array-native fold per shortlist row. The re-rank window receives
+    * scalar columns only (the s11 narrow-shuffle contract).
+    *
+    * Cross-engine: the exact re-rank distance reuses the proven
+    * exact-decimal squared-distance fold on an integer micro-grid, so
+    * ranks hash-match the oracle bit-for-bit. */
+  def s13_ivfpq_rerank(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val short = ivfpqScored(s, dir, nprobe = 1)
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
+      .filter(col("adc_rank") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+    short
+      .join(emb.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sqd_micro",
+        floor(sqDist(col("embedding"), col("qemb"), ex) * 1000000.0 + 0.5).cast("long"))
+      .select(col("q_id"), col("n_id"), col("sqd_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sqd_micro"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("q_id", "rank")
+  }
+
+  val s13Sql: String =
+    s"""WITH $ivfpqAdcCtes, ranked AS (
+      |  SELECT q_id, n_id, score_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |  FROM sc
+      |), short AS (
+      |  SELECT q_id, n_id FROM ranked WHERE rank <= 10
+      |), rr AS (
+      |  SELECT sh.q_id, sh.n_id,
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
+      |  FROM short sh
+      |  JOIN e eq ON eq.vec_id = sh.q_id
+      |  JOIN e ed ON ed.vec_id = sh.n_id AND ed.i = eq.i
+      |  GROUP BY 1, 2
+      |), rr2 AS (
+      |  SELECT q_id, n_id, sqd_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sqd_micro, n_id) AS rank
+      |  FROM rr)
+      |SELECT q_id, n_id, sqd_micro, rank FROM rr2
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** S8: ANN recall audit — the metrological query every production ANN
@@ -1272,6 +1343,7 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_ivfpq_rerank" -> (s13_ivfpq_rerank _),
     "s12_shard_recall" -> (s12_shard_recall _),
     "s11_knn_graph_sharded" -> (s11_knn_graph_sharded _),
     "s11_knn_graph"    -> (s11_knn_graph _),
@@ -1287,6 +1359,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   val oracles: Map[String, String] = Map(
+    "s13_ivfpq_rerank" -> s13Sql,
     "s12_shard_recall" -> s12Sql,
     "s11_knn_graph_sharded" -> s11ShardedSql,
     "s11_knn_graph"    -> s11Sql,

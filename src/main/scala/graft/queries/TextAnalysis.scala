@@ -1368,7 +1368,107 @@ object TextAnalysis {
       |FROM ranked WHERE src_rank <= 15
       |ORDER BY doc_id""".stripMargin
 
+  /** T26: CCNet-style PERPLEXITY FILTER — the quality gate web-scale
+    * pipelines (CCNet, RefinedWeb, FineWeb) run between cleaning and
+    * mixing: a language model trained on a TRUSTED reference corpus scores
+    * every document's fluency, and the corpus is bucketed by perplexity
+    * (head / middle / tail) for mixture weighting downstream. Where t10
+    * scores each document under the corpus's OWN bigram model (self-
+    * perplexity, a repetition signal), t26 is the cross-domain form: the
+    * model is trained ONLY on the trusted slice (sources src0/src1 — the
+    * "Wikipedia" of this corpus), per language (CCNet trains one LM per
+    * language), with add-one smoothing so unseen n-grams of the open web
+    * get a finite, vocabulary-scaled penalty:
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + |V_lang|).
+    *
+    * Buckets use PINNED thresholds on mean negative log-likelihood —
+    * production CCNet calibrates tercile cutoffs once on a reference run
+    * and applies them as constants, which is what keeps the scoring pass a
+    * pure per-row decision (no global sort/ntile at scale).
+    *
+    * Scale shape: model relations (c2, c1) are keyed by (lang, gram) and
+    * joined by shuffle equi-joins — the vocabulary is UNBOUNDED, the model
+    * is never broadcast or collected (the d3/d4 lesson); only the per-lang
+    * vocab-size relation (bounded by the language inventory, t15's
+    * contract) broadcasts. One per-doc aggregation shuffle. Documents in a
+    * language absent from the reference slice have no model and drop out
+    * (production routes them to a default tail bucket at ingest).
+    *
+    * Determinism: each bigram's log-prob is an INTEGER micro-nat
+    * (t10's grid), so per-doc sums are exact 64-bit arithmetic. */
+  def t26_perplexity_filter(s: SparkSession, dir: String): DataFrame = {
+    val refSrc = Seq("src0", "src1")
+    val tokPos = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+              posexplode(toks).as(Seq("pos", "tok")))
+    val bi = tokPos
+      .select(col("doc_id"), col("lang"), col("source"), col("pos"), col("tok").as("w1"))
+      .join(tokPos.select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("w2")),
+            Seq("doc_id", "pos"))
+    val ref = bi.filter(col("source").isin(refSrc: _*))
+    val c2 = ref.groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = ref.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tokPos.filter(col("source").isin(refSrc: _*))
+      .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vsz"))
+    bi.join(c2, Seq("lang", "w1", "w2"), "left")
+      .join(c1, Seq("lang", "w1"), "left")
+      .join(broadcast(vocab), Seq("lang"))
+      .withColumn("lp_micro",
+        floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+                  (coalesce(col("c1"), lit(0L)) + col("vsz"))) * 1000000.0 + 0.5)
+          .cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp"))
+      .withColumn("avg_nll",
+        round4(-col("sum_lp").cast("double") / 1000000.0 / col("n_bigrams")))
+      .withColumn("ppl_bucket",
+        when(col("avg_nll") < 3.46, "head")
+          .when(col("avg_nll") < 3.53, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
+              col("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val t26Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS tok,
+      |         unnest(range(len(string_split(text, ' ')))) AS pos
+      |  FROM documents
+      |), bi AS (
+      |  SELECT a.doc_id, a.lang, a.source, a.tok AS w1, b.tok AS w2
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |), c2 AS (
+      |  SELECT lang, w1, w2, count(*) AS c2 FROM bi
+      |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2, 3
+      |), c1 AS (
+      |  SELECT lang, w1, count(*) AS c1 FROM bi
+      |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2
+      |), v AS (
+      |  SELECT lang, count(DISTINCT tok) AS vsz FROM tok
+      |  WHERE source IN ('src0', 'src1') GROUP BY 1
+      |), scored AS (
+      |  SELECT bi.doc_id, bi.lang,
+      |    floor(ln((coalesce(c2.c2, 0) + 1)::DOUBLE / (coalesce(c1.c1, 0) + v.vsz))
+      |          * 1000000.0 + 0.5)::BIGINT AS lp_micro
+      |  FROM bi
+      |  LEFT JOIN c2 ON c2.lang = bi.lang AND c2.w1 = bi.w1 AND c2.w2 = bi.w2
+      |  LEFT JOIN c1 ON c1.lang = bi.lang AND c1.w1 = bi.w1
+      |  JOIN v ON v.lang = bi.lang
+      |), agg AS (
+      |  SELECT doc_id, lang, count(*) AS n_bigrams,
+      |    floor(-sum(lp_micro)::DOUBLE / 1000000.0 / count(*) * 10000.0 + 0.5)
+      |      / 10000.0 AS avg_nll
+      |  FROM scored GROUP BY 1, 2
+      |)
+      |SELECT doc_id, lang, n_bigrams, avg_nll,
+      |  CASE WHEN avg_nll < 3.46 THEN 'head'
+      |       WHEN avg_nll < 3.53 THEN 'middle'
+      |       ELSE 'tail' END AS ppl_bucket
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_perplexity_filter" -> (t26_perplexity_filter _),
     "t25_source_quota" -> (t25_source_quota _),
     "t24_chunk_dedup" -> (t24_chunk_dedup _),
     "t23_doc_chunking" -> (t23_doc_chunking _),
@@ -1396,6 +1496,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t26_perplexity_filter" -> t26Sql,
     "t25_source_quota" -> t25Sql,
     "t24_chunk_dedup" -> t24Sql,
     "t23_doc_chunking" -> t23Sql,
