@@ -1509,7 +1509,81 @@ object Streams {
       .orderBy("q_id", "rank")
   }
 
+  case class PplIn(doc_id: Long, lang: String, lp_micro: Long)
+  case class PplOut(doc_id: Long, lang: String, n_bigrams: Long,
+                    avg_nll: Double, ppl_bucket: String)
+
+  /** Per-document bigrams built ROW-LOCALLY (`transform` over the token
+    * array + one explode) — no positional self-join, which on a stream
+    * would be a stream-stream join with state. Same bigram multiset as
+    * t26's posexplode/self-join construction. */
+  private def docBigrams(df: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    df.select(col("doc_id"), col("lang"), col("source"), tk.as("tk"),
+              size(tk).cast("long").as("n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr("transform(sequence(1, cast(n - 1 AS int)), " +
+                     "i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** X27: t26's PERPLEXITY FILTER ONLINE — the production deployment shape
+    * of a CCNet-style quality gate: the language model is TRAINED OFFLINE
+    * (the trusted-slice bigram/context/vocab relations, computed here from
+    * the settled batch table exactly as t26 does) and documents are scored
+    * AS THEY ARRIVE — stream-static left joins on the (lang, gram) model
+    * keys (stateless, re-planned per micro-batch; the model is unbounded
+    * vocabulary and never broadcast — the x22 discipline), then one keyed
+    * in-trigger gather per document.
+    *
+    * The gather contract: a document's bigram rows all come from ONE
+    * arriving row (row-local explode, stateless joins), so they never span
+    * micro-batches — the `flatMapGroupsWithState` group slice is O(doc
+    * tokens), bounded by max document length, and the group STATE is
+    * declared but never written (the keyed-iterator API is used for its
+    * per-key batch slice; there is nothing to carry across triggers).
+    * Scoring arithmetic mirrors t26's integer micro-nat grid and round4
+    * ordering exactly, so batch and online emit identical rows — shared
+    * oracle. */
+  def x27_stream_perplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val refSrc = Seq("src0", "src1")
+    val refDocs = Tables.documents(s, dir).filter(col("source").isin(refSrc: _*))
+    val refBi = docBigrams(refDocs)
+    val c2 = refBi.groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = refBi.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = refDocs // bounded: one row per language (t15's contract)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vsz"))
+    val scored = docBigrams(docsStream(s, dir))
+      .join(c2, Seq("lang", "w1", "w2"), "left_outer")
+      .join(c1, Seq("lang", "w1"), "left_outer")
+      .join(vocab, Seq("lang"))
+      .withColumn("lp_micro",
+        floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+                  (coalesce(col("c1"), lit(0L)) + col("vsz"))) * 1000000.0 + 0.5)
+          .cast("long"))
+      .select(col("doc_id"), col("lang"), col("lp_micro")).as[PplIn]
+    val out = scored.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, PplOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[PplIn], _: GroupState[Long]) =>
+          val rows = it.toSeq
+          val n = rows.size.toLong
+          val sumLp = rows.map(_.lp_micro).sum
+          // identical op order to t26's round4(−sum/1e6/n)
+          val avg = math.floor(-sumLp.toDouble / 1000000.0 / n * 10000.0 + 0.5) / 10000.0
+          val bucket = if (avg < 3.46) "head" else if (avg < 3.53) "middle" else "tail"
+          Iterator.single(PplOut(rows.head.doc_id, rows.head.lang, n, avg, bucket))
+      }
+    runToMemory(out.toDF(), OutputMode.Append(), s"x27_mem_${System.nanoTime()}")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x27_stream_perplexity"    -> (x27_stream_perplexity _),
     "x26_stream_ann_topk"      -> (x26_stream_ann_topk _),
     "x25_stream_chunk_dedup"   -> (x25_stream_chunk_dedup _),
     "x22_stream_incr_dedup"    -> (x22_stream_incr_dedup _),
@@ -1540,6 +1614,7 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x27_stream_perplexity"    -> graft.queries.TextAnalysis.t26Sql, // same rows online
     "x22_stream_incr_dedup"    -> graft.queries.Dedup.d12Sql, // same final rows
     "x21_tws_admission"        -> x19Sql, // identical admission decisions
     "x26_stream_ann_topk"      -> graft.queries.Similarity.s3Sql,

@@ -292,6 +292,42 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("split assignment is frozen under corpus growth and stratified (c6)") {
+    // the eval-set-freeze property c6 claims: a document's split depends
+    // only on its id hash, so the sf0.001 corpus (a strict subset) must
+    // assign every shared doc identically to the sf0.01 corpus — and hash
+    // uniformity must keep each language's train share near 12/16
+    val small = graft.queries.Pipeline.c6_train_split(spark, dir)
+      .select(col("doc_id"), col("split").as("split_small"))
+    val big = graft.queries.Pipeline.c6_train_split(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("lang"), col("split"))
+    val moved = big.join(small, Seq("doc_id"))
+      .filter(col("split") =!= col("split_small")).count()
+    assert(moved == 0, s"$moved docs changed split when the corpus grew")
+    val fracs = big.groupBy(col("lang"))
+      .agg((sum(when(col("split") === "train", 1).otherwise(0)).cast("double")
+            / count(lit(1))).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    for ((lang, tf) <- fracs)
+      assert(tf > 0.55 && tf < 0.95, s"$lang train fraction $tf far from 12/16")
+  }
+
+  test("perplexity buckets are non-degenerate at calibration scale (t26)") {
+    // the pinned thresholds are tercile cutoffs calibrated at sf0.01 — at
+    // that scale all three buckets must be populated and ordered by nll
+    val rows = graft.queries.TextAnalysis
+      .t26_perplexity_filter(spark, "/root/testdata/sf0.01")
+      .groupBy(col("ppl_bucket")).agg(count(lit(1)).as("n"),
+        max(col("avg_nll")).as("mx"), min(col("avg_nll")).as("mn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set("head", "middle", "tail"), s"buckets: ${rows.keySet}")
+    assert(rows("head")._2 <= rows("middle")._3 + 1e-9 &&
+           rows("middle")._2 <= rows("tail")._3 + 1e-9,
+           s"bucket nll ranges overlap: $rows")
+    for ((_, (n, _, _)) <- rows) assert(n > 50, s"degenerate bucket in $rows")
+  }
+
   test("chunk manifests tile every document exactly (t23)") {
     // per doc: starts are 0, S, 2S, ...; every chunk ≤ W tokens; the last
     // chunk ends at n_tok — the union of chunks covers the document with

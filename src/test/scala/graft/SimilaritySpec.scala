@@ -261,7 +261,8 @@ class SimilaritySpec extends SparkSpec {
     }
     for ((name, df) <- Seq(
         "s11" -> Similarity.s11_knn_graph(spark, "/root/testdata/sf0.001"),
-        "s11_sharded" -> Similarity.s11_knn_graph_sharded(spark, "/root/testdata/sf0.001"))) {
+        "s11_sharded" -> Similarity.s11_knn_graph_sharded(spark, "/root/testdata/sf0.001"),
+        "s13_rerank" -> Similarity.s13_ivfpq_rerank(spark, "/root/testdata/sf0.001"))) {
       df.collect() // finalize the adaptive plan
       val windows = flatten(df.queryExecution.executedPlan)
         .collect { case w: WindowExec => w }
