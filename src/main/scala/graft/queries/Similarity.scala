@@ -1342,7 +1342,255 @@ object Similarity {
        |LEFT JOIN sh s ON s.q_id = e.q_id AND s.n_id = e.n_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S14: CLUSTER CARD — the per-cell telemetry a production vector index
+    * publishes after (re)training its coarse quantizer, and the
+    * domain-discovery summary an embedding-clustered corpus review reads
+    * (the cluster-inspection step of SemDeDup-style pipelines): for each of
+    * s4's trained k-means cells — size, mean squared distance to the
+    * centroid (inertia/n), radius (max member distance), the dominant
+    * metadata label, and its purity. Size and purity expose imbalanced or
+    * mixed cells; radius/inertia expose diffuse ones — the numbers that
+    * decide whether k needs raising before c2's within-cell pair search.
+    *
+    * Scale shape: one broadcast of the k trained centroid rows against the
+    * scan (assignment, s4's machinery — the corpus never shuffles for it),
+    * then two bounded aggregations: (cluster, label) counts and per-cluster
+    * moments — both keyed by the k-bounded cluster id. Nothing about the
+    * card grows with the corpus except the one assignment pass.
+    *
+    * Determinism: member distances quantize to an integer micro-grid
+    * before the sums/max (exact 64-bit); the dominant label breaks count
+    * ties to the lower label. */
+  def s14_cluster_card(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cents = trainCoarse(s, dir, ex)
+    val per = assignToNearest(emb, cents, ex)
+      .withColumn("dm",
+        floor(sqDist(col("embedding"), col("cemb"), exact = true) * 1000000.0 + 0.5)
+          .cast("long"))
+      .select(col("vec_id"), col("cluster"), col("label"), col("dm"))
+    val top = per.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("cnt").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("top_label"), col("cnt").as("top_cnt"))
+    per.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dm")).as("sum_dm"),
+           max(col("dm")).as("max_dm"))
+      .join(top, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"),
+        round4(col("sum_dm").cast("double") / 1000000.0 / col("n_vecs")).as("mean_sqdist"),
+        round4(col("max_dm").cast("double") / 1000000.0).as("radius"),
+        col("top_label"),
+        round4(col("top_cnt").cast("double") / col("n_vecs")).as("purity"))
+      .orderBy("cluster")
+  }
+
+  val s14Sql: String =
+    s"""WITH $elemsSqlCte, $coarseTrainCtes, asg AS (
+       |  SELECT vec_id, cluster, d FROM (
+       |    SELECT e.vec_id, c.cluster,
+       |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS d,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+       |                 c.cluster) AS rn
+       |    FROM e JOIN c2 c USING (i)
+       |    GROUP BY e.vec_id, c.cluster)
+       |  WHERE rn = 1
+       |), per AS (
+       |  SELECT a.vec_id, a.cluster, emb.label,
+       |         floor(a.d * 1000000.0 + 0.5)::BIGINT AS dm
+       |  FROM asg a JOIN embeddings emb USING (vec_id)
+       |), top AS (
+       |  SELECT cluster, label AS top_label, cnt AS top_cnt FROM (
+       |    SELECT cluster, label, cnt,
+       |      row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label) AS rn
+       |    FROM (SELECT cluster, label, count(*)::BIGINT AS cnt
+       |          FROM per GROUP BY 1, 2)) WHERE rn = 1
+       |), agg AS (
+       |  SELECT cluster, count(*)::BIGINT AS n_vecs,
+       |    floor(sum(dm)::DOUBLE / 1000000.0 / count(*) * 10000.0 + 0.5)
+       |      / 10000.0 AS mean_sqdist,
+       |    floor(max(dm)::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS radius
+       |  FROM per GROUP BY 1)
+       |SELECT a.cluster, a.n_vecs, a.mean_sqdist, a.radius, t.top_label,
+       |  floor(t.top_cnt::DOUBLE / a.n_vecs * 10000.0 + 0.5) / 10000.0 AS purity
+       |FROM agg a JOIN top t USING (cluster) ORDER BY cluster""".stripMargin
+
+  /** S15: FILTERED ANN — vector search under a metadata predicate (the
+    * Qdrant/Milvus/Vespa "filtered search" shape every RAG deployment
+    * needs: only license-clean / servable / tenant-visible vectors may be
+    * answers). Semantics are PRE-FILTER: the predicate (here `vec_id`
+    * even — the servable half) restricts the candidate set BEFORE ranking,
+    * so the query always gets its k best among eligible vectors — not the
+    * post-filter shape that returns fewer than k when the filter and the
+    * top-k overlap poorly.
+    *
+    * Scale shape is s3's cell search with the predicate applied at the
+    * SCAN, below the cell join: pruned rows never enter the cell scan, the
+    * filter rides the same codegen stage as the parquet read, and routing
+    * (which must see the full centroid geometry — filtering is about
+    * eligibility, not geometry) is untouched. One broadcast of the bounded
+    * routed-query relation; ranking per query unchanged. */
+  def s15_filtered_ann(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cent = labelCentroids(s, dir)
+    val routed = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdp", dot(col("qemb"), col("cemb"), ex))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cdp").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("qemb"), col("label"))
+    emb.filter(col("vec_id") % 2 === 0) // the metadata predicate: scan-level, pre-join
+      .join(broadcast(routed), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round4(dot(col("embedding"), col("qemb"), ex)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("label").as("cell"), col("vec_id").as("n_id"),
+              col("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val s15Sql: String =
+    s"""WITH $elemsSqlCte, cent AS (
+      |  SELECT label, i, sum(v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
+      |  FROM e GROUP BY 1, 2
+      |), q AS (
+      |  SELECT vec_id AS q_id, i, v AS qv FROM e WHERE vec_id % 100 = 0
+      |), q2c AS (
+      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::DOUBLE AS cdp
+      |  FROM q JOIN cent USING (i) GROUP BY 1, 2
+      |), routed AS (
+      |  SELECT q_id, label FROM (
+      |    SELECT q_id, label,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cdp DESC, label) AS rn
+      |    FROM q2c) WHERE rn = 1
+      |), dots AS (
+      |  SELECT q.q_id, r.label, d.vec_id,
+      |         sum((q.qv * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM q JOIN routed r USING (q_id)
+      |  JOIN e d ON d.i = q.i AND d.label = r.label AND d.vec_id <> q.q_id
+      |    AND d.vec_id % 2 = 0
+      |  GROUP BY 1, 2, 3
+      |), ranked AS (
+      |  SELECT q_id, label AS cell, vec_id AS n_id,
+      |    floor(dp * 10000.0 + 0.5) / 10000.0 AS cosine,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY floor(dp * 10000.0 + 0.5) / 10000.0 DESC, vec_id) AS rank
+      |  FROM dots)
+      |SELECT q_id, cell, n_id, cosine, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** S16: HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION — the two-tower RAG
+    * serving shape (Cormack et al. 2009's RRF, the fusion every hybrid
+    * search deployment ships): the same query runs against BOTH indexes —
+    * lexical (t27's BM25 over the pruned inverted index) and dense
+    * (brute-force cosine over the embedding column, s1's scoring at
+    * k = 10) — and the two rank lists fuse by RRF(d) = Σ_lists
+    * 1/(60 + rank_list(d)), which rewards agreement without ever comparing
+    * raw scores across incommensurable scales. Queries are t27's workload
+    * restricted to documents that have an embedding (the corpus halves
+    * share the id space; at 100 TB the dense index covers the embedded
+    * slice). Top-5 fused answers per query.
+    *
+    * Scale shape: each leg keeps its own contract (BM25: pruned postings
+    * bound candidates; dense: bounded query side vs the flat index — the
+    * IVF variants are drop-in); fusion itself is ONE full-outer equi-join
+    * of two ≤ k·|queries| rank lists on (query, doc) + a per-query top-5
+    * WindowGroupLimit — fusion cost never touches either corpus.
+    *
+    * Determinism: each list contribution is floor(10⁶/(60+rank) + 0.5) —
+    * an integer micro-unit — so fused scores are exact 64-bit sums; ties
+    * break to the lower doc_id. */
+  def s16_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              dot(col("embedding"), col("embedding"), ex).as("n2"))
+    val embIds = Tables.embeddings(s, dir).select(col("vec_id").as("query_id"))
+    val bm = graft.queries.TextAnalysis.t27_bm25(s, dir)
+      .join(embIds, Seq("query_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
+    val ann = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round4(dot(col("embedding"), col("qemb"), ex) /
+                                   sqrt(col("qn2") * col("n2"))))
+      .withColumn("rk_ann", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk_ann") <= 10)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rk_ann"))
+    def rrf(rk: Column) = floor(lit(1000000.0) / (lit(60) + rk) + 0.5).cast("long")
+    bm.join(ann, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(rrf(col("rk_bm")), lit(0L)) +
+         coalesce(rrf(col("rk_ann")), lit(0L))).as("rrf_micro"),
+        (col("rk_bm").isNotNull.cast("int") +
+         col("rk_ann").isNotNull.cast("int")).cast("long").as("n_lists"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("query_id", "rk")
+  }
+
+  // def, not (lazy) val: s16Sql splices TextAnalysis.t27Sql, and Similarity
+  // can be initialized from INSIDE TextAnalysis's own initializer (via
+  // t11Sql → Dedup → d5Sql → s2Sql) — a val evaluated on that path would
+  // permanently capture t27Sql as null. The strict `oracles` map is lazy
+  // for the same reason.
+  def s16Sql: String =
+    s"""WITH bm_full AS (
+      |${graft.queries.TextAnalysis.t27Sql}
+      |), bm AS (
+      |  SELECT query_id, doc_id, rk AS rk_bm FROM bm_full
+      |  WHERE query_id IN (SELECT vec_id FROM embeddings)
+      |), $elemsSqlCte, norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |), dots AS (
+      |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
+      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM e q JOIN e d ON q.i = d.i AND d.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT q_id, dots.vec_id AS vec_id,
+      |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = dots.vec_id
+      |), ann AS (
+      |  SELECT q_id AS query_id, vec_id AS doc_id, rk_ann FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk_ann
+      |    FROM scored) WHERE rk_ann <= 10
+      |), fused AS (
+      |  SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+      |         coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+      |    coalesce(floor(1000000.0 / (60 + bm.rk_bm) + 0.5)::BIGINT, 0)
+      |    + coalesce(floor(1000000.0 / (60 + ann.rk_ann) + 0.5)::BIGINT, 0) AS rrf_micro,
+      |    ((bm.rk_bm IS NOT NULL)::INT + (ann.rk_ann IS NOT NULL)::INT)::BIGINT AS n_lists
+      |  FROM bm FULL OUTER JOIN ann USING (query_id, doc_id)
+      |), r AS (
+      |  SELECT query_id, doc_id, rrf_micro, n_lists,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_micro DESC, doc_id) AS rk
+      |  FROM fused)
+      |SELECT query_id, doc_id, rrf_micro, n_lists, rk
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_hybrid_rrf" -> (s16_hybrid_rrf _),
+    "s15_filtered_ann" -> (s15_filtered_ann _),
+    "s14_cluster_card" -> (s14_cluster_card _),
     "s13_ivfpq_rerank" -> (s13_ivfpq_rerank _),
     "s12_shard_recall" -> (s12_shard_recall _),
     "s11_knn_graph_sharded" -> (s11_knn_graph_sharded _),
@@ -1358,7 +1606,10 @@ object Similarity {
     "s3_ivf_topk"    -> (s3_ivf_topk _),
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
+    "s16_hybrid_rrf" -> s16Sql,
+    "s15_filtered_ann" -> s15Sql,
+    "s14_cluster_card" -> s14Sql,
     "s13_ivfpq_rerank" -> s13Sql,
     "s12_shard_recall" -> s12Sql,
     "s11_knn_graph_sharded" -> s11ShardedSql,

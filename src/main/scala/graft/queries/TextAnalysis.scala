@@ -1467,7 +1467,204 @@ object TextAnalysis {
       |       ELSE 'tail' END AS ppl_bucket
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** T27: BM25 RETRIEVAL over a pruned inverted index — the search-serving
+    * query a RAG / retrieval pipeline runs against the corpus: a query log
+    * (every 50th document issues its first two distinct tokens as a
+    * "more-like-this" query) scored with Okapi BM25 (k1 = 1.2, b = 0.75,
+    * Lucene's always-positive `ln(1 + (N−df+0.5)/(df+0.5))` idf), top-10
+    * answers per query.
+    *
+    * The scale decision is STATIC INDEX PRUNING (Carmel et al. 2001, the
+    * WAND-family serving trade): each term's posting list is truncated to
+    * its 64 highest-tf entries before scoring, so per-query candidate mass
+    * is bounded by 64·|q| REGARDLESS of corpus size — document frequencies
+    * stay exact (df is computed before pruning), only the scored shortlist
+    * is truncated, and both engines prune identically so the oracle is
+    * exact, not approximate. Without this, a common term's posting list is
+    * O(corpus) and every query pays it.
+    *
+    * Dataflow: postings = t7's (term, doc) tf shuffle carrying the doc
+    * length through the agg (no second dl join); pruning and the per-query
+    * top-10 both lower to `WindowGroupLimit` (bounded per-task heaps, t25's
+    * plan class); the query-log⋈postings and df joins are term-keyed
+    * equi-joins — neither side broadcast (vocabulary and query log are both
+    * unbounded); only the 1-row (N, Σdl) stats relation broadcasts.
+    *
+    * Determinism: idf is pinned to the 6-dp grid before use; each (query,
+    * doc, term) contribution becomes an integer micro-unit, so per-doc sums
+    * are exact 64-bit arithmetic (t26's discipline). */
+  def t27_bm25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 64
+    val K = 10
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+              explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+                         sum(size(toks).cast("long")).as("sum_dl"))
+    val wp = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+    val pruned = tf.withColumn("pr", row_number().over(wp)).filter(col("pr") <= P)
+    val qs = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+              explode(array_distinct(slice(toks, 1, 2))).as("term"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf6 = round6(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val contrib = idf6 * (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    qs.join(pruned, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfRel, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro", floor(contrib * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("c_micro")).as("sum_c"))
+      .withColumn("score", round4(col("sum_c").cast("double") / 1000000.0))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("doc_id"), col("n_hit"), col("score"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val t27Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+      |         unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT term, doc_id, count(*)::BIGINT AS tf, max(dl) AS dl
+      |  FROM tok GROUP BY 1, 2
+      |), df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |st AS (
+      |  SELECT count(*)::BIGINT AS n_docs,
+      |         sum(len(string_split(text, ' ')))::BIGINT AS sum_dl
+      |  FROM documents
+      |), pruned AS (
+      |  SELECT term, doc_id, tf, dl FROM (
+      |    SELECT term, doc_id, tf, dl,
+      |      row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS pr
+      |    FROM tf) WHERE pr <= 64
+      |), qs AS (
+      |  SELECT doc_id AS query_id,
+      |         unnest(list_distinct(string_split(text, ' ')[1:2])) AS term
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), cand AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    floor((floor(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |                 * 1000000.0 + 0.5) / 1000000.0
+      |           * (p.tf * 2.2))
+      |          / (p.tf + 1.2 * (0.25 + 0.75 * (p.dl / (st.sum_dl::DOUBLE / st.n_docs))))
+      |          * 1000000.0 + 0.5)::BIGINT AS c_micro
+      |  FROM qs q JOIN pruned p USING (term) JOIN df USING (term), st
+      |  WHERE p.doc_id <> q.query_id
+      |), agg AS (
+      |  SELECT query_id, doc_id, count(*)::BIGINT AS n_hit,
+      |    floor(sum(c_micro)::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS score
+      |  FROM cand GROUP BY 1, 2
+      |), r AS (
+      |  SELECT query_id, doc_id, n_hit, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+      |  FROM agg)
+      |SELECT query_id, doc_id, n_hit, score, rk
+      |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** T28: DSIR IMPORTANCE WEIGHTS (Data Selection via Importance
+    * Resampling, Xie et al. 2023) — the targeted-selection pass that picks
+    * raw-web documents LOOKING LIKE a trusted target domain: every document
+    * gets log w(x) = Σ_features c_x[f]·(ln p_target[f] − ln p_raw[f]),
+    * where both distributions are bag-of-HASHED-n-gram models (unigrams +
+    * bigrams hashed into 256 buckets), the target model is estimated from
+    * the trusted slice (src0/src1, t26's contract) and the raw model from
+    * the full corpus, each with add-one smoothing over the bucket space.
+    * `keep = logw > 0` is the more-target-like-than-raw decision the
+    * resampling step thresholds.
+    *
+    * The published trick IS the scale story: hashing collapses the
+    * unbounded vocabulary into a FIXED 256-bucket feature space, so —
+    * unlike t26/t10, whose (lang, gram) models are unbounded relations
+    * that must never broadcast — the DSIR model is structurally bounded
+    * and broadcasts legitimately; scoring is one broadcast-joined
+    * projection plus a single per-doc aggregation shuffle, at any corpus
+    * size. Bigrams are built row-locally (x27's transform construction,
+    * no positional self-join). Bucket key = first 2 hex chars of
+    * md5(gram) — engine-portable, no numeric conversion.
+    *
+    * Determinism: each model log-prob is pinned to an integer micro-nat;
+    * the per-bucket log-ratio is an exact 64-bit difference and per-doc
+    * sums are exact (t26's grid discipline). */
+  def t28_dsir_weights(s: SparkSession, dir: String): DataFrame = {
+    val refSrc = Seq("src0", "src1")
+    val tk = split(col("text"), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), tk.as("tk"),
+              size(tk).as("n"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(concat(col("tk"),
+          when(col("n") >= 2,
+            expr("transform(sequence(1, n - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+            .otherwise(typedlit(Seq.empty[String])))).as("gram"))
+      .withColumn("bucket", substring(md5(col("gram").cast("binary")), 1, 2))
+    val tgt = grams.filter(col("source").isin(refSrc: _*))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val raw = grams.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    val tgtTot = grams.filter(col("source").isin(refSrc: _*))
+      .agg(count(lit(1)).as("tt"))
+    val rawTot = grams.agg(count(lit(1)).as("rt"))
+    val lpMicro = floor(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+                            (col("tt") + 256)) * 1000000.0 + 0.5).cast("long")
+    val lqMicro = floor(log((col("rc") + 1).cast("double") /
+                            (col("rt") + 256)) * 1000000.0 + 0.5).cast("long")
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .select(col("bucket"), (lpMicro - lqMicro).as("lr_micro"))
+    grams.join(broadcast(model), Seq("bucket")) // bounded: 256 buckets
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("sum_lr"))
+      .withColumn("logw", round4(col("sum_lr").cast("double") / 1000000.0))
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("logw"),
+              (col("logw") > 0.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val t28Sql: String =
+    """WITH sp AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS sp FROM documents
+      |), g AS (
+      |  SELECT doc_id, lang, source, unnest(
+      |    list_concat(sp, list_transform(range(2, len(sp) + 1),
+      |                                   i -> sp[i-1] || ' ' || sp[i]))) AS gram
+      |  FROM sp
+      |), b AS (
+      |  SELECT doc_id, lang, source, substr(md5(gram), 1, 2) AS bucket FROM g
+      |), tgt AS (
+      |  SELECT bucket, count(*)::BIGINT AS tc FROM b
+      |  WHERE source IN ('src0', 'src1') GROUP BY 1
+      |), raw AS (SELECT bucket, count(*)::BIGINT AS rc FROM b GROUP BY 1),
+      |tt AS (SELECT count(*)::BIGINT AS tt FROM b WHERE source IN ('src0', 'src1')),
+      |rt AS (SELECT count(*)::BIGINT AS rt FROM b),
+      |model AS (
+      |  SELECT raw.bucket,
+      |    floor(ln((coalesce(tgt.tc, 0) + 1)::DOUBLE / (tt.tt + 256))
+      |          * 1000000.0 + 0.5)::BIGINT
+      |    - floor(ln((raw.rc + 1)::DOUBLE / (rt.rt + 256))
+      |            * 1000000.0 + 0.5)::BIGINT AS lr_micro
+      |  FROM raw LEFT JOIN tgt USING (bucket), tt, rt
+      |), agg AS (
+      |  SELECT b.doc_id, b.lang, count(*)::BIGINT AS n_grams,
+      |    floor(sum(m.lr_micro)::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS logw
+      |  FROM b JOIN model m USING (bucket)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, lang, n_grams, logw, logw > 0.0 AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_dsir_weights" -> (t28_dsir_weights _),
+    "t27_bm25" -> (t27_bm25 _),
     "t26_perplexity_filter" -> (t26_perplexity_filter _),
     "t25_source_quota" -> (t25_source_quota _),
     "t24_chunk_dedup" -> (t24_chunk_dedup _),
@@ -1496,6 +1693,8 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t28_dsir_weights" -> t28Sql,
+    "t27_bm25" -> t27Sql,
     "t26_perplexity_filter" -> t26Sql,
     "t25_source_quota" -> t25Sql,
     "t24_chunk_dedup" -> t24Sql,

@@ -1582,7 +1582,129 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  case class Bm25In(query_id: Long, doc_id: Long, c_micro: Long)
+  case class Bm25Out(query_id: Long, doc_id: Long, n_hit: Long,
+                     score: Double, rk: Long)
+
+  /** X28: t27's BM25 RETRIEVAL ONLINE — the search-endpoint deployment
+    * shape: the inverted index is BUILT OFFLINE (pruned postings, df, and
+    * corpus stats from the settled batch table, exactly t27's
+    * construction) and queries arrive as traffic; each is answered within
+    * its arrival trigger.
+    *
+    * Scale decisions mirror x26's serving split:
+    *  1. The 1-row (N, Σdl) stats relation folds into literals via
+    *     `BroadcastContract.boundedCollect` (replicate-bounded-state).
+    *  2. The candidate scan is a stream-static equi-join on the TERM key
+    *     against the 64-entry pruned postings — so per-query candidate
+    *     mass is bounded by 64·|q| regardless of corpus size (t27's
+    *     static-index-pruning contract is precisely what makes the
+    *     serving gather bounded).
+    *  3. The per-query top-10 is a keyed in-trigger gather (x27's
+    *     discipline): a query's candidate rows all derive from its one
+    *     arriving row through stateless joins, so they never span
+    *     triggers; group state is declared but never written.
+    *
+    * Scoring arithmetic reproduces t27's integer micro-unit grid and
+    * round4/tie order exactly — identical rows online, shared oracle. */
+  def x28_stream_bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val P = 64
+    val K = 10
+    val docs = Tables.documents(s, dir)
+    val tk = split(col("text"), " ")
+    val tf = docs
+      .select(col("doc_id"), size(tk).cast("long").as("dl"),
+              explode(tk).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wp = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+    val pruned = tf.withColumn("pr", row_number().over(wp)).filter(col("pr") <= P)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val statsRow = graft.plans.BroadcastContract.boundedCollect(
+      docs.agg(count(lit(1)).as("n_docs"),
+               sum(size(tk).cast("long")).as("sum_dl")),
+      "BM25 corpus stats: one row").head
+    val nDocs = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    val avgdl = sumDl.toDouble / nDocs
+    val idf6 = graft.queries.QUtil.round6(
+      log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val contrib = idf6 * (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl))))
+    val cand = docsStream(s, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+              explode(array_distinct(slice(tk, 1, 2))).as("term"))
+      .join(pruned, Seq("term")) // stream-static, term-pruned
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfRel, Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+              floor(contrib * 1000000.0 + 0.5).cast("long").as("c_micro"))
+      .as[Bm25In]
+    val answered = cand.groupByKey(_.query_id)
+      .flatMapGroupsWithState[Long, Bm25Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (q: Long, it: Iterator[Bm25In], _: GroupState[Long]) =>
+          val perDoc = it.toSeq.groupBy(_.doc_id).toSeq.map { case (d, rs) =>
+            val sumC = rs.map(_.c_micro).sum
+            // t27's exact op order: round4(sum_micro / 1e6)
+            val score = math.floor(sumC.toDouble / 1000000.0 * 10000.0 + 0.5) / 10000.0
+            (d, rs.size.toLong, score)
+          }
+          perDoc.sortBy { case (d, _, sc) => (-sc, d) }.take(K).zipWithIndex
+            .map { case ((d, nh, sc), i) => Bm25Out(q, d, nh, sc, i + 1L) }
+            .iterator
+      }
+    runToMemory(answered.toDF(), OutputMode.Append(), s"x28_mem_${System.nanoTime()}")
+      .orderBy("query_id", "rk")
+  }
+
+  /** X29: t17's HEAVY HITTERS ONLINE — the trending-tokens monitor a
+    * streaming ingest runs: a single Misra-Gries sketch maintained as
+    * streaming aggregation state across triggers (complete mode — the
+    * monitor's answer table), so the store holds a BOUNDED k-entry map
+    * however many distinct tokens flow past — the sketch-vs-vocabulary
+    * trade at its purest: O(k) state online versus t17's map-side-combined
+    * partial sketches, same `merge` law either way (the Agarwal et al.
+    * mergeable-summaries rule, so trigger boundaries are just another
+    * partitioning — `MisraGriesSpec` pins the never-miss property over
+    * random partitionings, which includes this one).
+    *
+    * The EXACT half is the Lambda-confirm step a production monitor runs
+    * against the settled table: the ≤ k streaming candidates prune one
+    * batch counting pass (broadcast of ≤ k rows — the full vocabulary
+    * never shuffles), and the exact `cnt·(k+1) > N` threshold drops the
+    * sketch's over-admissions. Because the sketch never misses a true
+    * heavy hitter, the confirmed output is bit-for-bit t17's — shared
+    * oracle. */
+  def x29_stream_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 40
+    val tk = split(col("text"), " ")
+    val sketch = docsStream(s, dir)
+      .select(explode(tk).as("tok")).as[String]
+      .select(new graft.functions.MisraGriesAgg(k).toColumn.name("cands"))
+    val cands = runToMemory(sketch.toDF("cands"), OutputMode.Complete(),
+        s"x29_mem_${System.nanoTime()}")
+      .select(explode(col("cands")).as("tok"))
+    val tokens = Tables.documents(s, dir).select(explode(tk).as("tok"))
+    val total = tokens.agg(count(lit(1)).as("n"))
+    tokens
+      .join(broadcast(cands), Seq("tok")) // ≤ k rows by sketch capacity
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x29_stream_heavy_hitters" -> (x29_stream_heavy_hitters _),
+    "x28_stream_bm25"          -> (x28_stream_bm25 _),
     "x27_stream_perplexity"    -> (x27_stream_perplexity _),
     "x26_stream_ann_topk"      -> (x26_stream_ann_topk _),
     "x25_stream_chunk_dedup"   -> (x25_stream_chunk_dedup _),
@@ -1614,6 +1736,8 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x29_stream_heavy_hitters" -> graft.queries.TextAnalysis.t17Sql, // sketch never misses
+    "x28_stream_bm25"          -> graft.queries.TextAnalysis.t27Sql, // same answers online
     "x27_stream_perplexity"    -> graft.queries.TextAnalysis.t26Sql, // same rows online
     "x22_stream_incr_dedup"    -> graft.queries.Dedup.d12Sql, // same final rows
     "x21_tws_admission"        -> x19Sql, // identical admission decisions

@@ -368,6 +368,113 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(t25.contains("WindowGroupLimit"), s"no WindowGroupLimit in t25:\n$t25")
   }
 
+  test("BM25 serving bounds: pruned postings + top-k both lower to WindowGroupLimit (t27)") {
+    val df = graft.queries.TextAnalysis.t27_bm25(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // two rank-limit filters — posting pruning (per term) and the answer
+    // top-k (per query) — must BOTH become bounded per-task heaps: at
+    // 100 TB the posting list of a common term is O(corpus) and the
+    // candidate set of a hot query is O(P·|q|); neither may fully sort
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected two WindowGroupLimit stages in:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    val perQ = rows.groupBy(_._1)
+    assert(perQ.nonEmpty)
+    for ((q, rs) <- perQ) {
+      assert(rs.length <= 10, s"query $q: more than 10 answers")
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to rs.length).toSeq,
+        s"query $q: ranks not dense")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      }, s"query $q: answers not score-ordered")
+      assert(rs.forall(_._2 != q), s"query $q: retrieved itself")
+    }
+  }
+
+  test("DSIR model is structurally bounded and keep ⇔ logw > 0 (t28)") {
+    // the hashed feature space is what makes the model broadcastable —
+    // pin that the bucket key really is 2 hex chars (≤ 256 values)
+    val buckets = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("g"))
+      .select(substring(md5(col("g").cast("binary")), 1, 2).as("b"))
+      .distinct().collect().map(_.getString(0))
+    assert(buckets.length <= 256 && buckets.forall(_.matches("[0-9a-f]{2}")))
+    val rows = graft.queries.TextAnalysis.t28_dsir_weights(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, w, k) => k == (w > 0.0) })
+    // trusted-slice docs should skew target-like vs the open rest: the
+    // mean weight of src0/src1 docs must exceed the corpus mean
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (ref, rest) = rows.partition(r => Set("src0", "src1")(src(r._1)))
+    assert(ref.map(_._2).sum / ref.length > rest.map(_._2).sum / rest.length)
+  }
+
+  test("online BM25 serves exactly the batch answers (x28 = t27)") {
+    val batch = graft.queries.TextAnalysis.t27_bm25(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val online = graft.streaming.Streams.x28_stream_bm25(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(online == batch)
+  }
+
+  test("cluster card partitions the corpus and bounds its moments (s14)") {
+    val rows = graft.queries.Similarity.s14_cluster_card(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getDouble(3), r.getDouble(5)))
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_._2).sum == total, "cells must partition the corpus")
+    for ((c, n, mean, radius, purity) <- rows) {
+      assert(n >= 1 && purity > 0.0 && purity <= 1.0, s"cell $c: bad purity")
+      assert(radius >= mean - 1e-9, s"cell $c: radius below mean sq-dist")
+    }
+  }
+
+  test("filtered ANN answers only eligible vectors, k best each (s15)") {
+    val rows = graft.queries.Similarity.s15_filtered_ann(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 % 2 == 0), "pre-filter semantics: only even vec_ids")
+    for ((q, rs) <- rows.groupBy(_._1)) {
+      assert(rs.length <= 3 && rs.map(_._3).sorted.toSeq == (1L to rs.length),
+        s"query $q: ranks not dense")
+    }
+  }
+
+  test("RRF fusion rewards agreement and stays inside list bounds (s16)") {
+    val rows = graft.queries.Similarity.s16_hybrid_rrf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val maxSingle = math.floor(1000000.0 / 61 + 0.5).toLong
+    for ((q, _, rrf, nLists, _) <- rows) {
+      assert(nLists == 1 || nLists == 2, s"query $q: n_lists out of range")
+      assert(rrf <= nLists * maxSingle, s"query $q: rrf above per-list bound")
+    }
+    for ((q, rs) <- rows.groupBy(_._1)) {
+      assert(rs.length <= 5 && rs.map(_._5).sorted.toSeq == (1L to rs.length),
+        s"query $q: ranks not dense")
+      // fused order must follow the exact integer rrf score
+      val byRank = rs.sortBy(_._5)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      }, s"query $q: fusion not score-ordered")
+    }
+  }
+
+  test("online heavy-hitters monitor confirms exactly the batch set (x29 = t17)") {
+    val batch = graft.queries.TextAnalysis.t17_heavy_hitters(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val online = graft.streaming.Streams.x29_stream_heavy_hitters(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(online == batch)
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
