@@ -30,7 +30,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round 6: the incremental near-dup's band joins + deterministic
     // partner choice, and the per-source quality quota's two-phase top-N
     "d13_incremental_neardup" -> (() => queries.Dedup.d13_incremental_neardup(spark, dir)),
-    "t25_source_quota" -> (() => queries.TextAnalysis.t25_source_quota(spark, dir)))
+    "t25_source_quota" -> (() => queries.TextAnalysis.t25_source_quota(spark, dir)),
+    // late round 6: BM25's pruned-postings + per-query top-k WindowGroupLimit
+    // chain (two rank-limit stages whose tie-breaks must hold under any
+    // partitioning), DSIR's bucket-keyed model joins, and the RRF fusion's
+    // full-outer join + integer-sum ranking
+    "t27_bm25" -> (() => queries.TextAnalysis.t27_bm25(spark, dir)),
+    "t28_dsir_weights" -> (() => queries.TextAnalysis.t28_dsir_weights(spark, dir)),
+    "s16_hybrid_rrf" -> (() => queries.Similarity.s16_hybrid_rrf(spark, dir)))
 
   for ((name, mk) <- cases)
     test(s"$name is invariant under shuffle-partition count (1, 3, 7)") {
