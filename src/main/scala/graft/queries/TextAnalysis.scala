@@ -1662,7 +1662,112 @@ object TextAnalysis {
       |SELECT doc_id, lang, n_grams, logw, logw > 0.0 AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** T29: DISTRIBUTION-DRIFT AUDIT — the data-drift monitor a production
+    * ingest runs on every increment: per language, the KL divergence of
+    * the ARRIVING delta's hashed-ngram distribution against the SETTLED
+    * corpus's (d12's `doc_id % 10` increment convention; t28's 256-bucket
+    * hashed unigram+bigram feature space), with add-one smoothing over the
+    * full canonical bucket space so unseen features are penalized, not
+    * undefined. KL(delta ‖ settled) spikes when a crawl source changes
+    * language mix, template, or spam profile — the alarm that gates d12's
+    * incremental admission before a bad batch pollutes the corpus.
+    *
+    * Scale shape: two (lang, bucket) aggregations over the gram stream —
+    * the model space is structurally bounded (256 buckets × the bounded
+    * language inventory, t15's contract), so the per-bucket joins against
+    * the generated canonical space broadcast legitimately (t28's story);
+    * one bounded per-language aggregation finishes.
+    *
+    * Determinism: the micro-nat trick is applied to the SCALED divergence:
+    * KL·(Δ+256) = Σ_b (dc_b + 1)·(ln q_b − ln p_b), so every addend is an
+    * exact 64-bit product of a count and a pinned micro-nat log — the sum
+    * is order-independent, and the one division happens after. */
+  def t29_drift_audit(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tk.as("tk"), size(tk).as("n"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("tk"),
+          when(col("n") >= 2,
+            expr("transform(sequence(1, n - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+            .otherwise(typedlit(Seq.empty[String])))).as("gram"))
+      .select(col("lang"), (col("doc_id") % 10 === 0).as("is_delta"),
+              substring(md5(col("gram").cast("binary")), 1, 2).as("bucket"))
+    val sc = grams.filter(!col("is_delta"))
+      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("sc"))
+    val dc = grams.filter(col("is_delta"))
+      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("dc"))
+    val stot = grams.filter(!col("is_delta"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("st"))
+    val dtot = grams.filter(col("is_delta"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("dt"))
+    val space = grams.select(col("lang")).distinct()
+      .crossJoin(broadcast(
+        s.range(256).select(format_string("%02x", col("id")).as("bucket"))))
+    val lqMicro = floor(log((coalesce(col("dc"), lit(0L)) + 1).cast("double") /
+                            (col("dt") + 256)) * 1000000.0 + 0.5).cast("long")
+    val lpMicro = floor(log((coalesce(col("sc"), lit(0L)) + 1).cast("double") /
+                            (col("st") + 256)) * 1000000.0 + 0.5).cast("long")
+    space
+      .join(sc, Seq("lang", "bucket"), "left")
+      .join(dc, Seq("lang", "bucket"), "left")
+      .join(broadcast(stot), Seq("lang"))
+      .join(broadcast(dtot), Seq("lang"))
+      .withColumn("contrib",
+        (coalesce(col("dc"), lit(0L)) + 1) * (lqMicro - lpMicro))
+      .groupBy(col("lang"))
+      .agg(max(col("dt")).as("delta_grams"), sum(col("contrib")).as("kl_scaled"))
+      .withColumn("kl", round4(col("kl_scaled").cast("double") / 1000000.0 /
+                               (col("delta_grams") + 256)))
+      .select(col("lang"), col("delta_grams"), col("kl"),
+              (col("kl") > 0.05).as("drifted"))
+      .orderBy("lang")
+  }
+
+  val t29Sql: String =
+    """WITH sp AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS sp FROM documents
+      |), g AS (
+      |  SELECT lang, doc_id % 10 = 0 AS is_delta,
+      |    substr(md5(unnest(
+      |      list_concat(sp, list_transform(range(2, len(sp) + 1),
+      |                                     i -> sp[i-1] || ' ' || sp[i])))), 1, 2)
+      |      AS bucket
+      |  FROM sp
+      |), sc AS (
+      |  SELECT lang, bucket, count(*)::BIGINT AS sc FROM g
+      |  WHERE NOT is_delta GROUP BY 1, 2
+      |), dc AS (
+      |  SELECT lang, bucket, count(*)::BIGINT AS dc FROM g
+      |  WHERE is_delta GROUP BY 1, 2
+      |), stot AS (SELECT lang, count(*)::BIGINT AS st FROM g WHERE NOT is_delta GROUP BY 1),
+      |dtot AS (SELECT lang, count(*)::BIGINT AS dt FROM g WHERE is_delta GROUP BY 1),
+      |space AS (
+      |  SELECT DISTINCT g.lang, b.bucket
+      |  FROM g, (SELECT printf('%02x', i) AS bucket FROM range(256) t(i)) b
+      |), m AS (
+      |  SELECT s.lang, s.bucket,
+      |    (coalesce(dc.dc, 0) + 1)
+      |    * (floor(ln((coalesce(dc.dc, 0) + 1)::DOUBLE / (dtot.dt + 256))
+      |             * 1000000.0 + 0.5)::BIGINT
+      |       - floor(ln((coalesce(sc.sc, 0) + 1)::DOUBLE / (stot.st + 256))
+      |               * 1000000.0 + 0.5)::BIGINT) AS contrib,
+      |    dtot.dt
+      |  FROM space s
+      |  LEFT JOIN sc ON sc.lang = s.lang AND sc.bucket = s.bucket
+      |  LEFT JOIN dc ON dc.lang = s.lang AND dc.bucket = s.bucket
+      |  JOIN stot ON stot.lang = s.lang
+      |  JOIN dtot ON dtot.lang = s.lang
+      |), agg AS (
+      |  SELECT lang, max(dt) AS delta_grams,
+      |    floor(sum(contrib)::DOUBLE / 1000000.0 / (max(dt) + 256)
+      |          * 10000.0 + 0.5) / 10000.0 AS kl
+      |  FROM m GROUP BY 1)
+      |SELECT lang, delta_grams, kl, kl > 0.05 AS drifted
+      |FROM agg ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_drift_audit" -> (t29_drift_audit _),
     "t28_dsir_weights" -> (t28_dsir_weights _),
     "t27_bm25" -> (t27_bm25 _),
     "t26_perplexity_filter" -> (t26_perplexity_filter _),
@@ -1693,6 +1798,7 @@ object TextAnalysis {
     "t5_uwr_native"    -> (t5_uwr_native _))
 
   val oracles: Map[String, String] = Map(
+    "t29_drift_audit" -> t29Sql,
     "t28_dsir_weights" -> t28Sql,
     "t27_bm25" -> t27Sql,
     "t26_perplexity_filter" -> t26Sql,

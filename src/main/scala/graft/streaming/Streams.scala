@@ -1702,7 +1702,79 @@ object Streams {
       .orderBy(desc("cnt"), asc("tok"))
   }
 
+  case class FunEv(user_id: Long, event_id: Long, t: Long, tag: Int)
+  case class FunState(lastView: Long, lastS2: Long,
+                      nViews: Long, nS2: Long, nS3: Long)
+  case class FunOut(user_id: Long, n_views: Long, n_step2: Long, n_step3: Long)
+
+  /** X30: q21's CONVERSION FUNNEL ONLINE — view → click (within 24 h of a
+    * view) → purchase (within 24 h of a qualified click) tracked per user
+    * as arrivals land: the per-user state is a MONOTONE STATE MACHINE in
+    * O(1) ValueState — latest qualifying view time, latest qualified-click
+    * time, and the three stage counters — the classic real-time funnel /
+    * conversion-attribution deployment.
+    *
+    * Replay contract: the machine consumes each user's slice in event-time
+    * order (in-trigger sort + time-ordered triggers — x19/x20's replay
+    * discipline, the same in-order sequential semantics as the reference's
+    * keyed operators). A late event can change a PAST funnel decision, so
+    * out-of-order robustness belongs to the watermark-buffered class
+    * (x15's carry-the-event-time-key move), not this machine — stated
+    * here, not hidden.
+    *
+    * Emission: per-trigger per-user counter snapshots (update mode); the
+    * counters are monotone, so the final value per user is the MAX of its
+    * snapshots — the same final-value-fidelity selection every running-
+    * state twin uses. Decisions mirror q21's window logic exactly (same
+    * (t, tag, event_id) order, same ≥ t − L horizon comparisons on exact
+    * µs integers) — shared q21 oracle. */
+  def x30_stream_funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    val ds = eventsStream(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+              tag.as("tag"))
+      .as[FunEv]
+    runToMemory(funnelStateful(ds).toDF(), OutputMode.Update(),
+        s"x30_mem_${System.nanoTime()}")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_views")).as("n_views"), max(col("n_step2")).as("n_step2"),
+           max(col("n_step3")).as("n_step3"))
+      .filter(col("n_step3") >= 1)
+      .orderBy("user_id")
+  }
+
+  /** The x30 stateful core, shared with `StreamingSpec`'s cross-trigger
+    * continuity test: per-user funnel machine in O(1) ValueState. */
+  def funnelStateful(ds: Dataset[FunEv]): Dataset[FunOut] = {
+    import ds.sparkSession.implicits._
+    val L = 86400000000L
+    val NONE = Long.MinValue
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunState, FunOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (u: Long, it: Iterator[FunEv], state: GroupState[FunState]) =>
+          var st = state.getOption.getOrElse(FunState(NONE, NONE, 0L, 0L, 0L))
+          for (e <- it.toSeq.sortBy(e => (e.t, e.tag, e.event_id))) e.tag match {
+            case 0 =>
+              st = st.copy(lastView = math.max(st.lastView, e.t),
+                           nViews = st.nViews + 1)
+            case 1 =>
+              if (st.lastView != NONE && st.lastView >= e.t - L)
+                st = st.copy(lastS2 = math.max(st.lastS2, e.t), nS2 = st.nS2 + 1)
+            case _ =>
+              if (st.lastS2 != NONE && st.lastS2 >= e.t - L)
+                st = st.copy(nS3 = st.nS3 + 1)
+          }
+          state.update(st)
+          Iterator.single(FunOut(u, st.nViews, st.nS2, st.nS3))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_stream_funnel"        -> (x30_stream_funnel _),
     "x29_stream_heavy_hitters" -> (x29_stream_heavy_hitters _),
     "x28_stream_bm25"          -> (x28_stream_bm25 _),
     "x27_stream_perplexity"    -> (x27_stream_perplexity _),
@@ -1736,6 +1808,7 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x30_stream_funnel"        -> graft.queries.Relational.q21Sql, // same final counters
     "x29_stream_heavy_hitters" -> graft.queries.TextAnalysis.t17Sql, // sketch never misses
     "x28_stream_bm25"          -> graft.queries.TextAnalysis.t27Sql, // same answers online
     "x27_stream_perplexity"    -> graft.queries.TextAnalysis.t26Sql, // same rows online

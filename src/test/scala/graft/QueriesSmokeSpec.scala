@@ -475,6 +475,32 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(online == batch)
   }
 
+  test("drift audit: KL is non-negative and shrinks with sample size (t29)") {
+    // delta and settled are slices of the SAME synthetic distribution, so
+    // the smoothed KL must be ≥ 0 (Gibbs, up to the micro-nat grid); its
+    // magnitude at tiny SF is dominated by the well-known small-sample
+    // smoothing bias (≈ K/2N nats for K buckets), so the healthy-baseline
+    // reading (kl ≤ threshold) is asserted at sf0.1 — 10× the documents,
+    // where every language clears it at ~0.02 — not at this 500-doc
+    // slice, where a ~50-doc delta legitimately reads ~0.1
+    def rows(d: String) = graft.queries.TextAnalysis.t29_drift_audit(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val tiny = rows(dir)
+    assert(tiny.nonEmpty)
+    for ((lang, dg, kl, drifted) <- tiny) {
+      assert(dg > 0, s"$lang: no delta grams")
+      assert(kl >= -1e-4, s"$lang: KL below zero beyond grid tolerance ($kl)")
+      assert(drifted == (kl > 0.05), s"$lang: flag inconsistent with threshold")
+    }
+    val big = rows("/root/testdata/sf0.1")
+    assert(big.forall(!_._4),
+      s"sf0.1 same-distribution slices must read healthy: ${big.mkString(", ")}")
+    // the bias shrinks with N: mean KL at 10x the data must be smaller
+    val meanTiny = tiny.map(_._3).sum / tiny.length
+    val meanBig = big.map(_._3).sum / big.length
+    assert(meanBig < meanTiny, s"KL bias must shrink with sample size ($meanTiny -> $meanBig)")
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan

@@ -228,6 +228,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state machine carries across micro-batches") {
+    // The view that qualifies a click arrives one trigger EARLIER than the
+    // click, and the qualified click arrives a trigger earlier than the
+    // purchase: every stage decision in trigger N depends on ValueState
+    // written in trigger N−1. A per-trigger reset would count zero
+    // conversions; the horizon must also bind (the 25 h-late click does
+    // not qualify).
+    import graft.streaming.Streams.{FunEv, funnelStateful}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val H = 3600000000L // 1 h in µs
+    val mem = MemoryStream[FunEv]
+    val q = funnelStateful(mem.toDS()).toDF().writeStream.format("memory")
+      .queryName("funnel_test").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(FunEv(7L, 1L, 0L, 0),          // view at t=0
+                  FunEv(8L, 2L, 0L, 0))          // user 8: view only
+      q.processAllAvailable()
+      mem.addData(FunEv(7L, 3L, 23 * H, 1),      // click 23 h after the view: qualifies
+                  FunEv(8L, 4L, 25 * H, 1))      // click 25 h after: horizon exceeded
+      q.processAllAvailable()
+      mem.addData(FunEv(7L, 5L, 24 * H, 2))      // purchase 1 h after the click
+      q.processAllAvailable()
+      val finals = spark.table("funnel_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> rs.map(t => (t._2, t._3, t._4)).maxBy(t => (t._1, t._2, t._3)) }
+      assert(finals(7L) == ((1L, 1L, 1L)), s"user 7 full conversion: $finals")
+      assert(finals(8L) == ((1L, 0L, 0L)), s"user 8 horizon must bind: $finals")
+    } finally q.stop()
+  }
+
   test("streaming packing offsets continue across micro-batches") {
     // A language's token offset must carry over the trigger boundary: doc 3
     // arrives in batch 2 and lands at offset 200 (not 0), crossing into
