@@ -1773,7 +1773,102 @@ object Streams {
       }
   }
 
+  case class DriftIn(lang: String, bucket: String)
+  case class DriftState(counts: Map[String, Long], n: Long)
+  case class DriftOut(lang: String, delta_grams: Long, kl: Double, drifted: Boolean)
+
+  /** X31: t29's DRIFT MONITOR ONLINE — the alarm evaluated per trigger as
+    * the increment lands, instead of once at the end: per language, the
+    * state is the cumulative delta's bucket histogram — STRUCTURALLY
+    * BOUNDED at 256 counters however many grams flow past (t28's hashed
+    * feature space doing for state size exactly what it does for model
+    * broadcast) — and each trigger re-evaluates KL(delta-so-far ‖ settled)
+    * over the full canonical bucket space against the offline settled
+    * model (≤ 256 × languages rows, materialized via
+    * `BroadcastContract.boundedCollect` — the replicate-bounded-state
+    * move).
+    *
+    * The per-trigger KL is the real monitor semantics: early triggers read
+    * HIGH (the ≈K/2N small-sample bias the t29 spec pins) and the reading
+    * converges onto the batch value as the increment accumulates — so the
+    * final row per language (monotone delta_grams selects it) is
+    * bit-for-bit t29's, shared oracle, while the intermediate emissions
+    * are what a dashboard would actually plot.
+    *
+    * Arithmetic: the in-state fold reproduces t29's scaled-divergence
+    * integer grid exactly (same `Math.log` the Spark expression uses, same
+    * op order), so convergence is exact, not approximate. */
+  def x31_stream_drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = split(col("text"), " ")
+    def gramsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("lang"), tk.as("tk"), size(tk).as("n"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("tk"),
+          when(col("n") >= 2,
+            expr("transform(sequence(1, n - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+            .otherwise(typedlit(Seq.empty[String])))).as("gram"))
+      .select(col("lang"),
+              substring(md5(col("gram").cast("binary")), 1, 2).as("bucket"))
+    val settledRel = gramsOf(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
+      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("sc"))
+    val scMap = graft.plans.BroadcastContract.boundedCollect(settledRel,
+        "settled drift model: 256 buckets x bounded language inventory")
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val stMap = scMap.groupBy(_._1._1).map { case (l, kv) => l -> kv.values.sum }
+    val out = driftStateful(
+      gramsOf(docsStream(s, dir).filter(col("doc_id") % 10 === 0)).as[DriftIn],
+      scMap, stMap)
+    val snapshots = runToMemory(out.toDF(), OutputMode.Update(),
+        s"x31_mem_${System.nanoTime()}")
+    // monotone delta_grams selects each language's final (= batch) reading
+    snapshots
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("delta_grams").desc)))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("delta_grams"), col("kl"), col("drifted"))
+      .orderBy("lang")
+  }
+
+  /** The x31 stateful core, shared with `StreamingSpec`'s cross-trigger
+    * convergence test: per-language cumulative bucket histogram (≤ 256
+    * counters) + per-trigger KL re-evaluation against the settled model. */
+  def driftStateful(ds: Dataset[DriftIn],
+                    scMap: Map[(String, String), Long],
+                    stMap: Map[String, Long]): Dataset[DriftOut] = {
+    import ds.sparkSession.implicits._
+    val buckets = (0 until 256).map(i => f"$i%02x")
+    ds.groupByKey(_.lang)
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (lang: String, it: Iterator[DriftIn], state: GroupState[DriftState]) =>
+          var st = state.getOption.getOrElse(DriftState(Map.empty, 0L))
+          it.foreach { g =>
+            st = DriftState(
+              st.counts.updated(g.bucket, st.counts.getOrElse(g.bucket, 0L) + 1L),
+              st.n + 1L)
+          }
+          state.update(st)
+          stMap.get(lang) match { // language absent from the settled corpus: no model, no reading (t29's inner join)
+            case None => Iterator.empty
+            case Some(stot) =>
+              // t29's scaled-divergence grid, op for op
+              val scaled = buckets.map { b =>
+                val dc = st.counts.getOrElse(b, 0L)
+                val sc = scMap.getOrElse((lang, b), 0L)
+                val lq = math.floor(math.log((dc + 1).toDouble / (st.n + 256)) * 1000000.0 + 0.5).toLong
+                val lp = math.floor(math.log((sc + 1).toDouble / (stot + 256)) * 1000000.0 + 0.5).toLong
+                (dc + 1) * (lq - lp)
+              }.sum
+              val kl = math.floor(scaled.toDouble / 1000000.0 / (st.n + 256) * 10000.0 + 0.5) / 10000.0
+              Iterator.single(DriftOut(lang, st.n, kl, kl > 0.05))
+          }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_stream_drift"         -> (x31_stream_drift _),
     "x30_stream_funnel"        -> (x30_stream_funnel _),
     "x29_stream_heavy_hitters" -> (x29_stream_heavy_hitters _),
     "x28_stream_bm25"          -> (x28_stream_bm25 _),
@@ -1808,6 +1903,7 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x31_stream_drift"         -> graft.queries.TextAnalysis.t29Sql, // converged reading = batch
     "x30_stream_funnel"        -> graft.queries.Relational.q21Sql, // same final counters
     "x29_stream_heavy_hitters" -> graft.queries.TextAnalysis.t17Sql, // sketch never misses
     "x28_stream_bm25"          -> graft.queries.TextAnalysis.t27Sql, // same answers online

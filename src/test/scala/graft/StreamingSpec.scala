@@ -260,6 +260,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor accumulates across triggers and converges onto the cumulative KL") {
+    // Two triggers of delta grams for one language: the second reading must
+    // be computed from the CUMULATIVE histogram (n = 4), not a per-trigger
+    // reset (n = 2) — and must equal the closed-form KL of all four grams.
+    import graft.streaming.Streams.{DriftIn, driftStateful}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val scMap = Map(("en", "aa") -> 6L, ("en", "bb") -> 2L)
+    val stMap = Map("en" -> 8L)
+    def expectedKl(counts: Map[String, Long]): Double = {
+      val n = counts.values.sum
+      val scaled = (0 until 256).map(i => f"$i%02x").map { b =>
+        val dc = counts.getOrElse(b, 0L)
+        val lq = math.floor(math.log((dc + 1).toDouble / (n + 256)) * 1e6 + 0.5).toLong
+        val lp = math.floor(math.log((scMap.getOrElse(("en", b), 0L) + 1).toDouble / (8L + 256)) * 1e6 + 0.5).toLong
+        (dc + 1) * (lq - lp)
+      }.sum
+      math.floor(scaled.toDouble / 1e6 / (n + 256) * 1e4 + 0.5) / 1e4
+    }
+    val mem = MemoryStream[DriftIn]
+    val q = driftStateful(mem.toDS(), scMap, stMap).toDF().writeStream
+      .format("memory").queryName("drift_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(DriftIn("en", "aa"), DriftIn("en", "aa"))
+      q.processAllAvailable()
+      mem.addData(DriftIn("en", "bb"), DriftIn("en", "cc"),
+                  DriftIn("xx", "aa")) // no settled model → no reading
+      q.processAllAvailable()
+      val rows = spark.table("drift_test").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(
+        ("en", 2L, expectedKl(Map("aa" -> 2L))),
+        ("en", 4L, expectedKl(Map("aa" -> 2L, "bb" -> 1L, "cc" -> 1L)))),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming packing offsets continue across micro-batches") {
     // A language's token offset must carry over the trigger boundary: doc 3
     // arrives in batch 2 and lands at offset 200 (not 0), crossing into
