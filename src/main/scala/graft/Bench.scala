@@ -70,6 +70,7 @@ object Bench {
         queries.Similarity.clearShared()
         queries.Dedup.clearShared()
         queries.Graph.clearShared()
+        queries.TextAnalysis.clearShared()
       }
       val t0 = System.nanoTime()
       // failures must be LOUD in the artifact itself, not just stderr: a

@@ -48,6 +48,9 @@ object BroadcastContract {
       case _: Deduplicate => true
       case _: GlobalLimit => true
       case _: LocalRelation => true
+      // spark.range(n): cardinality is a plan-time literal (t29's canonical
+      // 256-bucket space) — constant at every SF by construction
+      case _: Range => true
       case lr: org.apache.spark.sql.execution.LogicalRDD
         if boundedRdds.contains(lr.rdd.id) => true
       case f: Filter if "% (cast\\()?(50|100)".r

@@ -65,6 +65,71 @@ object Pipeline {
        |  AND p.predicted = 'en' AND q.quality >= 0.5
        |ORDER BY d.doc_id""".stripMargin
 
+  /** C7: the DROP LEDGER — the cleaning funnel's loss accounting, the
+    * audit every production pipeline publishes next to its cleaned corpus:
+    * every document attributed to the FIRST stage of c1 that drops it
+    * (`dup_loser` → `not_english` → `low_quality` → `kept`, c1's own
+    * order), rolled up per (source, reason) with the cell's mean quality.
+    * This is what answers "where did 40% of src3 go?" during a release
+    * review, and what catches a filter suddenly eating a source after an
+    * upstream change (t29's drift alarm, attributed to a stage).
+    *
+    * Pure plan composition over the already-oracled stages (d8, t3, t2 —
+    * c1's exact relations, so ledger and corpus can't disagree): three
+    * doc_id-keyed co-partitioned joins, one CASE projection, one bounded
+    * (source × 4 reasons) aggregation. The kept-count-equals-c1 invariant
+    * is spec-pinned. */
+  def c7_drop_ledger(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val clusters = Dedup.d8_dup_clusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val lang = TextAnalysis.t3_lang_id(s, dir)
+      .select(col("doc_id"), col("predicted"))
+    val quality = TextAnalysis.t2_quality_score(s, dir)
+      .select(col("doc_id"), col("quality"))
+    docs
+      .join(clusters, Seq("doc_id"), "left")
+      .join(lang, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("reason",
+        when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+             "dup_loser")
+          .when(col("predicted") =!= "en", "not_english")
+          .when(col("quality") < 0.5, "low_quality")
+          .otherwise("kept"))
+      .withColumn("qi", floor(col("quality") * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"),
+           QUtil.round4(sum(col("qi")).cast("double") / 1000000.0 / count(lit(1)))
+             .as("mean_quality"))
+      .orderBy("source", "reason")
+  }
+
+  val c7Sql: String =
+    s"""WITH dup AS (
+       |${Dedup.d8Sql}
+       |), q AS (
+       |${TextAnalysis.t2Sql}
+       |), p AS (
+       |${TextAnalysis.t3Sql}
+       |), led AS (
+       |  SELECT d.source,
+       |    CASE WHEN dup.doc_id IS NOT NULL AND dup.cluster_id <> dup.doc_id
+       |           THEN 'dup_loser'
+       |         WHEN p.predicted <> 'en' THEN 'not_english'
+       |         WHEN q.quality < 0.5 THEN 'low_quality'
+       |         ELSE 'kept' END AS reason,
+       |    floor(q.quality * 1000000.0 + 0.5)::BIGINT AS qi
+       |  FROM documents d
+       |  LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |  JOIN p ON d.doc_id = p.doc_id
+       |  JOIN q ON d.doc_id = q.doc_id
+       |)
+       |SELECT source, reason, count(*)::BIGINT AS n_docs,
+       |  floor(sum(qi)::DOUBLE / 1000000.0 / count(*) * 10000.0 + 0.5)
+       |    / 10000.0 AS mean_quality
+       |FROM led GROUP BY 1, 2 ORDER BY source, reason""".stripMargin
+
   /** C3: the DECONTAMINATED training corpus — c1's cleaned survivors minus
     * (a) the eval set itself (the bounded `doc_id % 100` contract: eval
     * documents never train) and (b) any training document sharing ≥ 2
@@ -285,6 +350,7 @@ object Pipeline {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c7_drop_ledger" -> (c7_drop_ledger _),
     "c6_train_split" -> (c6_train_split _),
     "c5_mixture_materialize" -> (c5_mixture_materialize _),
     "c4_corpus_card" -> (c4_corpus_card _),
@@ -292,6 +358,7 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c7_drop_ledger" -> c7Sql,
     "c6_train_split" -> c6Sql,
     "c5_mixture_materialize" -> c5Sql,
     "c4_corpus_card" -> c4Sql,

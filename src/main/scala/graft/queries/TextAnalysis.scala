@@ -1484,28 +1484,55 @@ object TextAnalysis {
     * O(corpus) and every query pays it.
     *
     * Dataflow: postings = t7's (term, doc) tf shuffle carrying the doc
-    * length through the agg (no second dl join); pruning and the per-query
-    * top-10 both lower to `WindowGroupLimit` (bounded per-task heaps, t25's
-    * plan class); the query-log⋈postings and df joins are term-keyed
-    * equi-joins — neither side broadcast (vocabulary and query log are both
-    * unbounded); only the 1-row (N, Σdl) stats relation broadcasts.
+    * length through the agg (no second dl join), MATERIALIZED once
+    * (`localCheckpoint`; a real index build persists its postings) because
+    * three consumers branch from it — pruning, df, and the corpus stats —
+    * and Spark's exchange reuse does not fire across them (measured: the
+    * unmaterialized form planned 8 corpus scans and 0 `ReusedExchange`).
+    * The (N, Σdl) stats DERIVE from the postings (per-doc max(dl) → one
+    * bounded agg) instead of re-scanning text. Corpus text is read exactly
+    * twice: the postings build and the query-log extraction. Pruning and
+    * the per-query top-10 both lower to `WindowGroupLimit` (bounded
+    * per-task heaps, t25's plan class); the query-log⋈postings and df
+    * joins are term-keyed equi-joins — neither side broadcast (vocabulary
+    * and query log are both unbounded); only the 1-row stats relation
+    * broadcasts.
     *
     * Determinism: idf is pinned to the 6-dp grid before use; each (query,
     * doc, term) contribution becomes an integer micro-unit, so per-doc sums
     * are exact 64-bit arithmetic (t26's discipline). */
+  /** The (term, doc_id, tf, dl) postings table, MATERIALIZED once per
+    * (session, sf-dir) and shared by every consumer — t27 itself, the x28
+    * serving twin's offline index build, and s16's lexical leg. A real
+    * search deployment persists its inverted index; here `localCheckpoint`
+    * plays that role (s2Pairs' staging-table discipline; `Bench` clears it
+    * per timed run so benchmark numbers stay cold-cost). Without it the
+    * three consumers re-plan the build independently — measured: 8 corpus
+    * scans and 0 `ReusedExchange` in one t27 execution. */
+  def bm25Postings(s: SparkSession, dir: String): DataFrame =
+    cachedPerSession(postingsCache, s, dir)(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("dl"),
+                explode(toks).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .localCheckpoint())
+
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop the shared materialized postings (bench isolation). */
+  def clearShared(): Unit = postingsCache.clear()
+
   def t27_bm25(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val P = 64
     val K = 10
     val docs = Tables.documents(s, dir)
-    val tf = docs
-      .select(col("doc_id"), size(toks).cast("long").as("dl"),
-              explode(toks).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val tf = bm25Postings(s, dir)
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-                         sum(size(toks).cast("long")).as("sum_dl"))
+    val stats = tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val wp = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
     val pruned = tf.withColumn("pr", row_number().over(wp)).filter(col("pr") <= P)
     val qs = docs.filter(col("doc_id") % 50 === 0)

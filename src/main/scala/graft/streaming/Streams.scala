@@ -1614,18 +1614,14 @@ object Streams {
     val K = 10
     val docs = Tables.documents(s, dir)
     val tk = split(col("text"), " ")
-    val tf = docs
-      .select(col("doc_id"), size(tk).cast("long").as("dl"),
-              explode(tk).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val tf = graft.queries.TextAnalysis.bm25Postings(s, dir)
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wp = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
     val pruned = tf.withColumn("pr", row_number().over(wp)).filter(col("pr") <= P)
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val statsRow = graft.plans.BroadcastContract.boundedCollect(
-      docs.agg(count(lit(1)).as("n_docs"),
-               sum(size(tk).cast("long")).as("sum_dl")),
+      tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
       "BM25 corpus stats: one row").head
     val nDocs = statsRow.getLong(0)
     val sumDl = statsRow.getLong(1)

@@ -501,6 +501,18 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(meanBig < meanTiny, s"KL bias must shrink with sample size ($meanTiny -> $meanBig)")
   }
 
+  test("drop ledger partitions the corpus and its kept cell equals c1 (c7)") {
+    val led = graft.queries.Pipeline.c7_drop_ledger(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = Tables.documents(spark, dir).count()
+    assert(led.map(_._3).sum == total, "every document must land in exactly one cell")
+    val kept = led.filter(_._2 == "kept").map(_._3).sum
+    assert(kept == graft.queries.Pipeline.c1_clean_corpus(spark, dir).count(),
+      "ledger's kept total must equal the cleaned corpus")
+    assert(led.map(_._2).distinct.toSet.subsetOf(
+      Set("dup_loser", "not_english", "low_quality", "kept")))
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
