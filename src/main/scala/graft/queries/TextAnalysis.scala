@@ -1484,39 +1484,48 @@ object TextAnalysis {
     * O(corpus) and every query pays it.
     *
     * Dataflow: postings = t7's (term, doc) tf shuffle carrying the doc
-    * length through the agg (no second dl join), MATERIALIZED once
-    * (`localCheckpoint`; a real index build persists its postings) because
-    * three consumers branch from it — pruning, df, and the corpus stats —
-    * and Spark's exchange reuse does not fire across them (measured: the
-    * unmaterialized form planned 8 corpus scans and 0 `ReusedExchange`).
-    * The (N, Σdl) stats DERIVE from the postings (per-doc max(dl) → one
-    * bounded agg) instead of re-scanning text. Corpus text is read exactly
-    * twice: the postings build and the query-log extraction. Pruning and
-    * the per-query top-10 both lower to `WindowGroupLimit` (bounded
-    * per-task heaps, t25's plan class); the query-log⋈postings and df
-    * joins are term-keyed equi-joins — neither side broadcast (vocabulary
-    * and query log are both unbounded); only the 1-row stats relation
-    * broadcasts.
+    * length through the agg (no second dl join), shared via
+    * [[bm25Postings]] (lazy by default, materialization knob — see its
+    * scaladoc for the measured trade); the (N, Σdl) stats DERIVE from the
+    * postings (per-doc max(dl) → one bounded agg) instead of a separate
+    * text pass. Pruning and the per-query top-10 both lower to
+    * `WindowGroupLimit` (bounded per-task heaps, t25's plan class); the
+    * query-log⋈postings and df joins are term-keyed equi-joins — neither
+    * side broadcast (vocabulary and query log are both unbounded); only
+    * the 1-row stats relation broadcasts.
     *
     * Determinism: idf is pinned to the 6-dp grid before use; each (query,
     * doc, term) contribution becomes an integer micro-unit, so per-doc sums
     * are exact 64-bit arithmetic (t26's discipline). */
-  /** The (term, doc_id, tf, dl) postings table, MATERIALIZED once per
-    * (session, sf-dir) and shared by every consumer — t27 itself, the x28
-    * serving twin's offline index build, and s16's lexical leg. A real
-    * search deployment persists its inverted index; here `localCheckpoint`
-    * plays that role (s2Pairs' staging-table discipline; `Bench` clears it
-    * per timed run so benchmark numbers stay cold-cost). Without it the
-    * three consumers re-plan the build independently — measured: 8 corpus
-    * scans and 0 `ReusedExchange` in one t27 execution. */
-  def bm25Postings(s: SparkSession, dir: String): DataFrame =
-    cachedPerSession(postingsCache, s, dir)(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), size(toks).cast("long").as("dl"),
-                explode(toks).as("term"))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-        .localCheckpoint())
+  /** The (term, doc_id, tf, dl) postings table shared by every consumer —
+    * t27 itself, the x28 serving twin's offline index build, and s16's
+    * lexical leg. Lazily re-planned per consumer by default (8 corpus
+    * scans, 0 `ReusedExchange` in one t27 execution — but the optimizer
+    * keeps full visibility: semi-join pushdown from s16, broadcast picks
+    * from parquet stats), with `spark.graft.bm25Materialize=true`
+    * switching to a per-(session, dir) `localCheckpoint` staging table
+    * (s2Pairs' discipline, cleared by `Bench` per timed run) that cuts
+    * the plan to 2 scans for scan-I/O-bound regimes — the measured trade
+    * is in the knob comment below and STRESS_sf1.md. */
+  def bm25Postings(s: SparkSession, dir: String): DataFrame = {
+    def build = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+              explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // Deployment knob, default LAZY — decided by measurement, not the
+    // first intuition (STRESS_sf1.md round 6): materializing here wins
+    // t27 alone marginally at sf1 (15.9 vs 16.6 s) but costs s16 1.4×
+    // (61.7 vs 43.9 s) because the checkpoint boundary blinds Catalyst —
+    // the fused form lets the optimizer push s16's embedded-queries
+    // semi-join and pick broadcast joins from parquet stats. `true` buys
+    // the 2-scan form for scan-I/O-bound regimes. The real 100 TB answer
+    // is neither: a production index PERSISTS its postings as a staging
+    // table maintained incrementally (d13's band-signature discipline) —
+    // per-job rebuild, lazy or checkpointed, is the test-harness shape.
+    if (!s.conf.get("spark.graft.bm25Materialize", "false").toBoolean) build
+    else cachedPerSession(postingsCache, s, dir)(build.localCheckpoint())
+  }
 
   private val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
