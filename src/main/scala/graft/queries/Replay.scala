@@ -50,7 +50,8 @@ object Replay {
     * streaming twins can replay the same schedule (`Streams.x3_timer_resolver`). */
   def arrivals(s: SparkSession, dir: String, bound: Long = 1800L): DataFrame =
     Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(col("ts")).as("es"))
       .withColumn("arrival_s", col("es") + jitter(bound))
 
   /** Attach `pmax` = max event-time over all STRICTLY EARLIER arrivals in
@@ -120,6 +121,61 @@ object Replay {
        |FROM m WHERE pmax IS NOT NULL AND es < pmax - 1800
        |ORDER BY event_id""".stripMargin
 
+  /** L7 (beyond the reference's L-rows): WATERMARK TUNING metrology — the
+    * measurement that decides L1's bound instead of asserting it: exact
+    * per-event-type quantiles (p50/p90/p99/max) of serving delay under the
+    * replay schedule. A production team reads this table to pick the
+    * watermark (p99 + margin) and the allowed lateness (the p99→max gap);
+    * the reference hard-codes 30 min (SURVEY §2.6 L1) — this is where that
+    * number would come from.
+    *
+    * Scale shape — the COUNTING-SORT quantile trick: delays live on a
+    * BOUNDED integer domain (the jitter bound, ≤ 1800 values), so exact
+    * quantiles need no per-type sort of the data — one (type, delay)
+    * histogram shuffle (map-side combined), then cumulative sums over a
+    * ≤ types × 1800-row relation. Contrast t9 (GK sketch, unbounded
+    * domain) and t6 (bucketed two-pass ranking): three quantile
+    * disciplines, each matched to its domain. No single-partition sort of
+    * anything unbounded at any scale. */
+  def l7_watermark_tuning(s: SparkSession, dir: String): DataFrame = {
+    val del = arrivals(s, dir, 1800L)
+      .select(col("event_type"), (col("arrival_s") - col("es")).as("delay_s"))
+    val hist = del.groupBy(col("event_type"), col("delay_s"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("delay_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q(pnum: Int) = // smallest delay covering pnum% — exact integer compare
+      min(when(col("cum") * 100 >= lit(pnum) * col("n"), col("delay_s")))
+    hist.withColumn("cum", sum(col("c")).over(wcum))
+      .join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), q(50).as("p50"), q(90).as("p90"),
+           q(99).as("p99"), max(col("delay_s")).as("max_delay"))
+      .orderBy("event_type")
+  }
+
+  val l7Sql: String =
+    """WITH a AS (
+      |  SELECT event_type,
+      |         (((event_id % 100003) * 31 + 7) % 1800)::BIGINT AS delay_s
+      |  FROM events
+      |), h AS (
+      |  SELECT event_type, delay_s, count(*)::BIGINT AS c FROM a GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, delay_s, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY delay_s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+      |  FROM h
+      |), t AS (SELECT event_type, sum(c)::BIGINT AS n FROM h GROUP BY 1)
+      |SELECT cum.event_type, max(n) AS n_events,
+      |  min(CASE WHEN cum * 100 >= 50 * n THEN delay_s END) AS p50,
+      |  min(CASE WHEN cum * 100 >= 90 * n THEN delay_s END) AS p90,
+      |  min(CASE WHEN cum * 100 >= 99 * n THEN delay_s END) AS p99,
+      |  max(delay_s) AS max_delay
+      |FROM cum JOIN t USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** L5: speedup-proportional pacing — the reference's producer sleeps
     * `(next.arrival − prev.arrival) / speedupFactor` wall-time between
     * emissions (`Producer.java:66-73`; `speedupFactor=604800` = one
@@ -136,9 +192,11 @@ object Replay {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_replay"     -> (s2_replay _),
-    "l2_late_audit" -> (l2_late_audit _))
+    "l2_late_audit" -> (l2_late_audit _),
+    "l7_watermark_tuning" -> (l7_watermark_tuning _))
 
   val oracles: Map[String, String] = Map(
     "s2_replay"     -> s2ReplaySql,
-    "l2_late_audit" -> l2Sql)
+    "l2_late_audit" -> l2Sql,
+    "l7_watermark_tuning" -> l7Sql)
 }

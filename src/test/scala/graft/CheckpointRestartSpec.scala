@@ -208,6 +208,67 @@ class CheckpointRestartSpec extends SparkSpec {
     }
   }
 
+  test("complete-mode sketch aggregation killed mid-replay keeps pre-kill counts") {
+    // L6 on the x29 class: a Misra-Gries typed-Aggregator buffer held as
+    // complete-mode streaming aggregation state. The source is engineered
+    // so the ONLY true heavy hitter ("alpha", 60 of 146 tokens, threshold
+    // N/(k+1) = 36.5) lives entirely in the first two chunks: a restart
+    // that lost the aggregation buffer could never re-discover it from the
+    // remaining chunks, so the never-miss guarantee after restart proves
+    // the state survived — not merely that the query resumed.
+    val srcDir = Files.createTempDirectory("graft_mg_src_")
+    val chunks = Seq(
+      Seq.fill(30)("alpha") ++ Seq("b1", "b2", "b3"),
+      Seq.fill(30)("alpha") ++ Seq("c1", "c2", "c3"),
+      (1 to 40).map(i => s"d$i"),
+      (1 to 40).map(i => s"e$i"))
+    chunks.zipWithIndex.foreach { case (toks, k) =>
+      val tmp = srcDir.resolve(s"_build_$k")
+      toks.toDF("tok").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, srcDir.resolve(s"${k}_chunk.parquet"))
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    val base = Files.createTempDirectory("graft_mg_ckpt_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    def startSketch(availableNow: Boolean) = {
+      val schema = spark.read.parquet(srcDir.resolve("0_chunk.parquet").toString).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .as[String]
+        .select(new graft.functions.MisraGriesAgg(3).toColumn.name("cands"))
+        .toDF("cands")
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    val q1 = startSketch(availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    val q2 = startSketch(availableNow = true)
+    q2.awaitTermination()
+    // complete mode: the LAST committed batch is the full answer
+    val lastBatch = committedBatches(out)
+      .maxBy(p => p.split("_").last.toLong)
+    val cands = spark.read.parquet(lastBatch)
+      .collect().head.getSeq[String](0)
+    assert(cands.contains("alpha"),
+      s"pre-kill heavy hitter lost across restart: $cands")
+    assert(cands.length <= 3, s"sketch capacity exceeded: $cands")
+  }
+
   test("admission quota killed mid-replay resumes exactly-once (no re-admission)") {
     // L6 on the RATE-LIMITER state: if the admitted-count ValueState were
     // lost at restart, the replayed batches would re-admit up to 5 MORE
