@@ -1507,23 +1507,28 @@ object TextAnalysis {
     * (s2Pairs' discipline, cleared by `Bench` per timed run) that cuts
     * the plan to 2 scans for scan-I/O-bound regimes — the measured trade
     * is in the knob comment below and STRESS_sf1.md. */
-  def bm25Postings(s: SparkSession, dir: String): DataFrame = {
+  def bm25Postings(s: SparkSession, dir: String,
+                   materialize: Option[Boolean] = None): DataFrame = {
     def build = Tables.documents(s, dir)
       .select(col("doc_id"), size(toks).cast("long").as("dl"),
               explode(toks).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // Deployment knob, default LAZY — decided by measurement, not the
-    // first intuition (STRESS_sf1.md round 6): materializing here wins
-    // t27 alone marginally at sf1 (15.9 vs 16.6 s) but costs s16 1.4×
-    // (61.7 vs 43.9 s) because the checkpoint boundary blinds Catalyst —
-    // the fused form lets the optimizer push s16's embedded-queries
-    // semi-join and pick broadcast joins from parquet stats. `true` buys
-    // the 2-scan form for scan-I/O-bound regimes. The real 100 TB answer
-    // is neither: a production index PERSISTS its postings as a staging
-    // table maintained incrementally (d13's band-signature discipline) —
-    // per-job rebuild, lazy or checkpointed, is the test-harness shape.
-    if (!s.conf.get("spark.graft.bm25Materialize", "false").toBoolean) build
+    // Deployment knob, default LAZY for batch — decided by measurement,
+    // not the first intuition (STRESS_sf1.md round 6): materializing here
+    // wins t27 alone marginally at sf1 (15.9 vs 16.6 s) but costs s16
+    // 1.4× (61.7 vs 43.9 s) because the checkpoint boundary blinds
+    // Catalyst — the fused form lets the optimizer push s16's
+    // embedded-queries semi-join and pick broadcast joins from parquet
+    // stats. `true` buys the 2-scan form for scan-I/O-bound regimes, and
+    // is FORCED by the x28 serving twin (an endpoint holds its index
+    // across triggers; re-planning the build per micro-batch is never the
+    // serving shape). The real 100 TB answer is neither per-job form: a
+    // production index PERSISTS its postings as a staging table
+    // maintained incrementally (d13's band-signature discipline).
+    val mat = materialize.getOrElse(
+      s.conf.get("spark.graft.bm25Materialize", "false").toBoolean)
+    if (!mat) build
     else cachedPerSession(postingsCache, s, dir)(build.localCheckpoint())
   }
 

@@ -1614,7 +1614,8 @@ object Streams {
     val K = 10
     val docs = Tables.documents(s, dir)
     val tk = split(col("text"), " ")
-    val tf = graft.queries.TextAnalysis.bm25Postings(s, dir)
+    // the endpoint holds its index: materialized once, reused every trigger
+    val tf = graft.queries.TextAnalysis.bm25Postings(s, dir, Some(true))
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wp = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
     val pruned = tf.withColumn("pr", row_number().over(wp)).filter(col("pr") <= P)
