@@ -1864,7 +1864,101 @@ object Streams {
       }
   }
 
+  /** The x31 drift machine on the `transformWithState` API: the cumulative
+    * bucket histogram lives in a named `MapState[bucket, count]` (one
+    * RocksDB-backed entry per occupied bucket, ≤ 256 by the hashed feature
+    * space) plus a `ValueState` total — the natural fit for a keyed
+    * histogram, where FMGWS would serialize the whole map as one value per
+    * trigger and TWS updates only the touched buckets. KL re-evaluation
+    * per trigger is identical arithmetic to [[driftStateful]]. */
+  private class DriftProcessor(scMap: Map[(String, String), Long],
+                               stMap: Map[String, Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DriftIn, DriftOut] {
+    import org.apache.spark.sql.streaming.{MapState, TimerValues, TimeMode, TTLConfig, ValueState}
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(lang: String, rows: Iterator[DriftIn],
+        timerValues: TimerValues): Iterator[DriftOut] = {
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { g =>
+        val c = if (counts.containsKey(g.bucket)) counts.getValue(g.bucket) else 0L
+        counts.updateValue(g.bucket, c + 1L)
+        n += 1L
+      }
+      total.update(n)
+      stMap.get(lang) match {
+        case None => Iterator.empty // no settled model for this language
+        case Some(stot) =>
+          val scaled = (0 until 256).map { i =>
+            val b = f"$i%02x"
+            val dc = if (counts.containsKey(b)) counts.getValue(b) else 0L
+            val sc = scMap.getOrElse((lang, b), 0L)
+            val lq = math.floor(math.log((dc + 1).toDouble / (n + 256)) * 1000000.0 + 0.5).toLong
+            val lp = math.floor(math.log((sc + 1).toDouble / (stot + 256)) * 1000000.0 + 0.5).toLong
+            (dc + 1) * (lq - lp)
+          }.sum
+          val kl = math.floor(scaled.toDouble / 1000000.0 / (n + 256) * 10000.0 + 0.5) / 10000.0
+          Iterator.single(DriftOut(lang, n, kl, kl > 0.05))
+      }
+    }
+  }
+
+  /** X32: x31 on `transformWithState` + the RocksDB provider — the drift
+    * monitor as it would actually deploy on the modern state API (x21's
+    * twin discipline, third state shape: MapState histogram next to x10's
+    * MapState+ListState+timers and x21's ValueState counter). Identical
+    * readings to x31 trigger for trigger; shares t29's oracle. */
+  def x32_tws_drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tk = split(col("text"), " ")
+      def gramsOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("lang"), tk.as("tk"), size(tk).as("n"))
+        .select(col("doc_id"), col("lang"),
+          explode(concat(col("tk"),
+            when(col("n") >= 2,
+              expr("transform(sequence(1, n - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+              .otherwise(typedlit(Seq.empty[String])))).as("gram"))
+        .select(col("lang"),
+                substring(md5(col("gram").cast("binary")), 1, 2).as("bucket"))
+      val settledRel = gramsOf(Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
+        .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("sc"))
+      val scMap = graft.plans.BroadcastContract.boundedCollect(settledRel,
+          "settled drift model: 256 buckets x bounded language inventory")
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val stMap = scMap.groupBy(_._1._1).map { case (l, kv) => l -> kv.values.sum }
+      val out = gramsOf(docsStream(s, dir).filter(col("doc_id") % 10 === 0))
+        .as[DriftIn]
+        .groupByKey(_.lang)
+        .transformWithState(new DriftProcessor(scMap, stMap),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val snapshots = runToMemory(out.toDF(), OutputMode.Update(),
+          s"x32_mem_${System.nanoTime()}")
+      snapshots
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("delta_grams").desc)))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("delta_grams"), col("kl"), col("drifted"))
+        .orderBy("lang")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x32_tws_drift"            -> (x32_tws_drift _),
     "x31_stream_drift"         -> (x31_stream_drift _),
     "x30_stream_funnel"        -> (x30_stream_funnel _),
     "x29_stream_heavy_hitters" -> (x29_stream_heavy_hitters _),
@@ -1900,6 +1994,7 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x32_tws_drift"            -> graft.queries.TextAnalysis.t29Sql, // same converged reading
     "x31_stream_drift"         -> graft.queries.TextAnalysis.t29Sql, // converged reading = batch
     "x30_stream_funnel"        -> graft.queries.Relational.q21Sql, // same final counters
     "x29_stream_heavy_hitters" -> graft.queries.TextAnalysis.t17Sql, // sketch never misses

@@ -513,6 +513,14 @@ class QueriesSmokeSpec extends SparkSpec {
       Set("dup_loser", "not_english", "low_quality", "kept")))
   }
 
+  test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
+    val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val tws = graft.streaming.Streams.x32_tws_drift(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(tws == fmgws)
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
