@@ -1649,22 +1649,29 @@ object TextAnalysis {
             expr("transform(sequence(1, n - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
             .otherwise(typedlit(Seq.empty[String])))).as("gram"))
       .withColumn("bucket", substring(md5(col("gram").cast("binary")), 1, 2))
-    val tgt = grams.filter(col("source").isin(refSrc: _*))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
-    val raw = grams.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
-    val tgtTot = grams.filter(col("source").isin(refSrc: _*))
-      .agg(count(lit(1)).as("tt"))
-    val rawTot = grams.agg(count(lit(1)).as("rt"))
-    val lpMicro = floor(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+    // ONE corpus pass: (doc, bucket) counts feed BOTH halves — the model
+    // (conditional re-aggregation of this already-reduced relation, never a
+    // second gram scan) and the scoring (weight each doc-bucket count by
+    // the bucket's log-ratio). Totals fold off the 256-row model itself.
+    // The plan audit that forced this: the filter-per-slice spelling
+    // planned 10 corpus scans with zero exchange reuse.
+    val docBuckets = grams
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val model = docBuckets.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("rc"),
+           sum(when(col("source").isin(refSrc: _*), col("c")).otherwise(0L)).as("tc"))
+    val tots = model.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    val lpMicro = floor(log((col("tc") + 1).cast("double") /
                             (col("tt") + 256)) * 1000000.0 + 0.5).cast("long")
     val lqMicro = floor(log((col("rc") + 1).cast("double") /
                             (col("rt") + 256)) * 1000000.0 + 0.5).cast("long")
-    val model = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+    val scored = model.crossJoin(broadcast(tots))
       .select(col("bucket"), (lpMicro - lqMicro).as("lr_micro"))
-    grams.join(broadcast(model), Seq("bucket")) // bounded: 256 buckets
+    docBuckets.join(broadcast(scored), Seq("bucket")) // bounded: 256 buckets
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("sum_lr"))
+      .agg(sum(col("c")).as("n_grams"),
+           sum(col("c") * col("lr_micro")).as("sum_lr"))
       .withColumn("logw", round4(col("sum_lr").cast("double") / 1000000.0))
       .select(col("doc_id"), col("lang"), col("n_grams"), col("logw"),
               (col("logw") > 0.0).as("keep"))
@@ -1734,15 +1741,17 @@ object TextAnalysis {
             .otherwise(typedlit(Seq.empty[String])))).as("gram"))
       .select(col("lang"), (col("doc_id") % 10 === 0).as("is_delta"),
               substring(md5(col("gram").cast("binary")), 1, 2).as("bucket"))
-    val sc = grams.filter(!col("is_delta"))
-      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("sc"))
-    val dc = grams.filter(col("is_delta"))
-      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("dc"))
-    val stot = grams.filter(!col("is_delta"))
-      .groupBy(col("lang")).agg(count(lit(1)).as("st"))
-    val dtot = grams.filter(col("is_delta"))
-      .groupBy(col("lang")).agg(count(lit(1)).as("dt"))
-    val space = grams.select(col("lang")).distinct()
+    // ONE corpus pass: per-(lang, bucket) settled and delta counts as
+    // conditional sums of the same gram stream (t28's restructure — the
+    // filter-per-slice spelling planned 10 corpus scans); totals and the
+    // language inventory fold off the bounded (lang × 256) model relation
+    val perLB = grams.groupBy(col("lang"), col("bucket"))
+      .agg(sum(when(col("is_delta"), 1L).otherwise(0L)).as("dc"),
+           sum(when(!col("is_delta"), 1L).otherwise(0L)).as("sc"))
+    val tots = perLB.groupBy(col("lang"))
+      .agg(sum(col("dc")).as("dt"), sum(col("sc")).as("st"))
+      .filter(col("dt") >= 1 && col("st") >= 1) // both slices present (t29's inner-join contract)
+    val space = tots.select(col("lang"))
       .crossJoin(broadcast(
         s.range(256).select(format_string("%02x", col("id")).as("bucket"))))
     val lqMicro = floor(log((coalesce(col("dc"), lit(0L)) + 1).cast("double") /
@@ -1750,10 +1759,8 @@ object TextAnalysis {
     val lpMicro = floor(log((coalesce(col("sc"), lit(0L)) + 1).cast("double") /
                             (col("st") + 256)) * 1000000.0 + 0.5).cast("long")
     space
-      .join(sc, Seq("lang", "bucket"), "left")
-      .join(dc, Seq("lang", "bucket"), "left")
-      .join(broadcast(stot), Seq("lang"))
-      .join(broadcast(dtot), Seq("lang"))
+      .join(broadcast(perLB), Seq("lang", "bucket"), "left")
+      .join(broadcast(tots), Seq("lang"))
       .withColumn("contrib",
         (coalesce(col("dc"), lit(0L)) + 1) * (lqMicro - lpMicro))
       .groupBy(col("lang"))
