@@ -1398,17 +1398,28 @@ object TextAnalysis {
     * (t10's grid), so per-doc sums are exact 64-bit arithmetic. */
   def t26_perplexity_filter(s: SparkSession, dir: String): DataFrame = {
     val refSrc = Seq("src0", "src1")
-    val tokPos = Tables.documents(s, dir)
+    // bigrams built ROW-LOCALLY (x27's transform construction — the
+    // positional self-join spelling cost two extra corpus scans and a
+    // (doc, pos) shuffle join for the same multiset); the context model c1
+    // DERIVES from the bigram model c2 (c1(l,w1) = Σ_w2 c2 — a re-agg of
+    // the already-reduced relation, never a second corpus pass). The scan
+    // audit that forced this: 7 planned scans in the original spelling, 3
+    // here (bigram stream, model slice, vocabulary grain).
+    val docs = Tables.documents(s, dir)
+    val bi = docs
+      .select(col("doc_id"), col("lang"), col("source"), toks.as("tk"),
+              size(toks).as("n"))
+      .filter(col("n") >= 2)
       .select(col("doc_id"), col("lang"), col("source"),
-              posexplode(toks).as(Seq("pos", "tok")))
-    val bi = tokPos
-      .select(col("doc_id"), col("lang"), col("source"), col("pos"), col("tok").as("w1"))
-      .join(tokPos.select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("w2")),
-            Seq("doc_id", "pos"))
-    val ref = bi.filter(col("source").isin(refSrc: _*))
-    val c2 = ref.groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = ref.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = tokPos.filter(col("source").isin(refSrc: _*))
+        explode(expr("transform(sequence(1, n - 1), " +
+                     "i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bi.filter(col("source").isin(refSrc: _*))
+      .groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = docs.filter(col("source").isin(refSrc: _*))
+      .select(col("lang"), explode(toks).as("tok"))
       .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vsz"))
     bi.join(c2, Seq("lang", "w1", "w2"), "left")
       .join(c1, Seq("lang", "w1"), "left")

@@ -1553,7 +1553,10 @@ object Streams {
     val refDocs = Tables.documents(s, dir).filter(col("source").isin(refSrc: _*))
     val refBi = docBigrams(refDocs)
     val c2 = refBi.groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = refBi.groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("c1"))
+    // context counts derive from the bigram model (t26's restructure):
+    // c1(l, w1) = Σ_w2 c2 — a re-agg of the reduced relation, not a second
+    // pass over the trusted slice
+    val c1 = c2.groupBy(col("lang"), col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = refDocs // bounded: one row per language (t15's contract)
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vsz"))
