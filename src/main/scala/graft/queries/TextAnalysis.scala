@@ -429,13 +429,19 @@ object TextAnalysis {
     * the per-doc sum is exact 64-bit integer arithmetic — immune to both
     * libm last-ulp differences and double summation order. */
   def t10_bigram_lm(s: SparkSession, dir: String): DataFrame = {
-    val tokPos = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-    val bi = tokPos.select(col("doc_id"), col("pos"), col("tok").as("w1"))
-      .join(tokPos.select(col("doc_id"), (col("pos") - 1).as("pos"), col("tok").as("w2")),
-            Seq("doc_id", "pos"))
+    // row-local bigrams + derived context model (t26's restructure: the
+    // positional self-join planned two extra corpus scans and a (doc, pos)
+    // shuffle; c1 = Σ_w2 c2 re-aggregates the reduced model instead of
+    // re-counting the corpus)
+    val bi = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("tk"), size(toks).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, n - 1), " +
+                     "i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val scored = bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("lp_micro",
         floor(log(col("c2").cast("double") / col("c1")) * 1000000.0 + 0.5).cast("long"))
