@@ -1587,7 +1587,70 @@ object Similarity {
       |SELECT query_id, doc_id, rrf_micro, n_lists, rk
       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** S17: HARD-NEGATIVE MINING — the pair miner that feeds contrastive
+    * embedding training (SimCSE/DPR-style): for each anchor, the k most
+    * SIMILAR vectors with a DIFFERENT label — near the anchor in embedding
+    * space yet semantically distinct, exactly the negatives that sharpen a
+    * metric model (random negatives are trivially easy; same-label
+    * neighbors are s11's positives). Completes the embedding-training
+    * story: c2 curates, s11 builds the positive graph, s17 mines the
+    * negatives.
+    *
+    * The predicate class is new in the s-suite: PER-QUERY DYNAMIC
+    * (label ≠ anchor's own label — each query excludes a different slice),
+    * where s15's filter is static. Pre-filter semantics as a join
+    * condition: the inequality rides the same broadcast join as the query
+    * pairing, so ineligible rows never reach scoring or ranking. Bounded
+    * query side (s1's mod-100 contract); top-3 per anchor via
+    * WindowGroupLimit. */
+  def s17_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              dot(col("embedding"), col("embedding"), ex).as("n2"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("embedding").as("qemb"), col("n2").as("qn2"))
+    emb.join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn("cosine", round4(dot(col("embedding"), col("qemb"), ex) /
+                                   sqrt(col("qn2") * col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+              col("label").as("n_label"), col("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val s17Sql: String =
+    s"""WITH $elemsSqlCte, norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |), lab AS (SELECT DISTINCT vec_id, label FROM e),
+      |dots AS (
+      |  SELECT q.vec_id AS q_id, lq.label AS q_label, d.vec_id AS n_id,
+      |         ld.label AS n_label,
+      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM e q
+      |  JOIN lab lq ON lq.vec_id = q.vec_id
+      |  JOIN e d ON d.i = q.i
+      |  JOIN lab ld ON ld.vec_id = d.vec_id AND ld.label <> lq.label
+      |  WHERE q.vec_id % 100 = 0
+      |  GROUP BY 1, 2, 3, 4
+      |), scored AS (
+      |  SELECT q_id, q_label, n_id, n_label,
+      |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = n_id
+      |), ranked AS (
+      |  SELECT q_id, q_label, n_id, n_label, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, q_label, n_id, n_label, cosine, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_hard_negatives" -> (s17_hard_negatives _),
     "s16_hybrid_rrf" -> (s16_hybrid_rrf _),
     "s15_filtered_ann" -> (s15_filtered_ann _),
     "s14_cluster_card" -> (s14_cluster_card _),
@@ -1607,6 +1670,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   lazy val oracles: Map[String, String] = Map(
+    "s17_hard_negatives" -> s17Sql,
     "s16_hybrid_rrf" -> s16Sql,
     "s15_filtered_ann" -> s15Sql,
     "s14_cluster_card" -> s14Sql,

@@ -521,6 +521,23 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(tws == fmgws)
   }
 
+  test("hard negatives are cross-label and beat every same-label candidate check (s17)") {
+    val rows = graft.queries.Similarity.s17_hard_negatives(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+                           r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, ql, _, nl, _, _) => ql != nl },
+      "a hard negative must carry a different label than its anchor")
+    for ((q, rs) <- rows.groupBy(_._1)) {
+      val byRank = rs.sortBy(_._6)
+      assert(byRank.map(_._6).toSeq == (1L to rs.length).toSeq, s"anchor $q: ranks not dense")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._5 > b._5 || (a._5 == b._5 && a._3 < b._3)
+        case _ => true
+      }, s"anchor $q: not similarity-ordered")
+    }
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
