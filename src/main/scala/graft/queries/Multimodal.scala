@@ -437,7 +437,61 @@ object Multimodal {
        |     ORDER BY n_bytes DESC, doc_id) = 1) AS keep
        |FROM q ORDER BY doc_id""".stripMargin
 
+  /** M8: the MEDIA DROP LEDGER — c7's loss-accounting discipline applied
+    * to the media dedup pipeline: every asset attributed to the first
+    * stage that drops it in pipeline order (`exact_dup_loser` — m4's
+    * content-hash rule, the cheap pass that runs first; `near_dup_loser` —
+    * m7's perceptual keep-best decision; else `kept`), rolled up per
+    * media type with BYTE totals — the storage-saved-by-dedup number a
+    * curation review reads per modality.
+    *
+    * Composition over the already-oracled stages (m4's canonical rule,
+    * m7's keep flag — same relations, so ledger and pipeline cannot
+    * disagree): one hash aggregation, one doc_id-keyed left join against
+    * the near-dup decisions, one bounded (type × 3 reasons) rollup. */
+  def m8_media_drop_ledger(s: SparkSession, dir: String): DataFrame = {
+    val a = assets(s, dir).select(col("doc_id"), col("media_type"),
+      col("n_bytes"), md5(col("payload")).as("content_hash"))
+    val canon = a.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    val near = m7_media_keep_best(s, dir).select(col("doc_id"), col("keep"))
+    a.join(canon, Seq("content_hash"))
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("canonical_id"), "exact_dup_loser")
+          .when(col("keep") === false, "near_dup_loser")
+          .otherwise("kept"))
+      .groupBy(col("media_type"), col("reason"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("n_bytes")).as("bytes"))
+      .orderBy("media_type", "reason")
+  }
+
+  val m8Sql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
+       |    length(text)::BIGINT AS n_bytes, md5(text) AS content_hash
+       |  FROM documents
+       |), canon AS (
+       |  SELECT content_hash, min(doc_id) AS canonical_id FROM a GROUP BY 1
+       |), near AS (
+       |$m7Sql
+       |), led AS (
+       |  SELECT a.media_type,
+       |    CASE WHEN a.doc_id <> c.canonical_id THEN 'exact_dup_loser'
+       |         WHEN n.keep = false THEN 'near_dup_loser'
+       |         ELSE 'kept' END AS reason,
+       |    a.n_bytes
+       |  FROM a
+       |  JOIN canon c USING (content_hash)
+       |  LEFT JOIN near n ON n.doc_id = a.doc_id
+       |)
+       |SELECT media_type, reason, count(*)::BIGINT AS n_assets,
+       |  sum(n_bytes)::BIGINT AS bytes
+       |FROM led GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_media_drop_ledger" -> (m8_media_drop_ledger _),
     "m7_media_keep_best" -> (m7_media_keep_best _),
     "m6_media_neardup"   -> (m6_media_neardup _),
     "m5_media_neardup"   -> (m5_media_neardup _),
@@ -447,6 +501,7 @@ object Multimodal {
     "m3_frame_sample"    -> (m3_frame_sample _))
 
   val oracles: Map[String, String] = Map(
+    "m8_media_drop_ledger" -> m8Sql,
     "m7_media_keep_best" -> m7Sql,
     "m6_media_neardup"   -> m6Sql,
     "m5_media_neardup"   -> m5Sql,

@@ -538,6 +538,17 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("media drop ledger partitions the asset table (m8)") {
+    val led = graft.queries.Multimodal.m8_media_drop_ledger(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, dir).count()
+    assert(led.map(_._3).sum == total, "every asset lands in exactly one cell")
+    assert(led.map(_._1).distinct.toSet.subsetOf(Set("image", "audio", "video")))
+    assert(led.map(_._2).distinct.toSet.subsetOf(
+      Set("exact_dup_loser", "near_dup_loser", "kept")))
+    assert(led.forall(_._4 >= 0))
+  }
+
   test("whole-stage codegen covers the aggregation hot path (q1)") {
     val df = graft.queries.Relational.q1_pricing_summary(spark, dir)
     df.collect() // finalize the adaptive plan
