@@ -49,8 +49,10 @@ object BroadcastContract {
       case _: GlobalLimit => true
       case _: LocalRelation => true
       // spark.range(n): cardinality is a plan-time literal (t29's canonical
-      // 256-bucket space) — constant at every SF by construction
-      case _: Range => true
+      // 256-bucket space) — constant at every SF by construction, but only
+      // bounding when the literal itself is small (an unguarded Range would
+      // let spark.range(10^12) under a hint pass the 100 TB contract)
+      case r: Range if r.numElements <= BigInt(10000) => true
       case lr: org.apache.spark.sql.execution.LogicalRDD
         if boundedRdds.contains(lr.rdd.id) => true
       case f: Filter if "% (cast\\()?(50|100)".r

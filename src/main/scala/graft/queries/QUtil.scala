@@ -23,10 +23,10 @@ object QUtil {
     * never alias two sessions), with lazy eviction of stopped sessions'
     * entries on each miss so session churn cannot grow the cache without
     * bound. */
-  def cachedPerSession[K](
-      cache: java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, K), org.apache.spark.sql.DataFrame],
+  def cachedPerSession[K, V <: AnyRef](
+      cache: java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, K), V],
       s: org.apache.spark.sql.SparkSession, k: K)(
-      f: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      f: => V): V = {
     val key = (s, k)
     val hit = cache.get(key)
     if (hit != null) hit

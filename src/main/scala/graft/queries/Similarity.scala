@@ -175,7 +175,11 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), DataFrame]()
 
   /** Drop all shared materialized intermediates (bench isolation). */
-  def clearShared(): Unit = pairsCache.clear()
+  def clearShared(): Unit = {
+    pairsCache.clear()
+    coarseCache.clear()
+    ivfpqCache.clear()
+  }
 
   /** S2 random-hyperplane LSH near-dup: 16 sign bits, 2×8-bit bands,
     * candidates verified with exact cosine ≥ 0.4 (unit vectors ⇒ dot =
@@ -362,8 +366,22 @@ object Similarity {
     * loop itself is k-agnostic (c2_semdedup exposes it as the
     * `spark.graft.semdedupK` scaling knob). */
   private def trainCoarse(s: SparkSession, dir: String, ex: Boolean,
-                          k: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+                          k: Int = 10): DataFrame =
+    QUtil.cachedPerSession(coarseCache, s, (dir, ex, k))(
+      trainCoarseOn(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), ex, k))
+
+  // trained coarse quantizers are k-row checkpointed relations consumed by
+  // s4/s7/s10/s13/s14/c2 — one training pass per (session, dir, precision,
+  // k), the s2Pairs staging discipline (Bench clears per timed run)
+  private val coarseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean, Int)), DataFrame]()
+
+  /** The Lloyd loop over an arbitrary TRAINING relation (vec_id, embedding)
+    * — the full corpus for [[trainCoarse]], a bounded sample for
+    * [[c2_semdedup_ann]]'s production-k path (training cost O(|sample|·k),
+    * independent of the corpus). */
+  private def trainCoarseOn(emb: DataFrame, ex: Boolean, k: Int): DataFrame = {
     var centroids = graft.plans.BroadcastContract.boundedCheckpoint(
       emb.filter(col("vec_id") < k) // deterministic seed
         .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cemb")),
@@ -620,43 +638,77 @@ object Similarity {
               col("score_micro"), col("rank"))
       .orderBy("q_id", "rank")
 
+  /** The probe-independent trained IVF-PQ INDEX — coarse centroids, corpus
+    * cell assignment, refined residual codebook, the full residual-subspace
+    * candidate-distance table, and the encoded corpus codes. Four queries
+    * consume it (s7, s10, s13, s16's IVF dense leg) and s14/c2 share its
+    * coarse half via [[trainCoarse]]'s own staging; before round 7 each
+    * re-ran training + assignment + residual encode from scratch (~33 s of
+    * the 174-query bench). A production index is TRAINED ONCE and served
+    * many times — `spark.graft.ivfpqShared` (default true) stages it per
+    * (session, dir, precision) exactly like `s2Pairs`/`bm25Postings`;
+    * `Bench` still clears the cache before every timed run so default
+    * per-query numbers stay cold and order-independent (the warm serving
+    * shape is the SPARK_GRAFT_KEEP_SHARED study in STRESS_sf1.md). The
+    * checkpoint-boundary concern that kept `bm25Postings` lazy does not
+    * apply here: every staged piece was ALREADY `localCheckpoint`ed inside
+    * a single query's dataflow (self-joined or multi-consumed), so staging
+    * adds no new optimizer barrier — only reuse. */
+  private[graft] case class IvfPqIndex(coarse: DataFrame, asg: DataFrame,
+                                       cb1: DataFrame, cand1: DataFrame,
+                                       codes: DataFrame)
+
+  private val ivfpqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), IvfPqIndex]()
+
+  private def ivfpqIndex(s: SparkSession, dir: String, ex: Boolean): IvfPqIndex = {
+    def build: IvfPqIndex = {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val coarse = trainCoarse(s, dir, ex)
+      // cell assignment for every vector (corpus side: nearest cell only)
+      val asg = assignToNearest(emb, coarse, ex)
+        .select(col("vec_id"), col("cluster").as("cell"), col("embedding"), col("cemb"))
+        .localCheckpoint() // consumed by residuals and the code-cell join
+      // residual elements (vec_id, cell, j, i, v): v − centroid[cell], long form
+      val res = asg.select(col("vec_id"), col("cell"),
+          posexplode(zip_with(col("embedding"), col("cemb"),
+            (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
+        .select(col("vec_id"), col("cell"), expr("i div 8").as("j"), col("i"), col("v"))
+        .localCheckpoint()
+      val sub = res.select(col("vec_id"), col("j"), col("i"), col("v"))
+      // residual codebook: anchor subvectors refined by one Lloyd step (s6)
+      val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
+        .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
+      val enc0 = pqEncode(pqCand(sub, cb0, materialize = false))
+      val cb1 = sub.join(enc0, Seq("vec_id", "j"))
+        .groupBy(col("j"), col("c"), col("i"))
+        .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
+        .localCheckpoint() // ≤ 8×4×8 rows; shared by cand1 + multi-probe LUTs
+      val cand1 = pqCand(sub, cb1) // checkpointed; encoder + 1-probe LUT share it
+      val codes = pqEncode(cand1)
+        // cell lookup from the 1-row-per-vector asg, not a |res|-row distinct
+        .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .localCheckpoint() // the served codes: argmin window runs once, not per query
+      IvfPqIndex(coarse, asg, cb1, cand1, codes)
+    }
+    if (s.conf.get("spark.graft.ivfpqShared", "true").toBoolean)
+      QUtil.cachedPerSession(ivfpqCache, s, (dir, ex))(build)
+    else build
+  }
+
   /** The IVF-PQ candidate-scoring pipeline shared by [[s7_ivfpq_topk]]
-    * (single-probe) and [[s10_ivfpq_recall]] (1- vs 2-probe audit): corpus
-    * encode is probe-independent; queries route to their `nprobe` nearest
-    * cells, compute a residual against EACH probed cell's centroid (proper
-    * multi-probe — the residual basis changes per cell), and ADC-score that
-    * cell's codes. Returns the full pre-rank scored relation
+    * (single-probe), [[s10_ivfpq_recall]] (1- vs 2-probe audit), and the
+    * retrieval legs ([[s13_ivfpq_rerank]], [[s16_hybrid_rrf_ivf]] — `qmod`
+    * widens the bounded query contract to their workloads): the corpus-side
+    * index comes from [[ivfpqIndex]]; queries route to their `nprobe`
+    * nearest cells, compute a residual against EACH probed cell's centroid
+    * (proper multi-probe — the residual basis changes per cell), and
+    * ADC-score that cell's codes. Returns the full pre-rank scored relation
     * (q_id, probe, cell, vec_id, score_micro) — callers rank/limit. */
-  private def ivfpqScored(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private def ivfpqScored(s: SparkSession, dir: String, nprobe: Int,
+                          qmod: Int = 100): DataFrame = {
     val ex = exactDecimals(s)
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val coarse = trainCoarse(s, dir, ex)
-    // cell assignment for every vector (corpus side: nearest cell only)
-    val asg = assignToNearest(emb, coarse, ex)
-      .select(col("vec_id"), col("cluster").as("cell"), col("embedding"), col("cemb"))
-      .localCheckpoint() // consumed by residuals and the code-cell join
-    // residual elements (vec_id, cell, j, i, v): v − centroid[cell], long form
-    val res = asg.select(col("vec_id"), col("cell"),
-        posexplode(zip_with(col("embedding"), col("cemb"),
-          (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
-      .select(col("vec_id"), col("cell"), expr("i div 8").as("j"), col("i"), col("v"))
-      .localCheckpoint()
-    val sub = res.select(col("vec_id"), col("j"), col("i"), col("v"))
-    // residual codebook: anchor subvectors refined by one Lloyd step (s6)
-    val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
-      .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
-    val enc0 = pqEncode(pqCand(sub, cb0, materialize = false))
-    val cb1raw = sub.join(enc0, Seq("vec_id", "j"))
-      .groupBy(col("j"), col("c"), col("i"))
-      .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
-    // at nprobe = 1 cb1 has a single consumer (cand1, itself checkpointed)
-    // — a checkpoint would only add a barrier; multi-probe shares it with
-    // the per-probe query LUTs
-    val cb1 = if (nprobe == 1) cb1raw else cb1raw.localCheckpoint()
-    val cand1 = pqCand(sub, cb1) // checkpointed; encoder + 1-probe LUT share it
-    val codes = pqEncode(cand1)
-      // cell lookup from the 1-row-per-vector asg, not a |res|-row distinct
-      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val idx = ivfpqIndex(s, dir, ex)
     // Single-probe fast path: a query's probe-1 cell IS its corpus
     // assignment (assignToNearest and the qroute window rank by the same
     // (dist, cluster) key), so the probe-1 residual equals the corpus
@@ -664,15 +716,16 @@ object Similarity {
     // rows cand1 already holds — read the LUT off the checkpointed
     // candidate table instead of recomputing route → residual → fold.
     val lut = if (nprobe == 1)
-      cand1.filter(col("vec_id") % 100 === 0)
-        .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      idx.cand1.filter(col("vec_id") % qmod === 0)
+        .join(idx.asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
         .select(col("vec_id").as("q_id"), lit(1L).as("probe"), col("cell"),
                 col("j"), col("c"),
                 floor(col("sqd") * 1000000.0).cast("long").as("lm"))
     else {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       // query routing: the nprobe nearest cells, probe rank attached
-      val qroute = emb.filter(col("vec_id") % 100 === 0)
-        .crossJoin(broadcast(coarse))
+      val qroute = emb.filter(col("vec_id") % qmod === 0)
+        .crossJoin(broadcast(idx.coarse))
         .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
         .withColumn("probe", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))).cast("long"))
@@ -688,14 +741,14 @@ object Similarity {
         .select(col("q_id"), col("probe"), col("cell"),
                 expr("i div 8").as("j"), col("i"), col("v"))
       // integer micro-grid LUT per (query, probed cell, subspace, code)
-      qres.join(cb1, Seq("j", "i"))
+      qres.join(idx.cb1, Seq("j", "i"))
         .groupBy(col("q_id"), col("probe"), col("cell"), col("j"), col("c"))
         .agg(sum(((col("v") - col("cv")) * (col("v") - col("cv"))).cast(DEC))
           .cast("double").as("sqd"))
         .select(col("q_id"), col("probe"), col("cell"), col("j"), col("c"),
                 floor(col("sqd") * 1000000.0).cast("long").as("lm"))
     }
-    codes.join(broadcast(lut), Seq("cell", "j", "c")) // cell-pruned ADC scan
+    idx.codes.join(broadcast(lut), Seq("cell", "j", "c")) // cell-pruned ADC scan
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("probe"), col("cell"), col("vec_id"))
       .agg(sum(col("lm")).as("score_micro"))

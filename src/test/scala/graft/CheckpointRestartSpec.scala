@@ -222,15 +222,21 @@ class CheckpointRestartSpec extends SparkSpec {
       Seq.fill(30)("alpha") ++ Seq("c1", "c2", "c3"),
       (1 to 40).map(i => s"d$i"),
       (1 to 40).map(i => s"e$i"))
-    chunks.zipWithIndex.foreach { case (toks, k) =>
+    def writeChunk(k: Int): Unit = {
       val tmp = srcDir.resolve(s"_build_$k")
-      toks.toDF("tok").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      chunks(k).toDF("tok").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
       Files.move(part, srcDir.resolve(s"${k}_chunk.parquet"))
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
     }
+    // Only the two alpha chunks exist before the kill — a fast run cannot
+    // outrun the stop into chunks 3-4, so the post-restart never-miss
+    // assertion can never be satisfied without the aggregation state
+    // actually surviving the restart (the d/e chunks alone cannot
+    // re-discover alpha).
+    (0 to 1).foreach(writeChunk)
     val base = Files.createTempDirectory("graft_mg_ckpt_").toString
     val (ckpt, out) = (s"$base/ckpt", s"$base/out")
     def startSketch(availableNow: Boolean) = {
@@ -257,6 +263,7 @@ class CheckpointRestartSpec extends SparkSpec {
            System.currentTimeMillis() < deadline) Thread.sleep(50)
     assert(committedBatches(out).size >= 2, "no progress before kill")
     q1.stop(); q1.awaitTermination()
+    (2 to 3).foreach(writeChunk)
     val q2 = startSketch(availableNow = true)
     q2.awaitTermination()
     // complete mode: the LAST committed batch is the full answer

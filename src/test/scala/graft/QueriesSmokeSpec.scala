@@ -259,6 +259,16 @@ class QueriesSmokeSpec extends SparkSpec {
       Tables.nation(spark, dir).join(broadcast(Tables.region(spark, dir)),
         col("n_regionkey") === col("r_regionkey")).queryExecution.analyzed)
     assert(okDim.isEmpty, "fixed-cardinality dimension must pass")
+    // Range bounds only when its literal cardinality is small: a small
+    // canonical bucket space passes, a corpus-sized range is flagged
+    val okRange = graft.plans.BroadcastContract.unboundedHints(
+      ev.join(broadcast(spark.range(256)), Seq.empty, "cross")
+        .queryExecution.analyzed)
+    assert(okRange.isEmpty, "small literal range must pass")
+    val bigRange = graft.plans.BroadcastContract.unboundedHints(
+      ev.join(broadcast(spark.range(1000000000000L)), Seq.empty, "cross")
+        .queryExecution.analyzed)
+    assert(bigRange.nonEmpty, "corpus-sized range must be flagged")
     // and the runtime choke point rejects an unbounded streaming plan
     val err = intercept[IllegalArgumentException] {
       graft.plans.BroadcastContract.assertBounded(
