@@ -412,10 +412,11 @@ object Similarity {
       .filter(col("rn") === 1)
       .drop("dist", "rn")
 
-  /** One Lloyd iteration as SQL over the element CTE `e`: assign every
+  /** One Lloyd iteration as SQL over an element CTE (`e` = the full
+    * corpus; `es` = c2-ann's bounded training sample): assign every
     * vector to its nearest `cPrev` centroid, emit the next centroids in
-    * long form. Shared by the s4 and s7 oracles. */
-  private def assignAndMeanSql(cPrev: String): String =
+    * long form. Shared by the s4, s7, and c2-ann oracles. */
+  private def assignAndMeanSql(cPrev: String, src: String = "e"): String =
     s"""  SELECT a.cluster, e.i,
        |         sum(e.v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
        |  FROM (
@@ -424,10 +425,10 @@ object Similarity {
        |        row_number() OVER (PARTITION BY e.vec_id
        |          ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
        |                   c.cluster) AS rn
-       |      FROM e JOIN $cPrev c USING (i)
+       |      FROM $src e JOIN $cPrev c USING (i)
        |      GROUP BY e.vec_id, c.cluster)
        |    WHERE rn = 1) a
-       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN $src e ON e.vec_id = a.vec_id
        |  GROUP BY 1, 2""".stripMargin
 
   /** The unrolled c0 (seed) → c1 → c2 coarse-training CTE chain — the
@@ -1075,6 +1076,14 @@ object Similarity {
       .select(col("vec_id"), col("cluster").as("cell"), col("embedding"),
               col("dist"), col("n2"))
       .localCheckpoint()
+    semdedupPrune(asg, ex)
+  }
+
+  /** The within-cell pair search + keep-the-outlier verdict shared by
+    * [[c2_semdedup]] and [[c2_semdedup_ann]] — `asg` is the checkpointed
+    * (vec_id, cell, embedding, dist, n2) assignment; everything after the
+    * assignment is assignment-strategy-independent. */
+  private def semdedupPrune(asg: DataFrame, ex: Boolean): DataFrame = {
     val aSide = asg.select(col("vec_id").as("va"), col("cell"),
       col("embedding").as("ea"), col("dist").as("da"), col("n2").as("na2"))
     val bSide = asg.select(col("vec_id").as("vb"), col("cell"),
@@ -1137,6 +1146,157 @@ object Similarity {
       |  r.vec_id IS NULL AS kept
       |FROM asgd a LEFT JOIN rem r USING (vec_id)
       |ORDER BY a.vec_id""".stripMargin
+
+  /** C2-ANN: SemDeDup at PRODUCTION k — the deployment shape of
+    * [[c2_semdedup]] per the paper (Abbas et al. 2023 §3: "we cluster …
+    * using faiss"): SemDeDup's contract grows k with the corpus to hold
+    * the per-cell pair block constant, which makes the two exhaustive
+    * passes c2 inherits from the harness the next quadratic — Lloyd
+    * training touches n·k distances per iteration and assignment another
+    * n·k (measured at sf1 round 6: 349.8 s exact vs 9.4 s at k = 100).
+    * Production replaces both:
+    *
+    *  1. TRAIN ON A BOUNDED SAMPLE — the coarse quantizer learns cluster
+    *     geometry from `vec_id < m` (m = `spark.graft.semdedupSample`,
+    *     default 1024, deterministic so the oracle unrolls it), so
+    *     training cost is O(m·k) — INDEPENDENT of the corpus. This is
+    *     faiss's own `train()` contract (sample-based k-means).
+    *  2. ASSIGN VIA AN ANN INDEX OVER THE CENTROIDS — instead of scoring
+    *     every vector against all k centroids (n·k), the k centroids are
+    *     themselves indexed by s3's routed-search shape: g pilot cells
+    *     (the first g trained centroids, g = `spark.graft.semdedupRouteCells`,
+    *     default 4) partition the centroid set by nearest-pilot; each
+    *     corpus vector routes to its nearest pilot (g distances) and then
+    *     scores ONLY that pilot's centroid group (~k/g distances) —
+    *     per-vector work drops k → g + k/g (minimized at g = √k → 2√k;
+    *     one more routing level gives 3·k^(1/3), log-depth in the limit —
+    *     the IMI/HNSW ladder). Assignment is approximate exactly the way
+    *     production IVF assignment is: a vector near a pilot boundary may
+    *     land in a neighboring cell; SemDeDup's dedup semantics only need
+    *     cells to be locality-preserving, and both engines compute the
+    *     SAME deterministic assignment (ties to the lower pilot/cluster).
+    *
+    * After assignment the within-cell pair search, two-stage verify, and
+    * keep-the-outlier rule are [[semdedupPrune]] — byte-identical to c2's.
+    * Scale shape: the only corpus-sized passes are the pilot routing
+    * (broadcast of g rows), the group scoring (broadcast of k index rows,
+    * join on the pilot key), and c2's cell-scoped pair join; nothing else
+    * grows with n, so at k ∝ n the pipeline is ~n·√k rather than n·k.
+    * Default-k oracle unrolls the sampled training + two-level routing
+    * symbolically; like `semdedupK`, non-default knobs trade oracle
+    * hash-equality for the production shape. */
+  def c2_semdedup_ann(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    graft.functions.DotProduct.register(s) // stage-1 prefilter is always native
+    val k = s.conf.get("spark.graft.semdedupK", "10").toInt
+    val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
+    val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // 1. bounded-sample training: O(m·k), corpus-size-independent
+    val coarse = trainCoarseOn(emb.filter(col("vec_id") < m), ex, k)
+    val pilots = coarse.filter(col("cluster") < g)
+      .select(col("cluster").as("pcell"), col("cemb").as("pemb"))
+    // 2a. the centroid index: each trained centroid joins its nearest
+    // pilot's group (k×g distances — index build cost, not corpus cost)
+    val cindex = coarse.crossJoin(broadcast(pilots))
+      .withColumn("pdist", sqDist(col("cemb"), col("pemb"), ex))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("pdist"), col("pcell"))))
+      .filter(col("rn") === 1)
+      .select(col("pcell"), col("cluster"), col("cemb"))
+    // 2b. route every vector to its pilot (g distances per vector) …
+    val v2p = emb.crossJoin(broadcast(pilots))
+      .withColumn("pdist", sqDist(col("embedding"), col("pemb"), ex))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("pdist"), col("pcell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("pcell"))
+    // … then score only that pilot's centroid group (~k/g per vector)
+    val asg = v2p.join(broadcast(cindex), Seq("pcell"))
+      .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("rn") === 1)
+      .withColumn("n2", dot(col("embedding"), col("embedding"), ex))
+      .select(col("vec_id"), col("cluster").as("cell"), col("embedding"),
+              col("dist"), col("n2"))
+      .localCheckpoint()
+    semdedupPrune(asg, ex)
+  }
+
+  /** c2-ann oracle: sampled Lloyd chain (the c0→c1→c2 CTEs restricted to
+    * the `vec_id < 1024` sample), pilot cells, the centroid→pilot index,
+    * two-level vector routing, then c2's pair/prune CTEs verbatim over the
+    * routed assignment. */
+  val c2AnnSql: String = {
+    val sampleTrainCtes =
+      s"""es AS (
+         |  SELECT * FROM e WHERE vec_id < 1024
+         |), c0 AS (
+         |  SELECT vec_id AS cluster, i, v AS cv FROM es WHERE vec_id < 10
+         |), c1 AS (
+         |${assignAndMeanSql("c0", "es")}
+         |), c2 AS (
+         |${assignAndMeanSql("c1", "es")}
+         |)""".stripMargin
+    s"""WITH $elemsSqlCte, $sampleTrainCtes, pil AS (
+      |  SELECT cluster AS pcell, i, cv AS pv FROM c2 WHERE cluster < 4
+      |), cidx AS (
+      |  SELECT pcell, cluster FROM (
+      |    SELECT c.cluster, p.pcell,
+      |      row_number() OVER (PARTITION BY c.cluster
+      |        ORDER BY sum(((c.cv - p.pv) * (c.cv - p.pv))::DECIMAL(30,20))::DOUBLE,
+      |                 p.pcell) AS rn
+      |    FROM c2 c JOIN pil p USING (i)
+      |    GROUP BY c.cluster, p.pcell)
+      |  WHERE rn = 1
+      |), v2p AS (
+      |  SELECT vec_id, pcell FROM (
+      |    SELECT e.vec_id, p.pcell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - p.pv) * (e.v - p.pv))::DECIMAL(30,20))::DOUBLE,
+      |                 p.pcell) AS rn
+      |    FROM e JOIN pil p USING (i)
+      |    GROUP BY e.vec_id, p.pcell)
+      |  WHERE rn = 1
+      |), asgd AS (
+      |  SELECT vec_id, cluster AS cell, dist FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS dist,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e
+      |    JOIN v2p USING (vec_id)
+      |    JOIN cidx x ON x.pcell = v2p.pcell
+      |    JOIN c2 c ON c.cluster = x.cluster AND c.i = e.i
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
+      |  FROM e GROUP BY 1
+      |), pr AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb, a.dist AS da, b.dist AS db,
+      |         sum((ea.v * eb.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM asgd a JOIN asgd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      |  GROUP BY 1, 2, 3, 4
+      |), rem AS (
+      |  SELECT DISTINCT CASE WHEN p.da < p.db THEN p.va
+      |                       WHEN p.db < p.da THEN p.vb
+      |                       ELSE p.vb END AS vec_id
+      |  FROM pr p
+      |  JOIN norms na ON na.vec_id = p.va
+      |  JOIN norms nb ON nb.vec_id = p.vb
+      |  WHERE floor(p.dp / sqrt(na.n2 * nb.n2) * 10000.0 + 0.5) / 10000.0 >= 0.4
+      |)
+      |SELECT a.vec_id, a.cell,
+      |  floor(a.dist * 10000.0 + 0.5) / 10000.0 AS cdist,
+      |  r.vec_id IS NULL AS kept
+      |FROM asgd a LEFT JOIN rem r USING (vec_id)
+      |ORDER BY a.vec_id""".stripMargin
+  }
 
   /** S11: per-class kNN-GRAPH construction — the first s-query with an
     * UNBOUNDED query side: EVERY vector finds its top-3 same-label
@@ -1712,6 +1872,7 @@ object Similarity {
     "s11_knn_graph_sharded" -> (s11_knn_graph_sharded _),
     "s11_knn_graph"    -> (s11_knn_graph _),
     "c2_semdedup"      -> (c2_semdedup _),
+    "c2_semdedup_ann"  -> (c2_semdedup_ann _),
     "s10_ivfpq_recall" -> (s10_ivfpq_recall _),
     "s8_recall_audit" -> (s8_recall_audit _),
     "s7_ivfpq_topk"  -> (s7_ivfpq_topk _),
@@ -1732,6 +1893,7 @@ object Similarity {
     "s11_knn_graph_sharded" -> s11ShardedSql,
     "s11_knn_graph"    -> s11Sql,
     "c2_semdedup"      -> c2Sql,
+    "c2_semdedup_ann"  -> c2AnnSql,
     "s10_ivfpq_recall" -> s10Sql,
     "s8_recall_audit" -> s8Sql,
     "s7_ivfpq_topk"  -> s7Sql,

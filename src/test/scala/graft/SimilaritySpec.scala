@@ -214,6 +214,47 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("c2-ann two-level assignment degenerates to exact at full sample + all-pilot") {
+    // With the training sample covering the whole corpus and EVERY trained
+    // centroid its own pilot (g = k: each centroid's nearest pilot is
+    // itself at distance 0), c2_semdedup_ann's sampled training and
+    // two-level routing both collapse to c2_semdedup's exhaustive forms —
+    // the variant must then reproduce the exact result row-for-row. This
+    // pins the routing algebra; the production win is the non-degenerate
+    // configuration (g ≈ √k), whose per-vector cost is g + k/g ≪ k.
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.c2_semdedup(spark, dir).collect().toSeq
+    spark.conf.set("spark.graft.semdedupSample", "100000000")
+    spark.conf.set("spark.graft.semdedupRouteCells", "10") // = default k
+    try {
+      val ann = Similarity.c2_semdedup_ann(spark, dir).collect().toSeq
+      assert(ann == exact, "degenerate ANN assignment diverged from exact")
+    } finally {
+      spark.conf.unset("spark.graft.semdedupSample")
+      spark.conf.unset("spark.graft.semdedupRouteCells")
+    }
+  }
+
+  test("c2-ann production shape runs at scaled k with a bounded sample") {
+    // The deployment configuration itself (k = 40, sample = 256, g = √k):
+    // every vector gets exactly one verdict row, cells are populated
+    // beyond the pilot count (routing actually fans out past the pilots),
+    // and the per-cell pair space stays bounded like c2's k-contract.
+    val dir = "/root/testdata/sf0.001"
+    for ((key, v) <- Seq("spark.graft.semdedupK" -> "40",
+                         "spark.graft.semdedupSample" -> "256",
+                         "spark.graft.semdedupRouteCells" -> "6"))
+      spark.conf.set(key, v)
+    try {
+      val rows = Similarity.c2_semdedup_ann(spark, dir).collect()
+      val n = Tables.embeddings(spark, dir).count()
+      assert(rows.length.toLong == n, s"expected one verdict per vector")
+      val cells = rows.map(_.getLong(1)).distinct
+      assert(cells.length > 6, s"routing collapsed onto the pilots: ${cells.length} cells")
+    } finally Seq("spark.graft.semdedupK", "spark.graft.semdedupSample",
+                  "spark.graft.semdedupRouteCells").foreach(spark.conf.unset)
+  }
+
   test("native hyperplane_fp equals the composed per-bit double folds bit-for-bit") {
     // the fused one-pass fingerprint must reproduce the composed
     // aggregate(zip_with) double folds exactly — same plane arithmetic,
