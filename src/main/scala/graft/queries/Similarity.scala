@@ -757,7 +757,11 @@ object Similarity {
 
   /** The full IVF-PQ ADC chain as SQL CTEs, through the pre-rank scored
     * relation `sc (q_id, cell, n_id, score_micro)` — shared by the s7
-    * (rank ≤ 5) and s13 (shortlist ≤ 10 → exact re-rank) oracles. */
+    * (rank ≤ 5), s13 (shortlist ≤ 10 → exact re-rank), and s16-ivf
+    * (`qmod` = 50, the hybrid workload's query contract) oracles. */
+  private def ivfpqAdcCtesQ(qmod: Int): String =
+    ivfpqAdcCtes.replace("vec_id % 100 = 0", s"vec_id % $qmod = 0")
+
   private val ivfpqAdcCtes: String =
     s"""$elemsSqlCte, $coarseTrainCtes, asg AS (
       |  SELECT vec_id, cluster AS cell FROM (
@@ -1800,6 +1804,101 @@ object Similarity {
       |SELECT query_id, doc_id, rrf_micro, n_lists, rk
       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** S16-IVF: the hybrid RRF retrieval with the dense leg served from the
+    * IVF-PQ INDEX — the drop-in [[s16_hybrid_rrf]] declares: instead of
+    * brute-force cosine over the whole embedding corpus (O(|Q|·N·D) — the
+    * correctness baseline, not the serving shape), the dense list is s13's
+    * refine pipeline at the hybrid workload's query contract: single-probe
+    * ADC against the staged index ([[ivfpqIndex]] — cell-pruned, each
+    * query touches ~1/cells of the corpus CODES, integer LUT sums), top-10
+    * shortlist, exact re-rank of only those 10 raw vectors (sqd ascending,
+    * the s13 semantics). The lexical leg and the RRF fusion are unchanged
+    * — fusion only ever sees two bounded rank lists, so swapping the dense
+    * engine is invisible to it (the two-tower serving property: legs scale
+    * independently).
+    *
+    * Scale shape: the dense leg's cost tracks the cell-pruned code scan,
+    * not the corpus (measured against s16's brute-force leg at sf1 in
+    * STRESS_sf1.md); ADC list contents differ from exact cosine ranking
+    * exactly as the index's recall audit (s10) measures. */
+  def s16_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val embIds = Tables.embeddings(s, dir).select(col("vec_id").as("query_id"))
+    val bm = graft.queries.TextAnalysis.t27_bm25(s, dir)
+      .join(embIds, Seq("query_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm"))
+    val short = ivfpqScored(s, dir, nprobe = 1, qmod = 50)
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
+      .filter(col("adc_rank") <= 10)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+    val ann = short
+      .join(emb.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sqd_micro",
+        floor(sqDist(col("embedding"), col("qemb"), ex) * 1000000.0 + 0.5).cast("long"))
+      .withColumn("rk_ann", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sqd_micro"), col("n_id"))).cast("long"))
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rk_ann"))
+    def rrf(rk: Column) = floor(lit(1000000.0) / (lit(60) + rk) + 0.5).cast("long")
+    bm.join(ann, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(rrf(col("rk_bm")), lit(0L)) +
+         coalesce(rrf(col("rk_ann")), lit(0L))).as("rrf_micro"),
+        (col("rk_bm").isNotNull.cast("int") +
+         col("rk_ann").isNotNull.cast("int")).cast("long").as("n_lists"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("query_id", "rk")
+  }
+
+  /** s16-ivf oracle: the qmod = 50 IVF-PQ ADC chain, s13's shortlist +
+    * exact re-rank CTEs at depth 10, fused with the s16 lexical leg by the
+    * same RRF CTEs. def — splices t27Sql (the s16Sql init-cycle note). */
+  def s16IvfSql: String =
+    s"""WITH bm_full AS (
+      |${graft.queries.TextAnalysis.t27Sql}
+      |), bm AS (
+      |  SELECT query_id, doc_id, rk AS rk_bm FROM bm_full
+      |  WHERE query_id IN (SELECT vec_id FROM embeddings)
+      |), ${ivfpqAdcCtesQ(50)}, ranked AS (
+      |  SELECT q_id, n_id, score_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |  FROM sc
+      |), short AS (
+      |  SELECT q_id, n_id FROM ranked WHERE rank <= 10
+      |), rr AS (
+      |  SELECT sh.q_id, sh.n_id,
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
+      |  FROM short sh
+      |  JOIN e eq ON eq.vec_id = sh.q_id
+      |  JOIN e ed ON ed.vec_id = sh.n_id AND ed.i = eq.i
+      |  GROUP BY 1, 2
+      |), ann AS (
+      |  SELECT q_id AS query_id, n_id AS doc_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sqd_micro, n_id) AS rk_ann
+      |  FROM rr
+      |), fused AS (
+      |  SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+      |         coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+      |    coalesce(floor(1000000.0 / (60 + bm.rk_bm) + 0.5)::BIGINT, 0)
+      |    + coalesce(floor(1000000.0 / (60 + ann.rk_ann) + 0.5)::BIGINT, 0) AS rrf_micro,
+      |    ((bm.rk_bm IS NOT NULL)::INT + (ann.rk_ann IS NOT NULL)::INT)::BIGINT AS n_lists
+      |  FROM bm FULL OUTER JOIN ann USING (query_id, doc_id)
+      |), r AS (
+      |  SELECT query_id, doc_id, rrf_micro, n_lists,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_micro DESC, doc_id) AS rk
+      |  FROM fused)
+      |SELECT query_id, doc_id, rrf_micro, n_lists, rk
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** S17: HARD-NEGATIVE MINING — the pair miner that feeds contrastive
     * embedding training (SimCSE/DPR-style): for each anchor, the k most
     * SIMILAR vectors with a DIFFERENT label — near the anchor in embedding
@@ -1865,6 +1964,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s17_hard_negatives" -> (s17_hard_negatives _),
     "s16_hybrid_rrf" -> (s16_hybrid_rrf _),
+    "s16_hybrid_rrf_ivf" -> (s16_hybrid_rrf_ivf _),
     "s15_filtered_ann" -> (s15_filtered_ann _),
     "s14_cluster_card" -> (s14_cluster_card _),
     "s13_ivfpq_rerank" -> (s13_ivfpq_rerank _),
@@ -1886,6 +1986,7 @@ object Similarity {
   lazy val oracles: Map[String, String] = Map(
     "s17_hard_negatives" -> s17Sql,
     "s16_hybrid_rrf" -> s16Sql,
+    "s16_hybrid_rrf_ivf" -> s16IvfSql,
     "s15_filtered_ann" -> s15Sql,
     "s14_cluster_card" -> s14Sql,
     "s13_ivfpq_rerank" -> s13Sql,

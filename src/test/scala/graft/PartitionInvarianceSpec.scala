@@ -37,7 +37,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // full-outer join + integer-sum ranking
     "t27_bm25" -> (() => queries.TextAnalysis.t27_bm25(spark, dir)),
     "t28_dsir_weights" -> (() => queries.TextAnalysis.t28_dsir_weights(spark, dir)),
-    "s16_hybrid_rrf" -> (() => queries.Similarity.s16_hybrid_rrf(spark, dir)))
+    "s16_hybrid_rrf" -> (() => queries.Similarity.s16_hybrid_rrf(spark, dir)),
+    // round 7: the IVF-served dense leg (staged-index ADC + re-rank window
+    // chains feeding fusion) and SemDeDup's two-level ANN assignment (two
+    // stacked argmin windows whose tie-breaks must hold under any
+    // partitioning)
+    "s16_hybrid_rrf_ivf" -> (() => queries.Similarity.s16_hybrid_rrf_ivf(spark, dir)),
+    "c2_semdedup_ann" -> (() => queries.Similarity.c2_semdedup_ann(spark, dir)))
 
   for ((name, mk) <- cases)
     test(s"$name is invariant under shuffle-partition count (1, 3, 7)") {
