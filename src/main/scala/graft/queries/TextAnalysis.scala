@@ -1553,19 +1553,37 @@ object TextAnalysis {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Drop the shared materialized postings (bench isolation). */
-  def clearShared(): Unit = postingsCache.clear()
+  def clearShared(): Unit = {
+    postingsCache.clear()
+    bm25BaseCache.clear()
+  }
 
   def t27_bm25(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val P = 64
-    val K = 10
-    val docs = Tables.documents(s, dir)
     val tf = bm25Postings(s, dir)
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    bm25TopK(Tables.documents(s, dir), bm25Prune(tf), dfRel, stats)
+  }
+
+  /** Per-term static pruning to the 64 highest-tf entries (ties to the
+    * lower doc_id) — t27's serving trade, factored so the incremental
+    * index (t30) reprunes per SIDE with the identical total order. */
+  private def bm25Prune(tf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
-    val pruned = tf.withColumn("pr", row_number().over(wp)).filter(col("pr") <= P)
+    tf.withColumn("pr", row_number().over(wp)).filter(col("pr") <= 64)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** The BM25 scoring pipeline over an arbitrary (pruned postings, df,
+    * stats) index — shared verbatim by [[t27_bm25]] (one-shot build) and
+    * [[t30_bm25_incremental]] (merged settled + delta index), so serving
+    * semantics cannot drift between the index-maintenance strategies. */
+  private def bm25TopK(docs: DataFrame, pruned: DataFrame, dfRel: DataFrame,
+                       stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 10
     val qs = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("query_id"),
               explode(array_distinct(slice(toks, 1, 2))).as("term"))
@@ -1629,6 +1647,78 @@ object TextAnalysis {
       |  FROM agg)
       |SELECT query_id, doc_id, n_hit, score, rk
       |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** T30: INCREMENTAL POSTINGS MAINTENANCE — the real 100 TB shape t27's
+    * scaladoc declares: a production search index never rebuilds its
+    * postings per job; it PERSISTS them and folds each crawl increment in
+    * (d12/d13's settled-vs-delta discipline, applied to the inverted
+    * index). The settled corpus (doc_id % 10 ≠ 0) keeps three staging
+    * relations warm — its per-term PRUNED postings, full document
+    * frequencies, and the (N, Σdl) stats row. Each arriving delta
+    * (doc_id % 10 = 0) folds in with work bounded by the DELTA:
+    *
+    *  - delta postings build + per-side prune: O(|delta| tokens);
+    *  - merge-prune ONLY the terms the delta touches (left-semi split:
+    *    settled lists for untouched terms pass through UNREBUILT — the
+    *    "settled postings never rebuilt" contract as a plan property);
+    *  - df/stats fold as outer-join sums of the two partial aggregates
+    *    (exact: the doc sets are disjoint).
+    *
+    * Serving then runs [[bm25TopK]] against the merged index. The merge is
+    * PROVABLY LOSSLESS, which is why this query shares t27's oracle: a
+    * posting in the merged top-64 of a term ranks at least as high within
+    * its own side (side rank ≤ merged rank under the same (tf desc,
+    * doc_id) total order), so per-side pruning before the merge-prune
+    * drops nothing the full rebuild would keep, and summed partial df/N/Σdl
+    * over disjoint doc sets equal the full-corpus aggregates — the merged
+    * index is bit-identical to t27's one-shot build, and the result rows
+    * hash-match t27's. Warm-staging increment cost measured at sf1 in
+    * STRESS_sf1.md (d13's 25%-of-cold discipline). */
+  def t30_bm25_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def tfOf(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+              explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    def dfOf(tf: DataFrame): DataFrame =
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    def statsOf(tf: DataFrame): DataFrame =
+      tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // the settled index: the staging tables a production ingest keeps warm
+    // between increments (cachedPerSession plays the persisted-table role;
+    // Bench clears it per timed run — the warm form is the KEEP_SHARED study)
+    val (basePruned, baseDf, baseStats) =
+      cachedPerSession(bm25BaseCache, s, dir) {
+        val baseTf = tfOf(docs.filter(col("doc_id") % 10 =!= 0))
+          .localCheckpoint() // pruned postings + df + stats all fold off it
+        (bm25Prune(baseTf).localCheckpoint(),
+         dfOf(baseTf).localCheckpoint(),
+         statsOf(baseTf).localCheckpoint())
+      }
+    // per-increment work, all bounded by the delta
+    val deltaTf = tfOf(docs.filter(col("doc_id") % 10 === 0))
+      .localCheckpoint() // consumed by prune, df, stats
+    val deltaPruned = bm25Prune(deltaTf)
+    val touched = deltaPruned.select(col("term")).distinct()
+    val mergedPruned = bm25Prune(
+        basePruned.join(touched, Seq("term"), "left_semi")
+          .unionByName(deltaPruned))
+      .unionByName(basePruned.join(touched, Seq("term"), "left_anti"))
+    val dfRel = baseDf.withColumnRenamed("df", "df_b")
+      .join(dfOf(deltaTf).withColumnRenamed("df", "df_d"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
+    val stats = baseStats.select(col("n_docs").as("nb"), col("sum_dl").as("sb"))
+      .crossJoin(statsOf(deltaTf).select(col("n_docs").as("nd"), col("sum_dl").as("sd")))
+      .select((col("nb") + col("nd")).as("n_docs"), (col("sb") + col("sd")).as("sum_dl"))
+    bm25TopK(docs, mergedPruned, dfRel, stats)
+  }
+
+  private val bm25BaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame, DataFrame)]()
 
   /** T28: DSIR IMPORTANCE WEIGHTS (Data Selection via Importance
     * Resampling, Xie et al. 2023) — the targeted-selection pass that picks
@@ -1835,6 +1925,7 @@ object TextAnalysis {
     "t29_drift_audit" -> (t29_drift_audit _),
     "t28_dsir_weights" -> (t28_dsir_weights _),
     "t27_bm25" -> (t27_bm25 _),
+    "t30_bm25_incremental" -> (t30_bm25_incremental _),
     "t26_perplexity_filter" -> (t26_perplexity_filter _),
     "t25_source_quota" -> (t25_source_quota _),
     "t24_chunk_dedup" -> (t24_chunk_dedup _),
@@ -1866,6 +1957,7 @@ object TextAnalysis {
     "t29_drift_audit" -> t29Sql,
     "t28_dsir_weights" -> t28Sql,
     "t27_bm25" -> t27Sql,
+    "t30_bm25_incremental" -> t27Sql, // merged index == one-shot rebuild (lossless merge)
     "t26_perplexity_filter" -> t26Sql,
     "t25_source_quota" -> t25Sql,
     "t24_chunk_dedup" -> t24Sql,

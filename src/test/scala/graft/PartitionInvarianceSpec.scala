@@ -43,7 +43,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // stacked argmin windows whose tie-breaks must hold under any
     // partitioning)
     "s16_hybrid_rrf_ivf" -> (() => queries.Similarity.s16_hybrid_rrf_ivf(spark, dir)),
-    "c2_semdedup_ann" -> (() => queries.Similarity.c2_semdedup_ann(spark, dir)))
+    "c2_semdedup_ann" -> (() => queries.Similarity.c2_semdedup_ann(spark, dir)),
+    // the incremental index's semi/anti merge split + per-side prune
+    // windows must pick identical survivors under any partitioning
+    "t30_bm25_incremental" -> (() => queries.TextAnalysis.t30_bm25_incremental(spark, dir)))
 
   for ((name, mk) <- cases)
     test(s"$name is invariant under shuffle-partition count (1, 3, 7)") {

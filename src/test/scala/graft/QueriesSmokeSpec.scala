@@ -432,6 +432,33 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(online == batch)
   }
 
+  test("incremental postings maintenance equals the one-shot rebuild (t30 = t27)") {
+    // the lossless-merge claim behind the shared oracle: side-pruned +
+    // merge-pruned postings and summed partial df/stats over disjoint doc
+    // sets must serve bit-identical answers to the full rebuild
+    val full = graft.queries.TextAnalysis.t27_bm25(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val cold = graft.queries.TextAnalysis.t30_bm25_incremental(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(cold == full, "incremental index diverged from the rebuild")
+    // per-increment boundedness as a plan property: with the settled index
+    // staged and the delta folded (both checkpointed at build), the SERVED
+    // plan's only remaining documents scan is the query log — settled text
+    // is never re-read, settled postings never rebuilt
+    val warm = graft.queries.TextAnalysis.t30_bm25_incremental(spark, dir)
+    val docLeaves = warm.queryExecution.optimizedPlan.collectLeaves().count {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("documents"))
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(docLeaves == 1, s"warm increment re-reads settled text: $docLeaves documents scans")
+    assert(warm.collect().map(_.toSeq).toSeq == full)
+  }
+
   test("cluster card partitions the corpus and bounds its moments (s14)") {
     val rows = graft.queries.Similarity.s14_cluster_card(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
