@@ -577,7 +577,7 @@ object Streams {
   /** Generalized replay dir: (event_id, ts, extra event columns, arrival_s)
     * in jittered arrival order. Sentinel defaults per type: long → −1,
     * double → 0.0, string → "". */
-  private def replayStreamDirCols(s: SparkSession, dir: String, name: String,
+  private[graft] def replayStreamDirCols(s: SparkSession, dir: String, name: String,
       extra: Seq[String]): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val streamDir = Paths.get("/tmp/graft_stream",
@@ -1773,6 +1773,106 @@ object Streams {
       }
   }
 
+  /** x33's input carries the raw `ts` alongside the µs integer: the
+    * watermark attribute must reach the stateful operator (Spark refuses
+    * `getCurrentWatermarkMs` otherwise); the buffer stores the compact
+    * [[FunEv]] form. */
+  case class FunBufEv(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                      t: Long, tag: Int)
+  case class FunBufState(lastView: Long, lastS2: Long, nViews: Long,
+                         nS2: Long, nS3: Long, nFin: Long, buf: List[FunEv])
+  case class FunBufOut(user_id: Long, n_seen: Long, n_views: Long,
+                       n_step2: Long, n_step3: Long)
+
+  /** X33: the LATE-ROBUST funnel — the watermark-buffered twin x30's
+    * scaladoc points to. x30's monotone machine requires in-order
+    * consumption, because a late event can change a PAST funnel decision
+    * (a view arriving after the click it qualifies). This variant carries
+    * the event-time key in state (x15's move, upgraded from O(1) merge
+    * state to a bounded reorder buffer, the reference's ST6 reorder class):
+    * per user, events inside the watermark horizon are BUFFERED; once the
+    * watermark passes an event's time, no earlier event can still arrive
+    * (the lateness contract), so the prefix is FINALIZED through the exact
+    * q21 fold and evicted — state per user is the O(1) machine plus only
+    * the horizon's events, not history. Each trigger emits the current
+    * best estimate (finalized machine + a provisional fold over the
+    * buffer, in global event-time order), so the final snapshot per user —
+    * selected by the strictly-monotone n_seen — has folded EVERY event in
+    * exact event-time order, late arrivals included: bit-for-bit q21,
+    * shared oracle, over the genuinely out-of-order jittered replay that
+    * x30's in-order contract cannot consume. Kill/restart-proven in
+    * `CheckpointRestartSpec` (buffer + machine both live in the state
+    * store). */
+  def x33_stream_funnel_buffered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamDir = replayStreamDirCols(s, dir, "events_replay_funnel",
+      Seq("user_id", "event_type"))
+    val schema = s.read.parquet(streamDir.resolve("0_chunk.parquet").toString).schema
+    val tag = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    val ds = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      // watermark BEFORE the type filter: the far-future sentinel advances
+      // it even though the row itself is discarded below
+      .withWatermark("ts", "30 minutes")
+      .filter(col("user_id") >= 0 &&
+              col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+              unix_micros(col("ts")).as("t"), tag.as("tag"))
+      .as[FunBufEv]
+    val mem = runToMemory(funnelBufferedStateful(ds).toDF(), OutputMode.Update(),
+        s"x33_mem_${System.nanoTime()}")
+    import org.apache.spark.sql.expressions.Window
+    mem
+      .withColumn("rn", row_number().over( // n_seen strictly grows per emission
+        Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)))
+      .filter(col("rn") === 1 && col("n_step3") >= 1)
+      .select(col("user_id"), col("n_views"), col("n_step2"), col("n_step3"))
+      .orderBy("user_id")
+  }
+
+  /** The x33 stateful core, shared with `CheckpointRestartSpec`: per-user
+    * watermark-horizon reorder buffer + the exact q21 fold over the
+    * finalized prefix. */
+  def funnelBufferedStateful(ds: Dataset[FunBufEv]): Dataset[FunBufOut] = {
+    import ds.sparkSession.implicits._
+    val L = 86400000000L
+    val NONE = Long.MinValue
+    // q21's machine as a pure fold (same (t, tag, event_id) order, same
+    // ≥ t − L horizon comparisons on exact µs integers)
+    def fold(lv0: Long, ls0: Long, nv0: Long, n20: Long, n30: Long,
+             evs: Seq[FunEv]): (Long, Long, Long, Long, Long) = {
+      var (lv, ls, nv, n2, n3) = (lv0, ls0, nv0, n20, n30)
+      for (e <- evs) e.tag match {
+        case 0 => lv = math.max(lv, e.t); nv += 1
+        case 1 => if (lv != NONE && lv >= e.t - L) { ls = math.max(ls, e.t); n2 += 1 }
+        case _ => if (ls != NONE && ls >= e.t - L) n3 += 1
+      }
+      (lv, ls, nv, n2, n3)
+    }
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunBufState, FunBufOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (u: Long, it: Iterator[FunBufEv], state: GroupState[FunBufState]) =>
+          val st = state.getOption.getOrElse(
+            FunBufState(NONE, NONE, 0L, 0L, 0L, 0L, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // global event-time order across buffered + newly-arrived events;
+          // every buffered event is ≥ the finalized prefix by construction
+          val arrived = it.map(e => FunEv(e.user_id, e.event_id, e.t, e.tag)).toList
+          val pending = (st.buf ++ arrived).sortBy(e => (e.t, e.tag, e.event_id))
+          val (ripe, hold) = pending.partition(_.t <= wmUs)
+          val (lv, ls, nv, n2, n3) =
+            fold(st.lastView, st.lastS2, st.nViews, st.nS2, st.nS3, ripe)
+          val nFin = st.nFin + ripe.size
+          state.update(FunBufState(lv, ls, nv, n2, n3, nFin, hold))
+          // the estimate: provisional fold over the horizon buffer
+          val (_, _, env, en2, en3) = fold(lv, ls, nv, n2, n3, hold)
+          Iterator.single(FunBufOut(u, nFin + hold.size, env, en2, en3))
+      }
+  }
+
   case class DriftIn(lang: String, bucket: String)
   case class DriftState(counts: Map[String, Long], n: Long)
   case class DriftOut(lang: String, delta_grams: Long, kl: Double, drifted: Boolean)
@@ -1964,6 +2064,7 @@ object Streams {
     "x32_tws_drift"            -> (x32_tws_drift _),
     "x31_stream_drift"         -> (x31_stream_drift _),
     "x30_stream_funnel"        -> (x30_stream_funnel _),
+    "x33_stream_funnel_buffered" -> (x33_stream_funnel_buffered _),
     "x29_stream_heavy_hitters" -> (x29_stream_heavy_hitters _),
     "x28_stream_bm25"          -> (x28_stream_bm25 _),
     "x27_stream_perplexity"    -> (x27_stream_perplexity _),
@@ -2000,6 +2101,7 @@ object Streams {
     "x32_tws_drift"            -> graft.queries.TextAnalysis.t29Sql, // same converged reading
     "x31_stream_drift"         -> graft.queries.TextAnalysis.t29Sql, // converged reading = batch
     "x30_stream_funnel"        -> graft.queries.Relational.q21Sql, // same final counters
+    "x33_stream_funnel_buffered" -> graft.queries.Relational.q21Sql, // exact fold incl. late arrivals
     "x29_stream_heavy_hitters" -> graft.queries.TextAnalysis.t17Sql, // sketch never misses
     "x28_stream_bm25"          -> graft.queries.TextAnalysis.t27Sql, // same answers online
     "x27_stream_perplexity"    -> graft.queries.TextAnalysis.t26Sql, // same rows online

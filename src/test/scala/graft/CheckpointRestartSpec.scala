@@ -276,6 +276,64 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(cands.length <= 3, s"sketch capacity exceeded: $cands")
   }
 
+  test("watermark-buffered funnel killed mid-replay keeps buffer + finalized machine") {
+    // L6 on the x33 class: state = the finalized q21 machine PLUS the
+    // watermark-horizon reorder buffer. A restart that lost either would
+    // corrupt the final counters — a lost buffer drops the held events
+    // entirely; a lost machine re-folds only the post-kill chunks. The
+    // per-user final snapshot (max n_seen) across all committed batches
+    // must equal the batch q21 result exactly, over the genuinely
+    // out-of-order jittered replay.
+    val src = Streams.replayStreamDirCols(spark, dir, "events_replay_funnel",
+      Seq("user_id", "event_type"))
+    val base = Files.createTempDirectory("graft_funnel_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val expectedFun: Set[Seq[Any]] = queries.Relational.q21_funnel(spark, dir)
+      .collect().map(_.toSeq).toSet
+    def startFun(availableNow: Boolean) = {
+      val schema = spark.read.parquet(src.resolve("0_chunk.parquet").toString).schema
+      val tag = when(col("event_type") === "view", 0)
+        .when(col("event_type") === "click", 1).otherwise(2)
+      val ds = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .withWatermark("ts", "30 minutes")
+        .filter(col("user_id") >= 0 &&
+                col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+                unix_micros(col("ts")).as("t"), tag.as("tag"))
+        .as[Streams.FunBufEv]
+      Streams.funnelBufferedStateful(ds).toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    val q1 = startFun(availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    // 5 source files: if an unusually fast run committed them all before
+    // the stop, the restart would be a no-op and the state-survival claim
+    // vacuous — cancel rather than pass vacuously
+    assume(committedBatches(out).size < 5, "all batches committed before kill")
+    val q2 = startFun(availableNow = true)
+    q2.awaitTermination()
+    val got = spark.read.parquet(committedBatches(out): _*)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("n_seen").desc)))
+      .filter(col("rn") === 1 && col("n_step3") >= 1)
+      .select(col("user_id"), col("n_views"), col("n_step2"), col("n_step3"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expectedFun)
+  }
+
   test("admission quota killed mid-replay resumes exactly-once (no re-admission)") {
     // L6 on the RATE-LIMITER state: if the admitted-count ValueState were
     // lost at restart, the replayed batches would re-admit up to 5 MORE
