@@ -1471,21 +1471,45 @@ object Streams {
     * (`Similarity.exactDot` against the byte-identical `labelCentroids`),
     * argmax ties break to the smaller label and top-k boundary ties to the
     * smaller vec_id — bit-for-bit s3's ranking; shares `s3Sql`. */
+  /** Nearest-centroid routing over a collected bounded centroid table as a
+    * pure per-row expression — argmax as array_min over (−cdp, cell)
+    * structs: each decimal dot is computed ONCE (a nested when-fold would
+    * duplicate the fold subtree 2^labels times), and min of (−cdp asc,
+    * cell asc) ≡ s3's ORDER BY cdp DESC, label — the identical tie-break.
+    *
+    * Two codegen regimes, switched at `maxLiteral`
+    * (`spark.graft.x26MaxLiteralCells`, default 32): the UNROLLED form
+    * builds one struct subtree per label — fully inlined whole-stage
+    * codegen, but the generated code is O(labels × fold), which at a
+    * large label inventory blows the JIT method limit; above the
+    * threshold the centroid table rides as ONE literal array and the
+    * argmax becomes a runtime `transform` + `array_min` loop — codegen
+    * size O(1), data size O(labels), the replicate-bounded-state routing
+    * table in its array-value form. Both forms run the same exact-decimal
+    * fold per element, so routing decisions are bit-identical
+    * (`QueriesSmokeSpec` pins equality and the size independence). */
+  private[graft] def routeExpr(cents: Seq[(Int, Seq[Double])],
+                               maxLiteral: Int): org.apache.spark.sql.Column = {
+    import graft.queries.Similarity
+    if (cents.length <= maxLiteral)
+      array_min(array(cents.map { case (lab, ce) =>
+        struct((-Similarity.exactDot(col("qemb"), typedlit(ce))).as("ncdp"),
+               lit(lab).as("cell"))
+      }: _*))
+    else
+      array_min(transform(typedlit(cents), c =>
+        struct((-Similarity.exactDot(col("qemb"), c.getField("_2"))).as("ncdp"),
+               c.getField("_1").as("cell"))))
+  }
+
   def x26_stream_ann_topk(s: SparkSession, dir: String): DataFrame = {
     import graft.queries.Similarity
     val cents = graft.plans.BroadcastContract.boundedCollect(
         Similarity.labelCentroids(s, dir), "IVF routing table: one row per label")
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    // argmax as array_min over (−cdp, cell) structs: each decimal dot is
-    // computed ONCE inside the array constructor (a nested when-fold would
-    // duplicate the fold subtree 2^labels times and blow up codegen);
-    // min of (−cdp asc, cell asc) ≡ s3's ORDER BY cdp DESC, label — the
-    // identical tie-break
-    val best = array_min(array(cents.map { case (lab, ce) =>
-      struct((-Similarity.exactDot(col("qemb"), typedlit(ce))).as("ncdp"),
-             lit(lab).as("cell"))
-    }: _*))
+    val best = routeExpr(cents.toSeq,
+      s.conf.get("spark.graft.x26MaxLiteralCells", "32").toInt)
     val routed = embStream(s, dir)
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))

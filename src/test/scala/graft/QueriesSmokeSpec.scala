@@ -459,6 +459,43 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(warm.collect().map(_.toSeq).toSeq == full)
   }
 
+  test("x26 routing falls back to the O(1)-codegen array form above the label threshold") {
+    // the unrolled argmax inlines one exact-decimal fold subtree PER LABEL
+    // — at a synthetic 300-label inventory its expression tree is O(labels)
+    // and would blow codegen; above x26MaxLiteralCells the centroid table
+    // must ride as one literal array with a runtime transform loop whose
+    // tree size is label-count-INDEPENDENT, and both forms must route
+    // every query vector identically (same fold, same tie-break)
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val q0 = Tables.embeddings(spark, dir).limit(1)
+      .select(col("embedding").as("qemb"))
+    def treeSize(c: org.apache.spark.sql.Column): Int = {
+      def go(e: Expression): Int = 1 + e.children.map(go).sum
+      q0.select(c.as("x")).queryExecution.analyzed.expressions.map(go).sum
+    }
+    val mk = (n: Int) => (0 until n).map(l =>
+      (l, Seq.tabulate(64)(i => math.sin(l * 64 + i)))) // deterministic synth centroids
+    val small = mk(8); val big = mk(300)
+    val compact8 = graft.streaming.Streams.routeExpr(small, 0)
+    val compact300 = graft.streaming.Streams.routeExpr(big, 0)
+    assert(treeSize(compact300) == treeSize(compact8),
+      "compact routing tree must not grow with the label inventory")
+    val unrolled300 = graft.streaming.Streams.routeExpr(big, 1000)
+    assert(treeSize(unrolled300) > 100 * treeSize(compact300),
+      "unrolled form unexpectedly small — threshold test is vacuous")
+    // default threshold actually switches: 300 > 32 picks the compact form
+    assert(treeSize(graft.streaming.Streams.routeExpr(big, 32)) == treeSize(compact300))
+    // bit-identical decisions: route real query vectors through both forms
+    val q = Tables.embeddings(spark, dir).limit(20)
+      .select(col("embedding").as("qemb"))
+    val rows = q.select(
+        graft.streaming.Streams.routeExpr(big, 1000).getField("cell").as("a"),
+        graft.streaming.Streams.routeExpr(big, 0).getField("cell").as("b"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getInt(0) == r.getInt(1)),
+      "routing decisions diverge between the unrolled and array forms")
+  }
+
   test("cluster card partitions the corpus and bounds its moments (s14)") {
     val rows = graft.queries.Similarity.s14_cluster_card(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
