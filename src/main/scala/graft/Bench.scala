@@ -71,6 +71,12 @@ object Bench {
         queries.Dedup.clearShared()
         queries.Graph.clearShared()
         queries.TextAnalysis.clearShared()
+        // clearing the caches drops the REFERENCES, but every
+        // localCheckpoint's RDD blocks stay in the block manager until GC —
+        // across 178 queries × 3 runs the accumulated blocks inflate later
+        // queries' timings (heap pressure + block-manager bookkeeping).
+        // Cold isolation includes STORAGE: drop the blocks too.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
       val t0 = System.nanoTime()
       // failures must be LOUD in the artifact itself, not just stderr: a
