@@ -179,6 +179,7 @@ object Similarity {
     pairsCache.clear()
     coarseCache.clear()
     ivfpqCache.clear()
+    ivfpqSettledCache.clear()
   }
 
   /** S2 random-hyperplane LSH near-dup: 16 sign bits, 2×8-bit bands,
@@ -526,11 +527,11 @@ object Similarity {
     s"""$elemsSqlCte, sub AS (
       |  SELECT vec_id, i // 8 AS j, i, v FROM e
       |)""".stripMargin
-  private def pqCandCte(name: String, cb: String): String =
+  private def pqCandCte(name: String, cb: String, src: String = "sub"): String =
     s"""$name AS (
       |  SELECT d.vec_id, d.j, $cb.c,
       |         sum(((d.v - $cb.cv) * (d.v - $cb.cv))::DECIMAL(30,20))::DOUBLE AS sqd
-      |  FROM sub d JOIN $cb ON $cb.j = d.j AND $cb.i = d.i
+      |  FROM $src d JOIN $cb ON $cb.j = d.j AND $cb.i = d.i
       |  GROUP BY 1, 2, 3
       |)""".stripMargin
   private def pqEncCte(name: String, cand: String): String =
@@ -665,36 +666,44 @@ object Similarity {
   private def ivfpqIndex(s: SparkSession, dir: String, ex: Boolean): IvfPqIndex = {
     def build: IvfPqIndex = {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val coarse = trainCoarse(s, dir, ex)
-      // cell assignment for every vector (corpus side: nearest cell only)
-      val asg = assignToNearest(emb, coarse, ex)
-        .select(col("vec_id"), col("cluster").as("cell"), col("embedding"), col("cemb"))
-        .localCheckpoint() // consumed by residuals and the code-cell join
-      // residual elements (vec_id, cell, j, i, v): v − centroid[cell], long form
-      val res = asg.select(col("vec_id"), col("cell"),
-          posexplode(zip_with(col("embedding"), col("cemb"),
-            (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
-        .select(col("vec_id"), col("cell"), expr("i div 8").as("j"), col("i"), col("v"))
-        .localCheckpoint()
-      val sub = res.select(col("vec_id"), col("j"), col("i"), col("v"))
-      // residual codebook: anchor subvectors refined by one Lloyd step (s6)
-      val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
-        .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
-      val enc0 = pqEncode(pqCand(sub, cb0, materialize = false))
-      val cb1 = sub.join(enc0, Seq("vec_id", "j"))
-        .groupBy(col("j"), col("c"), col("i"))
-        .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
-        .localCheckpoint() // ≤ 8×4×8 rows; shared by cand1 + multi-probe LUTs
-      val cand1 = pqCand(sub, cb1) // checkpointed; encoder + 1-probe LUT share it
-      val codes = pqEncode(cand1)
-        // cell lookup from the 1-row-per-vector asg, not a |res|-row distinct
-        .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
-        .localCheckpoint() // the served codes: argmin window runs once, not per query
-      IvfPqIndex(coarse, asg, cb1, cand1, codes)
+      buildIndexOn(emb, trainCoarse(s, dir, ex), ex)
     }
     if (s.conf.get("spark.graft.ivfpqShared", "true").toBoolean)
       QUtil.cachedPerSession(ivfpqCache, s, (dir, ex))(build)
     else build
+  }
+
+  /** Assignment + residual encode + codebook refinement against an
+    * arbitrary corpus relation and trained coarse quantizer — the full
+    * index build, shared by [[ivfpqIndex]] (whole corpus) and
+    * [[ivfpqSettledIndex]] (the settled slice of s18's incremental
+    * maintenance). */
+  private def buildIndexOn(emb: DataFrame, coarse: DataFrame, ex: Boolean): IvfPqIndex = {
+    // cell assignment for every vector (corpus side: nearest cell only)
+    val asg = assignToNearest(emb, coarse, ex)
+      .select(col("vec_id"), col("cluster").as("cell"), col("embedding"), col("cemb"))
+      .localCheckpoint() // consumed by residuals and the code-cell join
+    // residual elements (vec_id, cell, j, i, v): v − centroid[cell], long form
+    val res = asg.select(col("vec_id"), col("cell"),
+        posexplode(zip_with(col("embedding"), col("cemb"),
+          (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
+      .select(col("vec_id"), col("cell"), expr("i div 8").as("j"), col("i"), col("v"))
+      .localCheckpoint()
+    val sub = res.select(col("vec_id"), col("j"), col("i"), col("v"))
+    // residual codebook: anchor subvectors refined by one Lloyd step (s6)
+    val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
+      .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
+    val enc0 = pqEncode(pqCand(sub, cb0, materialize = false))
+    val cb1 = sub.join(enc0, Seq("vec_id", "j"))
+      .groupBy(col("j"), col("c"), col("i"))
+      .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
+      .localCheckpoint() // ≤ 8×4×8 rows; shared by cand1 + multi-probe LUTs
+    val cand1 = pqCand(sub, cb1) // checkpointed; encoder + 1-probe LUT share it
+    val codes = pqEncode(cand1)
+      // cell lookup from the 1-row-per-vector asg, not a |res|-row distinct
+      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .localCheckpoint() // the served codes: argmin window runs once, not per query
+    IvfPqIndex(coarse, asg, cb1, cand1, codes)
   }
 
   /** The IVF-PQ candidate-scoring pipeline shared by [[s7_ivfpq_topk]]
@@ -1899,6 +1908,160 @@ object Similarity {
       |SELECT query_id, doc_id, rrf_micro, n_lists, rk
       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** The SETTLED half of [[s18_ivfpq_incremental]]: coarse quantizer
+    * trained on the settled corpus ONLY (seed = settled ids < 10, two
+    * Lloyd iterations over settled vectors), settled assignment, a
+    * settled-trained residual codebook, and the settled candidate/code
+    * tables — exactly the persisted artifact a production vector store
+    * keeps warm between crawl increments. Staged per (session, dir,
+    * precision); Bench clears it per timed run (the warm form is the
+    * KEEP_SHARED study). */
+  private[graft] def ivfpqSettledIndex(s: SparkSession, dir: String,
+                                       ex: Boolean): IvfPqIndex =
+    QUtil.cachedPerSession(ivfpqSettledCache, s, (dir, ex)) {
+      val embS = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 10 =!= 0)
+      buildIndexOn(embS, trainCoarseOn(embS, ex, 10), ex)
+    }
+
+  private val ivfpqSettledCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), IvfPqIndex]()
+
+  /** The delta fold of [[s18_ivfpq_incremental]], factored for the
+    * append-only spec: delta vectors assigned via the FROZEN settled
+    * coarse quantizer and residual-encoded via the FROZEN refined
+    * codebook. Returns (delta assignment, delta candidate table, delta
+    * codes) — increment work is O(|delta|·(k + codebook)), and nothing
+    * settled is recomputed. */
+  private[graft] def s18DeltaFold(s: SparkSession, dir: String, ex: Boolean,
+                                  idxS: IvfPqIndex): (DataFrame, DataFrame, DataFrame) = {
+    val embD = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 === 0)
+    val asgD = assignToNearest(embD, idxS.coarse, ex)
+      .select(col("vec_id"), col("cluster").as("cell"), col("embedding"), col("cemb"))
+      .localCheckpoint() // residual encode + the code-cell join consume it
+    val subD = asgD.select(col("vec_id"),
+        posexplode(zip_with(col("embedding"), col("cemb"),
+          (x, c) => x.cast("double") - c)).as(Seq("i", "v")))
+      .select(col("vec_id"), expr("i div 8").as("j"), col("i"), col("v"))
+    val candD = pqCand(subD, idxS.cb1) // checkpointed: encoder + delta-query LUT share it
+    val codesD = pqEncode(candD)
+      .join(asgD.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    (asgD, candD, codesD)
+  }
+
+  /** S18: INCREMENTAL IVF-PQ INDEX MAINTENANCE — t30/d13's
+    * settled-vs-delta discipline applied to the VECTOR index: a production
+    * ANN deployment never retrains per increment; the coarse quantizer and
+    * residual codebook are FROZEN artifacts of the settled corpus
+    * (faiss's train-once contract), and each crawl increment only
+    * assigns + encodes its own vectors against them and appends the
+    * codes. Serving then scores the merged (settled ∪ delta) code table —
+    * s7's single-probe ADC machinery unchanged.
+    *
+    * The frozen-pieces invariant is what makes the increment EXACT: the
+    * merged index is bit-identical to an all-at-once encode of the full
+    * corpus under the settled-trained quantizer/codebook, which is what
+    * the oracle computes — so the incremental engine dataflow hash-matches
+    * a batch oracle. (Distribution DRIFT between settled and delta is the
+    * residual risk production monitors — t29/x31's KL alarm is exactly
+    * the gate that decides when to retrain and rebuild.)
+    *
+    * Scale shape: increment cost is O(|delta|) broadcasts against the
+    * k-row coarse and 32-row codebook relations plus the delta argmin
+    * windows; settled codes are never touched (append-only, spec-pinned);
+    * the serve is the cell-pruned ADC scan. Queries here are the %100
+    * contract — all delta by arithmetic (100 | q ⇒ 10 | q): the
+    * new-arrivals-query-the-index serving shape. */
+  def s18_ivfpq_incremental(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val idxS = ivfpqSettledIndex(s, dir, ex)
+    val (asgD, candD, codesD) = s18DeltaFold(s, dir, ex, idxS)
+    val codes = idxS.codes.unionByName(codesD)
+    val cand = idxS.cand1.unionByName(candD)
+    val asgAll = idxS.asg.select(col("vec_id"), col("cell"))
+      .unionByName(asgD.select(col("vec_id"), col("cell")))
+    // s7's single-probe fast path over the merged tables: a query's
+    // probe-1 cell IS its frozen-coarse assignment, so the LUT reads off
+    // the candidate rows the encode already computed
+    val lut = cand.filter(col("vec_id") % 100 === 0)
+      .join(asgAll, Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("cell"), col("j"), col("c"),
+              floor(col("sqd") * 1000000.0).cast("long").as("lm"))
+    codes.join(broadcast(lut), Seq("cell", "j", "c")) // cell-pruned ADC scan
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("cell"), col("vec_id"))
+      .agg(sum(col("lm")).as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("cell"), col("vec_id").as("n_id"),
+              col("score_micro"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** s18 oracle: the all-at-once batch form of the frozen-index contract —
+    * coarse training and codebook refinement restricted to the settled
+    * slice (`es`/`subs`), assignment/encode/serve over the FULL corpus
+    * against those frozen relations. The engine's settled-build + delta-
+    * append dataflow must hash-match this because the frozen pieces make
+    * increment order irrelevant. */
+  val s18Sql: String = {
+    val settledTrain =
+      s"""es AS (
+         |  SELECT * FROM e WHERE vec_id % 10 <> 0
+         |), c0 AS (
+         |  SELECT vec_id AS cluster, i, v AS cv FROM es WHERE vec_id < 10
+         |), c1 AS (
+         |${assignAndMeanSql("c0", "es")}
+         |), c2 AS (
+         |${assignAndMeanSql("c1", "es")}
+         |)""".stripMargin
+    s"""WITH $elemsSqlCte, $settledTrain, asg AS (
+      |  SELECT vec_id, cluster AS cell FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), sub AS (
+      |  SELECT e.vec_id, e.i // 8 AS j, e.i, e.v - c.cv AS v
+      |  FROM e JOIN asg a USING (vec_id) JOIN c2 c ON c.cluster = a.cell AND c.i = e.i
+      |), subs AS (
+      |  SELECT * FROM sub WHERE vec_id % 10 <> 0
+      |), $pqCb0Cte,
+      |${pqCandCte("cand0", "cb0", "subs")},
+      |${pqEncCte("enc0", "cand0")},
+      |cb1 AS (
+      |  SELECT s.j, en.c, s.i,
+      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |  FROM subs s JOIN enc0 en ON en.vec_id = s.vec_id AND en.j = s.j
+      |  GROUP BY 1, 2, 3
+      |),
+      |${pqCandCte("cand1", "cb1")},
+      |${pqEncCte("enc1", "cand1")},
+      |codes AS (
+      |  SELECT en.vec_id, a.cell, en.j, en.c FROM enc1 en JOIN asg a USING (vec_id)
+      |), qcell AS (
+      |  SELECT vec_id AS q_id, cell FROM asg WHERE vec_id % 100 = 0
+      |), lut AS (
+      |  SELECT ca.vec_id AS q_id, qc.cell, ca.j, ca.c,
+      |         floor(ca.sqd * 1000000.0)::BIGINT AS lm
+      |  FROM cand1 ca JOIN qcell qc ON qc.q_id = ca.vec_id
+      |), sc AS (
+      |  SELECT l.q_id, l.cell, d.vec_id AS n_id, sum(l.lm)::BIGINT AS score_micro
+      |  FROM codes d JOIN lut l ON l.cell = d.cell AND l.j = d.j AND l.c = d.c
+      |  WHERE d.vec_id <> l.q_id GROUP BY 1, 2, 3
+      |), ranked AS (
+      |  SELECT q_id, cell, n_id, score_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |  FROM sc)
+      |SELECT q_id, cell, n_id, score_micro, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** S17: HARD-NEGATIVE MINING — the pair miner that feeds contrastive
     * embedding training (SimCSE/DPR-style): for each anchor, the k most
     * SIMILAR vectors with a DIFFERENT label — near the anchor in embedding
@@ -1962,6 +2125,7 @@ object Similarity {
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_ivfpq_incremental" -> (s18_ivfpq_incremental _),
     "s17_hard_negatives" -> (s17_hard_negatives _),
     "s16_hybrid_rrf" -> (s16_hybrid_rrf _),
     "s16_hybrid_rrf_ivf" -> (s16_hybrid_rrf_ivf _),
@@ -1984,6 +2148,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   lazy val oracles: Map[String, String] = Map(
+    "s18_ivfpq_incremental" -> s18Sql,
     "s17_hard_negatives" -> s17Sql,
     "s16_hybrid_rrf" -> s16Sql,
     "s16_hybrid_rrf_ivf" -> s16IvfSql,

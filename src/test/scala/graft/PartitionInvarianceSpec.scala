@@ -46,7 +46,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "c2_semdedup_ann" -> (() => queries.Similarity.c2_semdedup_ann(spark, dir)),
     // the incremental index's semi/anti merge split + per-side prune
     // windows must pick identical survivors under any partitioning
-    "t30_bm25_incremental" -> (() => queries.TextAnalysis.t30_bm25_incremental(spark, dir)))
+    "t30_bm25_incremental" -> (() => queries.TextAnalysis.t30_bm25_incremental(spark, dir)),
+    // the incremental vector index: settled/delta union + per-vector argmin
+    // windows + the merged ADC rank chain under any partitioning
+    "s18_ivfpq_incremental" -> (() => queries.Similarity.s18_ivfpq_incremental(spark, dir)))
 
   for ((name, mk) <- cases)
     test(s"$name is invariant under shuffle-partition count (1, 3, 7)") {

@@ -255,6 +255,27 @@ class SimilaritySpec extends SparkSpec {
                   "spark.graft.semdedupRouteCells").foreach(spark.conf.unset)
   }
 
+  test("incremental IVF-PQ is append-only: the delta fold never touches settled codes") {
+    // the frozen-index contract behind s18's batch oracle: the settled
+    // index's code table is a persisted artifact; an increment may only
+    // APPEND delta rows. Assert the partition is exact — settled codes
+    // cover exactly the settled ids (8 subspace codes each), the delta
+    // fold emits exactly the delta ids, and the two are disjoint.
+    val dir = "/root/testdata/sf0.001"
+    val idxS = Similarity.ivfpqSettledIndex(spark, dir, ex = true)
+    val (_, _, codesD) = Similarity.s18DeltaFold(spark, dir, ex = true, idxS)
+    val n = Tables.embeddings(spark, dir).count()
+    val nDelta = Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0).count()
+    val settledIds = idxS.codes.select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val deltaIds = codesD.select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(deltaIds.nonEmpty && deltaIds.forall(_ % 10 == 0), "non-delta id in the delta fold")
+    assert(settledIds.forall(_ % 10 != 0), "delta id leaked into the settled index")
+    assert((settledIds ++ deltaIds).size.toLong == n, "merged codes do not cover the corpus")
+    assert(idxS.codes.count() == (n - nDelta) * 8 && codesD.count() == nDelta * 8,
+      "expected exactly 8 subspace codes per vector on each side")
+  }
+
   test("native hyperplane_fp equals the composed per-bit double folds bit-for-bit") {
     // the fused one-pass fingerprint must reproduce the composed
     // aggregate(zip_with) double folds exactly — same plane arithmetic,
