@@ -263,6 +263,12 @@ object Similarity {
     * scoring must reproduce the oracle's decimal folds bit-for-bit). */
   private[graft] def exactDot(a: Column, b: Column): Column = dot(a, b, exact = true)
 
+  /** The exact-decimal squared distance, shared the same way (x34's
+    * per-row routing/encode folds). Works at any array length — the
+    * 64-dim assignment fold and the 8-dim subspace folds alike. */
+  private[graft] def exactSqDist(a: Column, b: Column): Column =
+    sqDist(a, b, exact = true)
+
   def s3_ivf_topk(s: SparkSession, dir: String): DataFrame = {
     val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir)
@@ -694,10 +700,13 @@ object Similarity {
     val cb0 = sub.filter(col("vec_id").isin(1, 2, 3, 4))
       .select(col("vec_id").as("c"), col("j"), col("i"), col("v").as("cv"))
     val enc0 = pqEncode(pqCand(sub, cb0, materialize = false))
-    val cb1 = sub.join(enc0, Seq("vec_id", "j"))
-      .groupBy(col("j"), col("c"), col("i"))
-      .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv"))
-      .localCheckpoint() // ≤ 8×4×8 rows; shared by cand1 + multi-probe LUTs
+    val cb1 = graft.plans.BroadcastContract.boundedCheckpoint(
+      sub.join(enc0, Seq("vec_id", "j"))
+        .groupBy(col("j"), col("c"), col("i"))
+        .agg((sum(col("v").cast(DEC)).cast("double") / count(lit(1))).as("cv")),
+      "refined residual codebook: ≤ 8×4×8 rows by construction")
+      // shared by cand1 + multi-probe LUTs; registered bounded so x34's
+      // replicate-bounded-state collect passes the structural walk
     val cand1 = pqCand(sub, cb1) // checkpointed; encoder + 1-probe LUT share it
     val codes = pqEncode(cand1)
       // cell lookup from the 1-row-per-vector asg, not a |res|-row distinct
@@ -2006,7 +2015,10 @@ object Similarity {
     * against those frozen relations. The engine's settled-build + delta-
     * append dataflow must hash-match this because the frozen pieces make
     * increment order irrelevant. */
-  val s18Sql: String = {
+  /** The frozen-index CTE chain (settled-restricted training, full-corpus
+    * assignment/encode) through the merged `codes` relation — shared by
+    * the s18 serve oracle and x34's online-ingest oracle. */
+  private val s18IndexCtes: String = {
     val settledTrain =
       s"""es AS (
          |  SELECT * FROM e WHERE vec_id % 10 <> 0
@@ -2017,7 +2029,7 @@ object Similarity {
          |), c2 AS (
          |${assignAndMeanSql("c1", "es")}
          |)""".stripMargin
-    s"""WITH $elemsSqlCte, $settledTrain, asg AS (
+    s"""$elemsSqlCte, $settledTrain, asg AS (
       |  SELECT vec_id, cluster AS cell FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
@@ -2044,7 +2056,18 @@ object Similarity {
       |${pqEncCte("enc1", "cand1")},
       |codes AS (
       |  SELECT en.vec_id, a.cell, en.j, en.c FROM enc1 en JOIN asg a USING (vec_id)
-      |), qcell AS (
+      |)""".stripMargin
+  }
+
+  /** x34's oracle: the frozen-index chain's DELTA code rows — exactly the
+    * rows the online ingest must emit per arriving delta vector. */
+  def s18DeltaCodesSql: String =
+    s"""WITH $s18IndexCtes
+      |SELECT vec_id, cell, j::BIGINT AS j, c FROM codes
+      |WHERE vec_id % 10 = 0 ORDER BY vec_id, j""".stripMargin
+
+  val s18Sql: String = {
+    s"""WITH $s18IndexCtes, qcell AS (
       |  SELECT vec_id AS q_id, cell FROM asg WHERE vec_id % 100 = 0
       |), lut AS (
       |  SELECT ca.vec_id AS q_id, qc.cell, ca.j, ca.c,

@@ -1533,6 +1533,65 @@ object Streams {
       .orderBy("q_id", "rank")
   }
 
+  /** X34: ONLINE INDEX INGEST — the streaming half of s18's incremental
+    * vector index: delta embeddings ARRIVE as traffic and each is routed
+    * and PQ-encoded against the FROZEN settled index entirely as per-row
+    * expressions — the O(1)-per-row ingest path a production vector store
+    * runs at write time (x26 is the read path; together they close the
+    * serving loop). Both frozen artifacts are structurally bounded and
+    * fold in via the sanctioned replicate-bounded-state move
+    * (`boundedCollect`): the k-row settled coarse quantizer becomes a
+    * nearest-cell argmin over literals (x26's array_min form, distance
+    * metric instead of dot, the winning centroid carried in the struct so
+    * the residual reuses it); the ≤ 8×4 subvector codebook becomes eight
+    * per-subspace argmins over the residual slices. No state store, no
+    * watermark, no shuffle — a pure stateless projection that scales with
+    * arrival rate alone (x24's class).
+    *
+    * Exactness: every fold is the proven exact-decimal sqDist; assignment
+    * ties break (dist, cluster) and code ties (sqd, c) — bit-for-bit the
+    * batch encoder's windows, so the emitted (vec_id, cell, j, code) rows
+    * hash-match the frozen-index oracle's delta code rows
+    * ([[graft.queries.Similarity.s18DeltaCodesSql]]). */
+  def x34_stream_index_ingest(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Similarity
+    val idxS = Similarity.ivfpqSettledIndex(s, dir, ex = true)
+    val cents = graft.plans.BroadcastContract.boundedCollect(idxS.coarse,
+        "frozen settled coarse quantizer: k rows by seeding")
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    // codebook rows (j, c, i, cv) → per-subspace (c, 8-dim subvector)
+    val cbByJ = graft.plans.BroadcastContract.boundedCollect(idxS.cb1,
+        "frozen residual codebook: <= 8x4x8 rows by construction")
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (j, rows) =>
+        j -> rows.groupBy(_._2).map { case (c, dims) =>
+          c -> dims.sortBy(_._3).map(_._4).toSeq
+        }.toSeq.sortBy(_._1)
+      }
+    // nearest settled cell, winning centroid carried for the residual
+    val best = array_min(array(cents.map { case (cl, ce) =>
+      struct(Similarity.exactSqDist(col("embedding"), typedlit(ce)).as("d"),
+             lit(cl).as("cell"), typedlit(ce).as("cemb"))
+    }: _*))
+    val codesOf = (0 until 8).map { j =>
+      val subJ = slice(col("res"), j * 8 + 1, 8)
+      val bestCode = array_min(array(cbByJ(j).map { case (c, cvs) =>
+        struct(Similarity.exactSqDist(subJ, typedlit(cvs)).as("d"), lit(c).as("c"))
+      }: _*))
+      struct(lit(j.toLong).as("j"), bestCode.getField("c").as("c"))
+    }
+    val out = embStream(s, dir)
+      .filter(col("vec_id") % 10 === 0) // the arriving delta slice
+      .withColumn("best", best)
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        zip_with(col("embedding"), col("best.cemb"),
+          (x, c) => x.cast("double") - c).as("res"))
+      .select(col("vec_id"), col("cell"), explode(array(codesOf: _*)).as("jc"))
+      .select(col("vec_id"), col("cell"), col("jc.j").as("j"), col("jc.c").as("c"))
+    runToMemory(out, OutputMode.Append(), s"x34_mem_${System.nanoTime()}")
+      .orderBy("vec_id", "j")
+  }
+
   case class PplIn(doc_id: Long, lang: String, lp_micro: Long)
   case class PplOut(doc_id: Long, lang: String, n_bigrams: Long,
                     avg_nll: Double, ppl_bucket: String)
@@ -2089,6 +2148,7 @@ object Streams {
     "x31_stream_drift"         -> (x31_stream_drift _),
     "x30_stream_funnel"        -> (x30_stream_funnel _),
     "x33_stream_funnel_buffered" -> (x33_stream_funnel_buffered _),
+    "x34_stream_index_ingest"  -> (x34_stream_index_ingest _),
     "x29_stream_heavy_hitters" -> (x29_stream_heavy_hitters _),
     "x28_stream_bm25"          -> (x28_stream_bm25 _),
     "x27_stream_perplexity"    -> (x27_stream_perplexity _),
@@ -2126,6 +2186,7 @@ object Streams {
     "x31_stream_drift"         -> graft.queries.TextAnalysis.t29Sql, // converged reading = batch
     "x30_stream_funnel"        -> graft.queries.Relational.q21Sql, // same final counters
     "x33_stream_funnel_buffered" -> graft.queries.Relational.q21Sql, // exact fold incl. late arrivals
+    "x34_stream_index_ingest"  -> graft.queries.Similarity.s18DeltaCodesSql,
     "x29_stream_heavy_hitters" -> graft.queries.TextAnalysis.t17Sql, // sketch never misses
     "x28_stream_bm25"          -> graft.queries.TextAnalysis.t27Sql, // same answers online
     "x27_stream_perplexity"    -> graft.queries.TextAnalysis.t26Sql, // same rows online

@@ -424,6 +424,19 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(ref.map(_._2).sum / ref.length > rest.map(_._2).sum / rest.length)
   }
 
+  test("online index ingest emits exactly the batch delta codes (x34 = s18 fold)") {
+    // the write path's fidelity contract: per-row expression routing +
+    // encoding against the frozen index must reproduce the batch delta
+    // fold's argmin windows bit-for-bit (same folds, same tie-breaks)
+    val idxS = graft.queries.Similarity.ivfpqSettledIndex(spark, dir, ex = true)
+    val (_, _, codesD) = graft.queries.Similarity.s18DeltaFold(spark, dir, ex = true, idxS)
+    val batch = codesD.select(col("vec_id"), col("cell"), col("j"), col("c"))
+      .collect().map(_.toSeq).toSet
+    val online = graft.streaming.Streams.x34_stream_index_ingest(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(online.nonEmpty && online == batch)
+  }
+
   test("online BM25 serves exactly the batch answers (x28 = t27)") {
     val batch = graft.queries.TextAnalysis.t27_bm25(spark, dir)
       .collect().map(_.toSeq).toSet
