@@ -15,6 +15,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-conf knob for scale studies (mirrors Bench): non-default
+    // knobs generally trade oracle hash-equality for the production shape,
+    // so the driver never sets this — it's for local measurement dumps
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: GRAFT_VERIFY_ONLY=q14_cube,q15_asof_join
     // dumps just those queries (the driver never sets it → full run)

@@ -1213,9 +1213,33 @@ object Similarity {
     val k = s.conf.get("spark.graft.semdedupK", "10").toInt
     val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
     val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
+    val p = s.conf.get("spark.graft.semdedupRouteProbes", "2").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     // 1. bounded-sample training: O(m·k), corpus-size-independent
     val coarse = trainCoarseOn(emb.filter(col("vec_id") < m), ex, k)
+    val asg = annAssign(emb, coarse, ex, g, p)
+      .withColumn("n2", dot(col("embedding"), col("embedding"), ex))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("dist"), col("n2"))
+      .localCheckpoint()
+    semdedupPrune(asg, ex)
+  }
+
+  /** The two-level ANN-routed assignment shared by [[c2_semdedup_ann]] and
+    * [[c2_assign_audit]]: g pilot cells partition the k centroids by
+    * nearest-pilot; each vector routes to its `p` nearest pilots
+    * (g distances) then scores only those pilots' groups (~p·k/g).
+    * MULTI-PROBE is the standard recall knob of two-level routing — a
+    * vector near a pilot boundary finds its true centroid in the second
+    * probe. The default p = 2 was DECIDED BY [[c2_assign_audit]]'s
+    * measurement at the production shape (sf1, k = 100, g = 10):
+    * single-probe agreement with the exhaustive assignment is 32%;
+    * p = 2 and p = 3 are measured in STRESS_sf1.md, and SemDeDup's
+    * keep-the-outlier semantics only need locality, so the audited
+    * agreement-vs-cost curve is exactly the tuning signal production
+    * uses. Returns (vec_id, embedding, cell, dist) with `dist` the exact
+    * distance to the ROUTED centroid. */
+  private def annAssign(emb: DataFrame, coarse: DataFrame, ex: Boolean,
+                        g: Int, p: Int): DataFrame = {
     val pilots = coarse.filter(col("cluster") < g)
       .select(col("cluster").as("pcell"), col("cemb").as("pemb"))
     // 2a. the centroid index: each trained centroid joins its nearest
@@ -1226,31 +1250,71 @@ object Similarity {
         Window.partitionBy(col("cluster")).orderBy(col("pdist"), col("pcell"))))
       .filter(col("rn") === 1)
       .select(col("pcell"), col("cluster"), col("cemb"))
-    // 2b. route every vector to its pilot (g distances per vector) …
+    // 2b. route every vector to its p nearest pilots (g distances) …
     val v2p = emb.crossJoin(broadcast(pilots))
       .withColumn("pdist", sqDist(col("embedding"), col("pemb"), ex))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("pdist"), col("pcell"))))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= p)
       .select(col("vec_id"), col("embedding"), col("pcell"))
-    // … then score only that pilot's centroid group (~k/g per vector)
-    val asg = v2p.join(broadcast(cindex), Seq("pcell"))
+    // … then score only those pilots' centroid groups (~p·k/g per vector;
+    // groups are disjoint — cindex maps each centroid to exactly one pilot)
+    v2p.join(broadcast(cindex), Seq("pcell"))
       .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
       .filter(col("rn") === 1)
-      .withColumn("n2", dot(col("embedding"), col("embedding"), ex))
-      .select(col("vec_id"), col("cluster").as("cell"), col("embedding"),
-              col("dist"), col("n2"))
-      .localCheckpoint()
-    semdedupPrune(asg, ex)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("cell"), col("dist"))
+  }
+
+  /** C2-ASSIGN-AUDIT: the ANN routing's approximation MEASURED — s8/s12's
+    * audit discipline applied to c2-ann's assignment: under the SAME
+    * sampled-trained centroids, compare the exhaustive nearest-centroid
+    * assignment (the n·k pass the router replaces) with the two-level
+    * route, per routed cell: size, exact-agreement count and rate, and
+    * the summed routed-distance EXCESS over the true nearest distance
+    * (micro units — 0 exactly when routing found the true cell, since the
+    * routed distance can never beat the exhaustive minimum). This is the
+    * number that decides g in production — the recall/cost trade of the
+    * assignment stage, measured instead of asserted, isolating the
+    * ROUTING loss from the (orthogonal) sampling loss.
+    *
+    * Cost: one exhaustive pass + one routed pass — an audit run on a
+    * sample at scale exactly like s8; the comparison join is 1 row per
+    * vector per side. */
+  def c2_assign_audit(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val k = s.conf.get("spark.graft.semdedupK", "10").toInt
+    val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
+    val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
+    val p = s.conf.get("spark.graft.semdedupRouteProbes", "2").toInt
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val coarse = trainCoarseOn(emb.filter(col("vec_id") < m), ex, k)
+    val exact = assignToNearest(emb, coarse, ex)
+      .withColumn("dist_e", sqDist(col("embedding"), col("cemb"), ex))
+      .select(col("vec_id"), col("cluster").as("cell_exact"), col("dist_e"))
+    val ann = annAssign(emb, coarse, ex, g, p)
+      .select(col("vec_id"), col("cell").as("cell_ann"), col("dist").as("dist_a"))
+    ann.join(exact, Seq("vec_id"))
+      .groupBy(col("cell_ann"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(when(col("cell_ann") === col("cell_exact"), 1L).otherwise(0L)).as("n_match"),
+           sum(floor((col("dist_a") - col("dist_e")) * 1000000.0 + 0.5).cast("long"))
+             .as("excess_micro"))
+      .select(col("cell_ann").as("cell"), col("n_vecs"), col("n_match"),
+              round4(col("n_match").cast("double") / col("n_vecs")).as("match_rate"),
+              col("excess_micro"))
+      .orderBy("cell")
   }
 
   /** c2-ann oracle: sampled Lloyd chain (the c0→c1→c2 CTEs restricted to
     * the `vec_id < 1024` sample), pilot cells, the centroid→pilot index,
     * two-level vector routing, then c2's pair/prune CTEs verbatim over the
     * routed assignment. */
-  val c2AnnSql: String = {
+  /** The sampled-training + two-level-routing CTE chain (through the
+    * routed `asgd` relation) — shared by the c2-ann and c2-audit
+    * oracles. */
+  private val annRouteCtesSql: String = {
     val sampleTrainCtes =
       s"""es AS (
          |  SELECT * FROM e WHERE vec_id < 1024
@@ -1261,7 +1325,7 @@ object Similarity {
          |), c2 AS (
          |${assignAndMeanSql("c1", "es")}
          |)""".stripMargin
-    s"""WITH $elemsSqlCte, $sampleTrainCtes, pil AS (
+    s"""$sampleTrainCtes, pil AS (
       |  SELECT cluster AS pcell, i, cv AS pv FROM c2 WHERE cluster < 4
       |), cidx AS (
       |  SELECT pcell, cluster FROM (
@@ -1280,7 +1344,7 @@ object Similarity {
       |                 p.pcell) AS rn
       |    FROM e JOIN pil p USING (i)
       |    GROUP BY e.vec_id, p.pcell)
-      |  WHERE rn = 1
+      |  WHERE rn <= 2
       |), asgd AS (
       |  SELECT vec_id, cluster AS cell, dist FROM (
       |    SELECT e.vec_id, c.cluster,
@@ -1294,7 +1358,11 @@ object Similarity {
       |    JOIN c2 c ON c.cluster = x.cluster AND c.i = e.i
       |    GROUP BY e.vec_id, c.cluster)
       |  WHERE rn = 1
-      |), norms AS (
+      |)""".stripMargin
+  }
+
+  val c2AnnSql: String =
+    s"""WITH $elemsSqlCte, $annRouteCtesSql, norms AS (
       |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
       |  FROM e GROUP BY 1
       |), pr AS (
@@ -1318,7 +1386,29 @@ object Similarity {
       |  r.vec_id IS NULL AS kept
       |FROM asgd a LEFT JOIN rem r USING (vec_id)
       |ORDER BY a.vec_id""".stripMargin
-  }
+
+  /** c2-audit oracle: the routed chain plus a dist-retaining EXHAUSTIVE
+    * assignment against the same sampled-trained centroids; per routed
+    * cell, agreement counts and the summed routed-distance excess. */
+  val c2AuditSql: String =
+    s"""WITH $elemsSqlCte, $annRouteCtesSql, asge AS (
+      |  SELECT vec_id, cluster AS cell_exact, dist AS dist_e FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS dist,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |)
+      |SELECT a.cell, count(*)::BIGINT AS n_vecs,
+      |  sum(CASE WHEN a.cell = x.cell_exact THEN 1 ELSE 0 END)::BIGINT AS n_match,
+      |  floor(sum(CASE WHEN a.cell = x.cell_exact THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*) * 10000.0 + 0.5) / 10000.0 AS match_rate,
+      |  sum(floor((a.dist - x.dist_e) * 1000000.0 + 0.5)::BIGINT)::BIGINT AS excess_micro
+      |FROM asgd a JOIN asge x USING (vec_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** S11: per-class kNN-GRAPH construction — the first s-query with an
     * UNBOUNDED query side: EVERY vector finds its top-3 same-label
@@ -2147,9 +2237,105 @@ object Similarity {
       |SELECT q_id, q_label, n_id, n_label, cosine, rank FROM ranked
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** S17-IVF: hard-negative mining SERVED FROM THE IVF-PQ INDEX — the
+    * drop-in [[s17_hard_negatives]] declares (its brute-force scan is the
+    * correctness baseline, O(|Q|·N·D)): the candidate stream is the staged
+    * index's single-probe ADC scan ([[ivfpqIndex]] — cell-pruned integer
+    * LUT sums), the per-query DYNAMIC label ≠ predicate filters that
+    * stream BEFORE any ranking (s15's pre-filter semantics — ineligible
+    * same-label rows never occupy a shortlist slot, so the depth-10
+    * shortlist is 10 *eligible* negatives, not 10-minus-collisions), and
+    * the surviving shortlist is exactly re-ranked by true cosine (s13's
+    * refine discipline) for the top-3 hardest negatives per anchor.
+    *
+    * Scale shape: the label predicate evaluates on the scored candidate
+    * relation — one row per (query, candidate in the probed cell), already
+    * ~1/cells of the corpus; at production cell counts it pushes further
+    * down to the code scan as a label column on the code table (same
+    * relational move s15 makes below the cell join). The re-rank touches
+    * R = 10 raw vectors per query; fusion of the two ranking stages stays
+    * inside one narrow-shuffle window chain (scalar columns only). ADC
+    * shortlist contents differ from the exact scan exactly as s10's recall
+    * audit measures — the standard serving trade, here on the mining path
+    * that feeds contrastive training. */
+  def s17_hard_negatives_ivf(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              dot(col("embedding"), col("embedding"), ex).as("n2"))
+    val lab = emb.select(col("vec_id"), col("label"))
+    // eligible ADC candidates: the dynamic label ≠ predicate rides the
+    // bounded query-label broadcast, BEFORE the shortlist window
+    val short = ivfpqScored(s, dir, nprobe = 1)
+      .join(lab.withColumnRenamed("label", "n_label"), Seq("vec_id"))
+      .join(broadcast(lab.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))), Seq("q_id"))
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
+      .filter(col("adc_rank") <= 10)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"), col("n_label"))
+    // exact cosine re-rank of the ≤ 10 eligible survivors (s13's refine)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"),
+              col("n2").as("qn2"))
+    short
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding"), col("n2")), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", round4(dot(col("embedding"), col("qemb"), ex) /
+                                   sqrt(col("qn2") * col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+              col("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** s17-ivf oracle: the qmod = 100 ADC chain, label-filtered shortlist at
+    * depth 10, exact cosine re-rank → top-3. */
+  val s17IvfSql: String =
+    s"""WITH $ivfpqAdcCtes, lab AS (SELECT DISTINCT vec_id, label FROM e),
+      |scf AS (
+      |  SELECT sc.q_id, lq.label AS q_label, sc.n_id, ld.label AS n_label,
+      |         sc.score_micro
+      |  FROM sc
+      |  JOIN lab lq ON lq.vec_id = sc.q_id
+      |  JOIN lab ld ON ld.vec_id = sc.n_id AND ld.label <> lq.label
+      |), short AS (
+      |  SELECT q_id, q_label, n_id, n_label FROM (
+      |    SELECT q_id, q_label, n_id, n_label,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY score_micro, n_id) AS adc_rank
+      |    FROM scf)
+      |  WHERE adc_rank <= 10
+      |), norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
+      |  FROM e GROUP BY 1
+      |), rr AS (
+      |  SELECT sh.q_id, sh.q_label, sh.n_id, sh.n_label,
+      |         sum((eq.v * ed.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM short sh
+      |  JOIN e eq ON eq.vec_id = sh.q_id
+      |  JOIN e ed ON ed.vec_id = sh.n_id AND ed.i = eq.i
+      |  GROUP BY 1, 2, 3, 4
+      |), scored AS (
+      |  SELECT q_id, q_label, n_id, n_label,
+      |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM rr
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = n_id
+      |), ranked AS (
+      |  SELECT q_id, q_label, n_id, n_label, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, q_label, n_id, n_label, cosine, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s18_ivfpq_incremental" -> (s18_ivfpq_incremental _),
     "s17_hard_negatives" -> (s17_hard_negatives _),
+    "s17_hard_negatives_ivf" -> (s17_hard_negatives_ivf _),
     "s16_hybrid_rrf" -> (s16_hybrid_rrf _),
     "s16_hybrid_rrf_ivf" -> (s16_hybrid_rrf_ivf _),
     "s15_filtered_ann" -> (s15_filtered_ann _),
@@ -2160,6 +2346,7 @@ object Similarity {
     "s11_knn_graph"    -> (s11_knn_graph _),
     "c2_semdedup"      -> (c2_semdedup _),
     "c2_semdedup_ann"  -> (c2_semdedup_ann _),
+    "c2_assign_audit"  -> (c2_assign_audit _),
     "s10_ivfpq_recall" -> (s10_ivfpq_recall _),
     "s8_recall_audit" -> (s8_recall_audit _),
     "s7_ivfpq_topk"  -> (s7_ivfpq_topk _),
@@ -2173,6 +2360,7 @@ object Similarity {
   lazy val oracles: Map[String, String] = Map(
     "s18_ivfpq_incremental" -> s18Sql,
     "s17_hard_negatives" -> s17Sql,
+    "s17_hard_negatives_ivf" -> s17IvfSql,
     "s16_hybrid_rrf" -> s16Sql,
     "s16_hybrid_rrf_ivf" -> s16IvfSql,
     "s15_filtered_ann" -> s15Sql,
@@ -2183,6 +2371,7 @@ object Similarity {
     "s11_knn_graph"    -> s11Sql,
     "c2_semdedup"      -> c2Sql,
     "c2_semdedup_ann"  -> c2AnnSql,
+    "c2_assign_audit"  -> c2AuditSql,
     "s10_ivfpq_recall" -> s10Sql,
     "s8_recall_audit" -> s8Sql,
     "s7_ivfpq_topk"  -> s7Sql,

@@ -44,6 +44,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // partitioning)
     "s16_hybrid_rrf_ivf" -> (() => queries.Similarity.s16_hybrid_rrf_ivf(spark, dir)),
     "c2_semdedup_ann" -> (() => queries.Similarity.c2_semdedup_ann(spark, dir)),
+    // the IVF-served hard-negative miner: label-filtered ADC shortlist +
+    // cosine re-rank — two stacked rank windows with dynamic-predicate
+    // filtering between them, tie-breaks must hold under any partitioning
+    "s17_hard_negatives_ivf" -> (() => queries.Similarity.s17_hard_negatives_ivf(spark, dir)),
     // the incremental index's semi/anti merge split + per-side prune
     // windows must pick identical survivors under any partitioning
     "t30_bm25_incremental" -> (() => queries.TextAnalysis.t30_bm25_incremental(spark, dir)),

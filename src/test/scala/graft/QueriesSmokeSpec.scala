@@ -625,6 +625,28 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("IVF-served hard negatives are cross-label and never beat the exact miner (s17_ivf)") {
+    // the serving contract: the index variant returns only eligible
+    // (cross-label) negatives, and — because its shortlist is a subset of
+    // the candidates the exact scan ranks — its best cosine per anchor can
+    // never exceed the exact miner's best for that anchor
+    val ivf = graft.queries.Similarity.s17_hard_negatives_ivf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+                           r.getDouble(4), r.getLong(5)))
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (_, ql, _, nl, _, _) => ql != nl },
+      "an IVF-served hard negative must carry a different label than its anchor")
+    val exactBest = graft.queries.Similarity.s17_hard_negatives(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(4), r.getLong(5)))
+      .filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    for ((q, rs) <- ivf.groupBy(_._1)) {
+      val byRank = rs.sortBy(_._6)
+      assert(byRank.map(_._6).toSeq == (1L to rs.length).toSeq, s"anchor $q: ranks not dense")
+      assert(byRank.head._5 <= exactBest(q),
+        s"anchor $q: served top-1 cosine beats the exhaustive scan")
+    }
+  }
+
   test("media drop ledger partitions the asset table (m8)") {
     val led = graft.queries.Multimodal.m8_media_drop_ledger(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -255,6 +255,25 @@ class SimilaritySpec extends SparkSpec {
                   "spark.graft.semdedupRouteCells").foreach(spark.conf.unset)
   }
 
+  test("c2 assignment audit: excess is zero exactly on fully-matched cells; g = k is exact") {
+    // the audit's own invariants: the routed distance can never beat the
+    // exhaustive minimum (excess ≥ 0), a fully-agreeing cell has zero
+    // excess, and the degenerate all-pilot config must audit as exact
+    val dir = "/root/testdata/sf0.001"
+    def rows() = Similarity.c2_assign_audit(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))) // (n, match, excess)
+    for ((n, m, ex) <- rows()) {
+      assert(ex >= 0, "routed distance beat the exhaustive minimum")
+      if (m == n) assert(ex == 0, "agreeing cell with positive excess")
+    }
+    spark.conf.set("spark.graft.semdedupRouteCells", "10") // = default k: exact
+    try {
+      val exact = rows()
+      assert(exact.nonEmpty && exact.forall { case (n, m, ex) => m == n && ex == 0 },
+        "all-pilot routing must audit as exact")
+    } finally spark.conf.unset("spark.graft.semdedupRouteCells")
+  }
+
   test("incremental IVF-PQ is append-only: the delta fold never touches settled codes") {
     // the frozen-index contract behind s18's batch oracle: the settled
     // index's code table is a persisted artifact; an increment may only
