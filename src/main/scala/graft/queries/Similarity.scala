@@ -1835,24 +1835,38 @@ object Similarity {
     * Determinism: each list contribution is floor(10⁶/(60+rank) + 0.5) —
     * an integer micro-unit — so fused scores are exact 64-bit sums; ties
     * break to the lower doc_id. */
-  def s16_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+  /** The EXACT dense rank list at the hybrid workload contract
+    * (qmod = 50): brute-force cosine top-10 per query — s16's dense leg
+    * and [[s19_retrieval_eval]]'s ground truth. Returns
+    * (query_id, doc_id, rk_ann), depth 10. */
+  private def exactDenseLeg(s: SparkSession, dir: String): DataFrame = {
     val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
               dot(col("embedding"), col("embedding"), ex).as("n2"))
-    val embIds = Tables.embeddings(s, dir).select(col("vec_id").as("query_id"))
-    val bm = graft.queries.TextAnalysis.t27_bm25(s, dir)
-      .join(embIds, Seq("query_id"), "left_semi")
-      .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm"))
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
-    val ann = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round4(dot(col("embedding"), col("qemb"), ex) /
                                    sqrt(col("qn2") * col("n2"))))
       .withColumn("rk_ann", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rk_ann") <= 10)
       .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"), col("rk_ann"))
+  }
+
+  /** The BM25 rank list restricted to embedded queries — s16/s16-ivf's
+    * lexical leg and an [[s19_retrieval_eval]] system under test. */
+  private def bm25Leg(s: SparkSession, dir: String): DataFrame = {
+    val embIds = Tables.embeddings(s, dir).select(col("vec_id").as("query_id"))
+    graft.queries.TextAnalysis.t27_bm25(s, dir)
+      .join(embIds, Seq("query_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm"))
+  }
+
+  def s16_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Leg(s, dir)
+    val ann = exactDenseLeg(s, dir)
     def rrf(rk: Column) = floor(lit(1000000.0) / (lit(60) + rk) + 0.5).cast("long")
     bm.join(ann, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
@@ -1929,13 +1943,13 @@ object Similarity {
     * not the corpus (measured against s16's brute-force leg at sf1 in
     * STRESS_sf1.md); ADC list contents differ from exact cosine ranking
     * exactly as the index's recall audit (s10) measures. */
-  def s16_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF-SERVED dense rank list at the hybrid workload contract:
+    * single-probe ADC shortlist (depth 10) + exact re-rank — s16-ivf's
+    * dense leg and an [[s19_retrieval_eval]] system under test. Returns
+    * (query_id, doc_id, rk_ann), depth 10. */
+  private def ivfDenseLeg(s: SparkSession, dir: String): DataFrame = {
     val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val embIds = Tables.embeddings(s, dir).select(col("vec_id").as("query_id"))
-    val bm = graft.queries.TextAnalysis.t27_bm25(s, dir)
-      .join(embIds, Seq("query_id"), "left_semi")
-      .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm"))
     val short = ivfpqScored(s, dir, nprobe = 1, qmod = 50)
       .withColumn("adc_rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score_micro"), col("vec_id"))).cast("long"))
@@ -1943,7 +1957,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"))
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
-    val ann = short
+    short
       .join(emb.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
       .join(broadcast(q), Seq("q_id"))
       .withColumn("sqd_micro",
@@ -1951,6 +1965,11 @@ object Similarity {
       .withColumn("rk_ann", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sqd_micro"), col("n_id"))).cast("long"))
       .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rk_ann"))
+  }
+
+  def s16_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Leg(s, dir)
+    val ann = ivfDenseLeg(s, dir)
     def rrf(rk: Column) = floor(lit(1000000.0) / (lit(60) + rk) + 0.5).cast("long")
     bm.join(ann, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
@@ -2332,7 +2351,175 @@ object Similarity {
       |SELECT q_id, q_label, n_id, n_label, cosine, rank FROM ranked
       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** S19: RETRIEVAL-QUALITY EVAL — the eval harness that closes the
+    * retrieval wing: every production search stack reports recall@k and
+    * MRR against a ground-truth run before a serving change ships, and
+    * this query IS that report. Systems under test: the lexical leg
+    * (t27's BM25 at depth 5), the IVF-served dense leg (s16-ivf's ADC
+    * shortlist + re-rank at depth 5), and the fused hybrid
+    * ([[s16_hybrid_rrf_ivf]]'s top-5). Ground truth: the exact
+    * brute-force cosine top-5 over the shared qmod = 50 workload
+    * ([[exactDenseLeg]] — the same relation s16's correctness-baseline
+    * dense leg ranks). Per system: universe size, queries answered
+    * (coverage IS part of the result — a lexical system cannot answer a
+    * query whose terms its index never saw), total truth-hits,
+    * recall@5 = hits / 5·|universe|, and MRR@5 of the ground-truth top-1.
+    *
+    * Same audit class as s8/s10/s12/c2-audit: the eval CONTAINS its
+    * subjects (one exact pass + the systems under test), runs on the
+    * bounded query contract, and the comparison joins are |Q|·k rows per
+    * side — at 100 TB this is the sampled-eval job that gates an index
+    * deploy, and the number it prints is the one that decides between
+    * the brute, IVF, and hybrid serving shapes.
+    *
+    * Honest read of the numbers on THIS testdata: the synthetic corpus
+    * carries no text ↔ embedding correlation, so the lexical leg scores
+    * ~zero against dense ground truth and the IVF legs report exactly the
+    * index's recall loss (s10's measurement seen through the eval lens) —
+    * the harness measures real systems over data with no signal in it,
+    * which is precisely why the report prints the number instead of
+    * assuming one. */
+  def s19_retrieval_eval(s: SparkSession, dir: String): DataFrame = {
+    val truth10 = exactDenseLeg(s, dir)
+    val truth5 = truth10.filter(col("rk_ann") <= 5)
+      .select(col("query_id"), col("doc_id"))
+    val top1 = truth10.filter(col("rk_ann") === 1)
+      .select(col("query_id"), col("doc_id").as("top1"))
+    val universe = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 50 === 0).select(col("vec_id").as("query_id"))
+    val lists = Seq(
+        ("bm25", bm25Leg(s, dir).filter(col("rk_bm") <= 5)
+          .select(col("query_id"), col("doc_id"), col("rk_bm").as("rk"))),
+        ("dense_ivf", ivfDenseLeg(s, dir).filter(col("rk_ann") <= 5)
+          .select(col("query_id"), col("doc_id"), col("rk_ann").as("rk"))),
+        ("hybrid_rrf_ivf", s16_hybrid_rrf_ivf(s, dir)
+          .select(col("query_id"), col("doc_id"), col("rk"))))
+      .map { case (name, df) => df.withColumn("system", lit(name)) }
+      .reduce(_ unionByName _)
+      .join(broadcast(universe), Seq("query_id")) // dense-universe eval
+    val perQ = lists
+      .join(truth5.withColumn("hit", lit(1L)), Seq("query_id", "doc_id"), "left")
+      .join(broadcast(top1), Seq("query_id"))
+      .groupBy(col("system"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits5"),
+           max(when(col("doc_id") === col("top1"),
+             floor(lit(1000000.0) / col("rk") + 0.5).cast("long"))).as("rr_micro"))
+    // every (system, universe-query) cell: a system that returned nothing
+    // for a query scores zero — absence is data, not a dropped row
+    universe.select(col("query_id"),
+        explode(array(lit("bm25"), lit("dense_ivf"), lit("hybrid_rrf_ivf"))).as("system"))
+      .join(perQ, Seq("system", "query_id"), "left")
+      .groupBy(col("system"))
+      .agg(count(lit(1)).as("n_queries"),
+           sum(when(col("hits5").isNotNull, 1L).otherwise(0L)).as("n_answered"),
+           sum(coalesce(col("hits5"), lit(0L))).as("hits_total"),
+           sum(coalesce(col("rr_micro"), lit(0L))).as("rr_micro_total"))
+      .select(col("system"), col("n_queries"), col("n_answered"), col("hits_total"),
+              round4(col("hits_total").cast("double") / (col("n_queries") * lit(5.0)))
+                .as("recall_at_5"),
+              round4(col("rr_micro_total").cast("double") / col("n_queries") / lit(1000000.0))
+                .as("mrr"))
+      .orderBy("system")
+  }
+
+  /** s19 oracle: one t27 splice, the qmod = 50 ADC chain, the exact
+    * cosine ground truth, the three system lists (bm25 @5, ivf re-rank
+    * @5, the s16-ivf fusion @5 verbatim), then the per-cell eval
+    * aggregation. def — splices t27Sql (the s16Sql init-cycle note). */
+  def s19Sql: String =
+    s"""WITH bm_full AS (
+      |${graft.queries.TextAnalysis.t27Sql}
+      |), bm10 AS (
+      |  SELECT query_id, doc_id, rk AS rk_bm FROM bm_full
+      |  WHERE query_id IN (SELECT vec_id FROM embeddings)
+      |), bm5 AS (
+      |  SELECT query_id, doc_id, rk_bm AS rk FROM bm10 WHERE rk_bm <= 5
+      |), ${ivfpqAdcCtesQ(50)}, adcrk AS (
+      |  SELECT q_id, n_id, score_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
+      |  FROM sc
+      |), short10 AS (
+      |  SELECT q_id, n_id FROM adcrk WHERE rank <= 10
+      |), rrx AS (
+      |  SELECT sh.q_id, sh.n_id,
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
+      |  FROM short10 sh
+      |  JOIN e eq ON eq.vec_id = sh.q_id
+      |  JOIN e ed ON ed.vec_id = sh.n_id AND ed.i = eq.i
+      |  GROUP BY 1, 2
+      |), ivf10 AS (
+      |  SELECT q_id AS query_id, n_id AS doc_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sqd_micro, n_id) AS rk_ann
+      |  FROM rrx
+      |), ivf5 AS (
+      |  SELECT query_id, doc_id, rk_ann AS rk FROM ivf10 WHERE rk_ann <= 5
+      |), norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |), dotsx AS (
+      |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
+      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM e q JOIN e d ON q.i = d.i AND d.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 50 = 0
+      |  GROUP BY 1, 2
+      |), truth10 AS (
+      |  SELECT q_id AS query_id, dotsx.vec_id AS doc_id,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 DESC,
+      |               dotsx.vec_id) AS rk
+      |  FROM dotsx
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = dotsx.vec_id
+      |), truth5 AS (
+      |  SELECT query_id, doc_id FROM truth10 WHERE rk <= 5
+      |), top1 AS (
+      |  SELECT query_id, doc_id AS top1 FROM truth10 WHERE rk = 1
+      |), fusedx AS (
+      |  SELECT coalesce(bm10.query_id, ivf10.query_id) AS query_id,
+      |         coalesce(bm10.doc_id, ivf10.doc_id) AS doc_id,
+      |    coalesce(floor(1000000.0 / (60 + bm10.rk_bm) + 0.5)::BIGINT, 0)
+      |    + coalesce(floor(1000000.0 / (60 + ivf10.rk_ann) + 0.5)::BIGINT, 0) AS rrf_micro
+      |  FROM bm10 FULL OUTER JOIN ivf10 USING (query_id, doc_id)
+      |), hyb5 AS (
+      |  SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, rrf_micro,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rrf_micro DESC, doc_id) AS rk
+      |    FROM fusedx)
+      |  WHERE rk <= 5
+      |), sys AS (
+      |  SELECT 'bm25' AS system, query_id, doc_id, rk FROM bm5
+      |  UNION ALL SELECT 'dense_ivf', query_id, doc_id, rk FROM ivf5
+      |  UNION ALL SELECT 'hybrid_rrf_ivf', query_id, doc_id, rk FROM hyb5
+      |), univ AS (
+      |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0
+      |), perq AS (
+      |  SELECT sy.system, sy.query_id,
+      |    sum(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits5,
+      |    max(CASE WHEN sy.doc_id = o.top1
+      |        THEN floor(1000000.0 / sy.rk + 0.5)::BIGINT END) AS rr_micro
+      |  FROM sys sy
+      |  JOIN univ u ON u.query_id = sy.query_id
+      |  LEFT JOIN truth5 t ON t.query_id = sy.query_id AND t.doc_id = sy.doc_id
+      |  JOIN top1 o ON o.query_id = sy.query_id
+      |  GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT u.query_id, sn.system FROM univ u
+      |  CROSS JOIN (VALUES ('bm25'), ('dense_ivf'), ('hybrid_rrf_ivf')) AS sn(system)
+      |)
+      |SELECT c.system, count(*)::BIGINT AS n_queries,
+      |  sum(CASE WHEN p.hits5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_answered,
+      |  sum(coalesce(p.hits5, 0))::BIGINT AS hits_total,
+      |  floor(sum(coalesce(p.hits5, 0))::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5)
+      |    / 10000.0 AS recall_at_5,
+      |  floor(sum(coalesce(p.rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
+      |    / 10000.0 AS mrr
+      |FROM cells c
+      |LEFT JOIN perq p ON p.system = c.system AND p.query_id = c.query_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_retrieval_eval" -> (s19_retrieval_eval _),
     "s18_ivfpq_incremental" -> (s18_ivfpq_incremental _),
     "s17_hard_negatives" -> (s17_hard_negatives _),
     "s17_hard_negatives_ivf" -> (s17_hard_negatives_ivf _),
@@ -2358,6 +2545,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   lazy val oracles: Map[String, String] = Map(
+    "s19_retrieval_eval" -> s19Sql,
     "s18_ivfpq_incremental" -> s18Sql,
     "s17_hard_negatives" -> s17Sql,
     "s17_hard_negatives_ivf" -> s17IvfSql,

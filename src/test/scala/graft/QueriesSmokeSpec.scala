@@ -647,6 +647,22 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("retrieval eval reports one bounded row per system over a shared universe (s19)") {
+    val rows = graft.queries.Similarity.s19_retrieval_eval(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                           r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == Seq("bm25", "dense_ivf", "hybrid_rrf_ivf"))
+    val universes = rows.map(_._2).distinct
+    assert(universes.length == 1 && universes.head > 0,
+      "all systems must be judged over the same dense-query universe")
+    for ((sys, n, answered, hits, recall, mrr) <- rows) {
+      assert(answered <= n, s"$sys: answered more queries than exist")
+      assert(hits <= 5 * n, s"$sys: more truth hits than shortlist slots")
+      assert(recall >= 0.0 && recall <= 1.0, s"$sys: recall out of range")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"$sys: MRR out of range")
+    }
+  }
+
   test("media drop ledger partitions the asset table (m8)") {
     val led = graft.queries.Multimodal.m8_media_drop_ledger(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
