@@ -622,17 +622,31 @@ object TextAnalysis {
     * aggregation. The eval side is bounded by the modulo contract but is
     * NOT broadcast — at 100 TB an eval suite can still be millions of
     * grams, and the shuffle join on the gram key is skew-safe (AQE); at
-    * petabyte scale the gram string would be replaced by xxhash64(gram)
-    * as the join key (8-byte shuffle rows) with string equality retained
-    * post-join — kept as the string here for oracle replayability. */
+    * petabyte scale the gram string is replaced by xxhash64(gram) as the
+    * join key (8-byte fixed-width shuffle rows) — that production form is
+    * the `spark.graft.gramHashKey` knob (default false: string keys keep
+    * the DuckDB oracle byte-replayable; true: hashed keys, identical
+    * output absent a 2⁻⁶⁴-probability xxhash64 collision between distinct
+    * grams — the standard large-scale trade, MEASURED at sf1 in
+    * STRESS_sf1.md with a counter-finding: key width does drop (mean gram
+    * 15.5 chars ≈ 2× the 8-byte hash before per-string row overhead) but
+    * wall time does NOT at test scale (6.69 → 6.98 s — single-box NVMe
+    * shuffle is not byte-bound, so the hash's own cost shows instead).
+    * The knob pays off only where shuffle bytes are the constraint —
+    * network-bound multi-rack clusters — which is exactly what the
+    * measurement says, so the string default stands). */
   def t14_contamination(s: SparkSession, dir: String): DataFrame = {
     val N = 3
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= N)
-    val grams = t.select(col("doc_id"), explode(expr(
+    val gramsStr = t.select(col("doc_id"), explode(expr(
       s"transform(sequence(1, size(w) - ${N - 1}), i -> concat_ws(' ', slice(w, i, $N)))"))
       .as("gram"))
+    val grams =
+      if (s.conf.get("spark.graft.gramHashKey", "false").toBoolean)
+        gramsStr.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      else gramsStr
     val ev = grams.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("eval_doc"), col("gram"))
     val tr = grams.filter(col("doc_id") % 100 =!= 0)

@@ -647,6 +647,21 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("hashed gram keys change the shuffle width, not the answer (t14 gramHashKey)") {
+    // the petabyte-scale key form: xxhash64(gram) as the join/dedup key.
+    // Output must be row-identical to the string-keyed default — the only
+    // admissible difference is a 2^-64-probability hash collision, absent
+    // on any real corpus slice
+    val base = graft.queries.TextAnalysis.t14_contamination(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.gramHashKey", "true")
+    try {
+      val hashed = graft.queries.TextAnalysis.t14_contamination(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(hashed == base, "hashed-key t14 diverged from the string-keyed form")
+    } finally spark.conf.unset("spark.graft.gramHashKey")
+  }
+
   test("retrieval eval reports one bounded row per system over a shared universe (s19)") {
     val rows = graft.queries.Similarity.s19_retrieval_eval(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
