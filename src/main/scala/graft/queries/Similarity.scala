@@ -1864,9 +1864,11 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm"))
   }
 
-  def s16_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
-    val bm = bm25Leg(s, dir)
-    val ann = exactDenseLeg(s, dir)
+  /** RRF fusion of a lexical and a dense rank list — the shared finisher
+    * of [[s16_hybrid_rrf]], [[s16_hybrid_rrf_ivf]], and s19's hybrid
+    * system: one full-outer equi-join of two bounded lists + a per-query
+    * top-5 WindowGroupLimit; never touches either corpus. */
+  private def rrfFuse(bm: DataFrame, ann: DataFrame): DataFrame = {
     def rrf(rk: Column) = floor(lit(1000000.0) / (lit(60) + rk) + 0.5).cast("long")
     bm.join(ann, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
@@ -1880,6 +1882,9 @@ object Similarity {
       .filter(col("rk") <= 5)
       .orderBy("query_id", "rk")
   }
+
+  def s16_hybrid_rrf(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(bm25Leg(s, dir), exactDenseLeg(s, dir))
 
   // def, not (lazy) val: s16Sql splices TextAnalysis.t27Sql, and Similarity
   // can be initialized from INSIDE TextAnalysis's own initializer (via
@@ -1967,22 +1972,8 @@ object Similarity {
       .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rk_ann"))
   }
 
-  def s16_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
-    val bm = bm25Leg(s, dir)
-    val ann = ivfDenseLeg(s, dir)
-    def rrf(rk: Column) = floor(lit(1000000.0) / (lit(60) + rk) + 0.5).cast("long")
-    bm.join(ann, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        (coalesce(rrf(col("rk_bm")), lit(0L)) +
-         coalesce(rrf(col("rk_ann")), lit(0L))).as("rrf_micro"),
-        (col("rk_bm").isNotNull.cast("int") +
-         col("rk_ann").isNotNull.cast("int")).cast("long").as("n_lists"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
-      .filter(col("rk") <= 5)
-      .orderBy("query_id", "rk")
-  }
+  def s16_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(bm25Leg(s, dir), ivfDenseLeg(s, dir))
 
   /** s16-ivf oracle: the qmod = 50 IVF-PQ ADC chain, s13's shortlist +
     * exact re-rank CTEs at depth 10, fused with the s16 lexical leg by the
@@ -2387,12 +2378,17 @@ object Similarity {
       .select(col("query_id"), col("doc_id").as("top1"))
     val universe = Tables.embeddings(s, dir)
       .filter(col("vec_id") % 50 === 0).select(col("vec_id").as("query_id"))
+    // each leg's plan is built ONCE and shared between its system row and
+    // the fusion — identical subtrees, so ReusedExchange fires instead of
+    // a second t27/ADC execution
+    val bm10 = bm25Leg(s, dir)
+    val ivf10 = ivfDenseLeg(s, dir)
     val lists = Seq(
-        ("bm25", bm25Leg(s, dir).filter(col("rk_bm") <= 5)
+        ("bm25", bm10.filter(col("rk_bm") <= 5)
           .select(col("query_id"), col("doc_id"), col("rk_bm").as("rk"))),
-        ("dense_ivf", ivfDenseLeg(s, dir).filter(col("rk_ann") <= 5)
+        ("dense_ivf", ivf10.filter(col("rk_ann") <= 5)
           .select(col("query_id"), col("doc_id"), col("rk_ann").as("rk"))),
-        ("hybrid_rrf_ivf", s16_hybrid_rrf_ivf(s, dir)
+        ("hybrid_rrf_ivf", rrfFuse(bm10, ivf10)
           .select(col("query_id"), col("doc_id"), col("rk"))))
       .map { case (name, df) => df.withColumn("system", lit(name)) }
       .reduce(_ unionByName _)
