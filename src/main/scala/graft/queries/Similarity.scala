@@ -1236,7 +1236,10 @@ object Similarity {
     * p = 2 and p = 3 are measured in STRESS_sf1.md, and SemDeDup's
     * keep-the-outlier semantics only need locality, so the audited
     * agreement-vs-cost curve is exactly the tuning signal production
-    * uses. Returns (vec_id, embedding, cell, dist) with `dist` the exact
+    * uses. The g-sweep refutes the other direction: more pilots at
+    * fixed p narrow each group and LOSE agreement at matched eval
+    * budget (g = 20 → 43.8% vs g = 10 → 47.8% at p = 2) — hold g at
+    * √k, buy recall with probes. Returns (vec_id, embedding, cell, dist) with `dist` the exact
     * distance to the ROUTED centroid. */
   private def annAssign(emb: DataFrame, coarse: DataFrame, ex: Boolean,
                         g: Int, p: Int): DataFrame = {
