@@ -104,6 +104,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("production precision serves the same mined negatives and eval verdicts (s17_ivf, s19)") {
+    // the round-7 serving queries honor the exactDecimals switch through
+    // the shared dot/sqDist folds; at production precision the mined
+    // negative SET and the eval's per-system verdicts must agree with the
+    // exact path (rank tie-breaks sit on the same 1e-4 rounding grid the
+    // s2 agreement test pins)
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.graft.exactDecimals"
+    def mine(): Set[(Long, Long)] = {
+      Similarity.clearShared()
+      Similarity.s17_hard_negatives_ivf(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    def eval(): Seq[Seq[Any]] = {
+      Similarity.clearShared()
+      graft.queries.TextAnalysis.clearShared()
+      Similarity.s19_retrieval_eval(spark, dir).collect().map(_.toSeq).toSeq
+    }
+    val (exactMine, exactEval) = (mine(), eval())
+    spark.conf.set(key, "false")
+    try {
+      assert(mine() == exactMine, "production-precision mining diverged")
+      assert(eval() == exactEval, "production-precision eval diverged")
+      assert(exactMine.nonEmpty && exactEval.nonEmpty)
+    } finally {
+      spark.conf.unset(key)
+      Similarity.clearShared()
+      graft.queries.TextAnalysis.clearShared()
+    }
+  }
+
   test("c2 prefilter margin is lossless: double cosine never strays 1e-10 from exact") {
     // The c2_semdedup stage-1 prefilter admits pairs with double-dot cosine
     // >= 0.3999; stage 2 gates on the exact-decimal cosine rounding to
