@@ -1554,6 +1554,16 @@ object Streams {
     * hash-match the frozen-index oracle's delta code rows
     * ([[graft.queries.Similarity.s18DeltaCodesSql]]). */
   def x34_stream_index_ingest(s: SparkSession, dir: String): DataFrame = {
+    val out = x34Encode(s, dir)(embStream(s, dir))
+    runToMemory(out, OutputMode.Append(), s"x34_mem_${System.nanoTime()}")
+      .orderBy("vec_id", "j")
+  }
+
+  /** x34's per-row route + PQ-encode as a TRANSFORM over any embedding
+    * relation (batch or stream) — factored so `CheckpointRestartSpec` can
+    * drive the same write path from a chunked checkpointed source and
+    * prove the ingest is exactly-once under kill/restart. */
+  private[graft] def x34Encode(s: SparkSession, dir: String)(in: DataFrame): DataFrame = {
     import graft.queries.Similarity
     val idxS = Similarity.ivfpqSettledIndex(s, dir, ex = true)
     val cents = graft.plans.BroadcastContract.boundedCollect(idxS.coarse,
@@ -1580,7 +1590,7 @@ object Streams {
       }: _*))
       struct(lit(j.toLong).as("j"), bestCode.getField("c").as("c"))
     }
-    val out = embStream(s, dir)
+    in
       .filter(col("vec_id") % 10 === 0) // the arriving delta slice
       .withColumn("best", best)
       .select(col("vec_id"), col("best.cell").as("cell"),
@@ -1588,8 +1598,6 @@ object Streams {
           (x, c) => x.cast("double") - c).as("res"))
       .select(col("vec_id"), col("cell"), explode(array(codesOf: _*)).as("jc"))
       .select(col("vec_id"), col("cell"), col("jc.j").as("j"), col("jc.c").as("c"))
-    runToMemory(out, OutputMode.Append(), s"x34_mem_${System.nanoTime()}")
-      .orderBy("vec_id", "j")
   }
 
   case class PplIn(doc_id: Long, lang: String, lp_micro: Long)

@@ -378,4 +378,65 @@ class CheckpointRestartSpec extends SparkSpec {
     q2.awaitTermination()
     assert(batchResult(out) == expectedAdm)
   }
+
+  test("index-ingest write path killed mid-replay resumes exactly-once (x34)") {
+    // L6 on the INDEX WRITE PATH: x34 is stateless per row, so its restart
+    // contract is pure source-offset resume — a kill between micro-batches
+    // must neither re-emit codes for already-committed delta vectors
+    // (duplicate index entries) nor skip pending ones (lost writes). The
+    // union of committed batches must equal the batch s18 delta fold's
+    // code table exactly.
+    val srcDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "emb_chunked_4")
+    val doneMarker = srcDir.resolve("3_chunk.parquet")
+    if (!Files.exists(doneMarker)) {
+      Files.createDirectories(srcDir)
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("_rk", row_number().over( // test setup, not a query plan
+          Window.orderBy(col("vec_id"))))
+      val total = emb.count()
+      (0 until 4).foreach { k =>
+        val lo = k * total / 4 + 1; val hi = (k + 1) * total / 4
+        val tmp = srcDir.resolve(s"_build_$k")
+        emb.filter(col("_rk").between(lo, hi)).drop("_rk")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, srcDir.resolve(s"${k}_chunk.parquet"))
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    val base = Files.createTempDirectory("graft_x34_ckpt_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val idxS = graft.queries.Similarity.ivfpqSettledIndex(spark, dir, ex = true)
+    val (_, _, codesD) = graft.queries.Similarity.s18DeltaFold(spark, dir, ex = true, idxS)
+    val expectedCodes: Set[Seq[Any]] = codesD
+      .select(col("vec_id"), col("cell"), col("j"), col("c"))
+      .collect().map(_.toSeq).toSet
+    def startIngest(availableNow: Boolean) = {
+      val schema = spark.read.parquet(srcDir.resolve("0_chunk.parquet").toString).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      Streams.x34Encode(spark, dir)(src).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    val q1 = startIngest(availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    val q2 = startIngest(availableNow = true)
+    q2.awaitTermination()
+    assert(batchResult(out) == expectedCodes)
+  }
 }
