@@ -330,4 +330,24 @@ class StreamingSpec extends SparkSpec {
                          (3L, "en", 200L, 1L), (4L, "de", 0L, 0L)))
     } finally q.stop()
   }
+
+  test("index ingest runs with ZERO state operators (x34 statelessness is structural)") {
+    // x34's scale contract is "no state store, no watermark, no shuffle —
+    // scales with arrival rate alone". Assert it on the RUNNING query's
+    // progress instead of trusting the scaladoc: the frozen-index encode
+    // must plan as a pure stateless projection.
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.streaming.Streams.x34Encode(spark, dir)(
+        graft.streaming.Streams.embStream(spark, dir))
+      .writeStream.format("memory").queryName(s"x34_stateless_${System.nanoTime()}")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.recentProgress
+    assert(progress.nonEmpty, "query made no progress")
+    assert(progress.forall(_.stateOperators.isEmpty),
+      s"state operators appeared in a stateless ingest: " +
+        progress.flatMap(_.stateOperators.map(_.operatorName)).mkString(","))
+  }
 }
