@@ -940,6 +940,46 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** T31: BPE ROUND-TRIP FIDELITY AUDIT — the check every tokenizer
+    * deploy runs before shipping a vocab: decode ∘ encode must be the
+    * identity on the corpus. The merge representation joins pairs with
+    * '_' ([[mergeGreedy]]), so decode is replace('_', ' ') + re-join —
+    * and the audit's one real failure mode is exactly the SEPARATOR
+    * COLLISION every word-level BPE has (a source token that itself
+    * contains '_' decodes to the wrong text), the reason sentencepiece
+    * reserves '▁'. Reports per language: docs and round-trip violations —
+    * zero means the vocab is safe to ship on this corpus; nonzero is the
+    * measured collision count, not a crash. The w4-approx invariant-audit
+    * class: both engines must agree on the violation COUNT bit-for-bit.
+    *
+    * Scale shape: t18's chain (its cost IS the audit's cost) plus one
+    * shuffle-free per-doc decode projection and a lang-bounded rollup. */
+  def t31_bpe_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val encoded = bpeTrain(s, dir)._1
+    encoded
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+            Seq("doc_id"))
+      .withColumn("decoded",
+        concat_ws(" ", expr("transform(arr, t -> replace(t, '_', ' '))")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("decoded") =!= col("text"), 1L).otherwise(0L)).as("n_violations"))
+      .orderBy("lang")
+  }
+
+  /** t31's oracle: the t18 chain's final corpus decoded and compared. */
+  val t31Sql: String = {
+    val ctes = (1 to bpeRounds).map(bpeRoundSqlCtes).mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+       |$ctes
+       |SELECT d.lang, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN array_to_string(
+       |        list_transform(t.arr, x -> replace(x, '_', ' ')), ' ') <> d.text
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_violations
+       |FROM t$bpeRounds t JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** One BPE round's oracle CTE block (tok/pc/b/cand/cr/ms/nt/t$r) — shared
     * by the t18 and t20 oracles. [[bpeRounds]] rounds chain as MATERIALIZED
     * CTEs (the s4/c2 symbolic-unroll discipline — MATERIALIZED because each
@@ -1945,6 +1985,7 @@ object TextAnalysis {
     "t24_chunk_dedup" -> (t24_chunk_dedup _),
     "t23_doc_chunking" -> (t23_doc_chunking _),
     "t20_bpe_encode" -> (t20_bpe_encode _),
+    "t31_bpe_roundtrip" -> (t31_bpe_roundtrip _),
     "t19_sequence_packing" -> (t19_sequence_packing _),
     "t18_bpe_merges" -> (t18_bpe_merges _),
     "t17_heavy_hitters" -> (t17_heavy_hitters _),
@@ -1977,6 +2018,7 @@ object TextAnalysis {
     "t24_chunk_dedup" -> t24Sql,
     "t23_doc_chunking" -> t23Sql,
     "t20_bpe_encode" -> t20Sql,
+    "t31_bpe_roundtrip" -> t31Sql,
     "t19_sequence_packing" -> t19Sql,
     "t18_bpe_merges" -> t18Sql,
     "t17_heavy_hitters" -> t17Sql,

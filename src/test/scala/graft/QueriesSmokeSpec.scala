@@ -662,6 +662,26 @@ class QueriesSmokeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.gramHashKey")
   }
 
+  test("BPE round-trip audit is clean on the corpus and DETECTS separator collisions (t31)") {
+    // non-vacuity first: the decode expression must actually flag a source
+    // token containing the merge separator (the failure mode the audit
+    // exists for), then the corpus report must be all-zero violations
+    import spark.implicits._
+    val collided = Seq(("ok doc", Seq("ok", "doc")), ("has_underscore", Seq("has_underscore")))
+      .toDF("text", "arr")
+      .withColumn("decoded",
+        concat_ws(" ", expr("transform(arr, t -> replace(t, '_', ' '))")))
+      .withColumn("bad", col("decoded") =!= col("text"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!collided("ok doc") && collided("has_underscore"),
+      "decode expression failed to flag a separator collision")
+    val rows = graft.queries.TextAnalysis.t31_bpe_roundtrip(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.map(_._2).sum > 0)
+    assert(rows.forall(_._3 == 0L),
+      s"round-trip violations on the synthetic corpus: $rows")
+  }
+
   test("retrieval eval reports one bounded row per system over a shared universe (s19)") {
     val rows = graft.queries.Similarity.s19_retrieval_eval(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
