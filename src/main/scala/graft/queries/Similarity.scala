@@ -2350,8 +2350,11 @@ object Similarity {
     * MRR against a ground-truth run before a serving change ships, and
     * this query IS that report. Systems under test: the lexical leg
     * (t27's BM25 at depth 5), the IVF-served dense leg (s16-ivf's ADC
-    * shortlist + re-rank at depth 5), and the fused hybrid
-    * ([[s16_hybrid_rrf_ivf]]'s top-5). Ground truth: the exact
+    * shortlist + re-rank at depth 5), and BOTH fused hybrids — brute
+    * ([[s16_hybrid_rrf]]'s form, riding the already-built ground-truth
+    * relation) and IVF-served ([[s16_hybrid_rrf_ivf]]'s top-5) — so the
+    * hybrid_rrf vs hybrid_rrf_ivf delta prices exactly what the index
+    * costs the FUSED product. Ground truth: the exact
     * brute-force cosine top-5 over the shared qmod = 50 workload
     * ([[exactDenseLeg]] — the same relation s16's correctness-baseline
     * dense leg ranks). Per system: universe size, queries answered
@@ -2383,7 +2386,11 @@ object Similarity {
       .filter(col("vec_id") % 50 === 0).select(col("vec_id").as("query_id"))
     // each leg's plan is built ONCE and shared between its system row and
     // the fusion — identical subtrees, so ReusedExchange fires instead of
-    // a second t27/ADC execution
+    // a second t27/ADC execution. The brute fusion (s16's exact dense leg)
+    // rides the already-built ground-truth relation, so the 4th system
+    // costs one extra fusion join, not a second corpus scan — and its row
+    // directly prices what the IVF index costs the FUSED product
+    // (hybrid_rrf vs hybrid_rrf_ivf), not just the dense list.
     val bm10 = bm25Leg(s, dir)
     val ivf10 = ivfDenseLeg(s, dir)
     val lists = Seq(
@@ -2391,6 +2398,8 @@ object Similarity {
           .select(col("query_id"), col("doc_id"), col("rk_bm").as("rk"))),
         ("dense_ivf", ivf10.filter(col("rk_ann") <= 5)
           .select(col("query_id"), col("doc_id"), col("rk_ann").as("rk"))),
+        ("hybrid_rrf", rrfFuse(bm10, truth10)
+          .select(col("query_id"), col("doc_id"), col("rk"))),
         ("hybrid_rrf_ivf", rrfFuse(bm10, ivf10)
           .select(col("query_id"), col("doc_id"), col("rk"))))
       .map { case (name, df) => df.withColumn("system", lit(name)) }
@@ -2406,7 +2415,8 @@ object Similarity {
     // every (system, universe-query) cell: a system that returned nothing
     // for a query scores zero — absence is data, not a dropped row
     universe.select(col("query_id"),
-        explode(array(lit("bm25"), lit("dense_ivf"), lit("hybrid_rrf_ivf"))).as("system"))
+        explode(array(lit("bm25"), lit("dense_ivf"), lit("hybrid_rrf"),
+                      lit("hybrid_rrf_ivf"))).as("system"))
       .join(perQ, Seq("system", "query_id"), "left")
       .groupBy(col("system"))
       .agg(count(lit(1)).as("n_queries"),
@@ -2486,9 +2496,25 @@ object Similarity {
       |        ORDER BY rrf_micro DESC, doc_id) AS rk
       |    FROM fusedx)
       |  WHERE rk <= 5
+      |), fusedb AS (
+      |  SELECT coalesce(bm10.query_id, t10.query_id) AS query_id,
+      |         coalesce(bm10.doc_id, t10.doc_id) AS doc_id,
+      |    coalesce(floor(1000000.0 / (60 + bm10.rk_bm) + 0.5)::BIGINT, 0)
+      |    + coalesce(floor(1000000.0 / (60 + t10.rk) + 0.5)::BIGINT, 0) AS rrf_micro
+      |  FROM bm10 FULL OUTER JOIN
+      |    (SELECT query_id, doc_id, rk FROM truth10 WHERE rk <= 10) t10
+      |    USING (query_id, doc_id)
+      |), hybb5 AS (
+      |  SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, rrf_micro,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rrf_micro DESC, doc_id) AS rk
+      |    FROM fusedb)
+      |  WHERE rk <= 5
       |), sys AS (
       |  SELECT 'bm25' AS system, query_id, doc_id, rk FROM bm5
       |  UNION ALL SELECT 'dense_ivf', query_id, doc_id, rk FROM ivf5
+      |  UNION ALL SELECT 'hybrid_rrf', query_id, doc_id, rk FROM hybb5
       |  UNION ALL SELECT 'hybrid_rrf_ivf', query_id, doc_id, rk FROM hyb5
       |), univ AS (
       |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0
@@ -2504,7 +2530,8 @@ object Similarity {
       |  GROUP BY 1, 2
       |), cells AS (
       |  SELECT u.query_id, sn.system FROM univ u
-      |  CROSS JOIN (VALUES ('bm25'), ('dense_ivf'), ('hybrid_rrf_ivf')) AS sn(system)
+      |  CROSS JOIN (VALUES ('bm25'), ('dense_ivf'), ('hybrid_rrf'),
+      |              ('hybrid_rrf_ivf')) AS sn(system)
       |)
       |SELECT c.system, count(*)::BIGINT AS n_queries,
       |  sum(CASE WHEN p.hits5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_answered,
