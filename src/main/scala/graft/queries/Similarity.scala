@@ -2375,7 +2375,9 @@ object Similarity {
     * index's recall loss (s10's measurement seen through the eval lens) —
     * the harness measures real systems over data with no signal in it,
     * which is precisely why the report prints the number instead of
-    * assuming one. */
+    * assuming one. When the hybrid_rrf vs hybrid_rrf_ivf gap is too wide
+    * for a deployment, nprobe is the lever — s10's 1- vs 2-probe audit is
+    * the list-level measurement of exactly that trade. */
   def s19_retrieval_eval(s: SparkSession, dir: String): DataFrame = {
     val truth10 = exactDenseLeg(s, dir)
     val truth5 = truth10.filter(col("rk_ann") <= 5)
