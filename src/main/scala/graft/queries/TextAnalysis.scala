@@ -889,9 +889,16 @@ object TextAnalysis {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("w1"), asc("w2")).limit(1)
         .localCheckpoint() // 1 row; consumed by the re-tokenize AND the output
+      // the merge pass: native O(n) expression by default; the composed
+      // O(n²)-per-doc fold survives as the bit-identity cross-check
+      // (BpeMergeSpec) and the `bpeNative=false` escape hatch
+      val mergePass =
+        if (s.conf.get("spark.graft.bpeNative", "true").toBoolean) {
+          graft.functions.BpeMerge.register(s)
+          call_function("bpe_merge", col("arr"), col("w1"), col("w2"))
+        } else mergeGreedy(col("arr"), col("w1"), col("w2"))
       docs = docs.crossJoin(broadcast(best))
-        .select(col("doc_id"),
-                mergeGreedy(col("arr"), col("w1"), col("w2")).as("arr"))
+        .select(col("doc_id"), mergePass.as("arr"))
         .localCheckpoint()
       val after = docs.agg(sum(size(col("arr"))).cast("long").as("tokens_after"))
       best.crossJoin(broadcast(after))

@@ -51,6 +51,42 @@ class BpeMergeSpec extends SparkSpec {
     }
   }
 
+  private def nativeMerge(arrs: Seq[Seq[String]], a: String, b: String): Seq[Seq[String]] = {
+    graft.functions.BpeMerge.register(spark)
+    val df = spark.createDataFrame(
+      arrs.zipWithIndex.map { case (ar, i) => (i, ar) }).toDF("i", "arr")
+    df.select(col("i"), call_function("bpe_merge", col("arr"), lit(a), lit(b)).as("m"))
+      .orderBy("i").collect().map(_.getSeq[String](1).toSeq).toSeq
+  }
+
+  test("native bpe_merge is bit-identical to the composed fold (runs, randoms, corpus)") {
+    // the O(n) native pass must reproduce the O(n²) HOF fold exactly —
+    // same odd-run-offset merge positions, same no-cascade carry
+    val cases = Seq(
+      Seq("a", "a", "a"), Seq("a", "a", "a", "a"), Seq("b", "a", "a", "b"),
+      Seq("a"), Seq.empty[String], Seq("a", "b", "a", "b"),
+      Seq("a_b", "a", "b"))   // a token that EQUALS the merged spelling
+    for (a <- Seq("a", "b"); b <- Seq("a", "b"))
+      assert(nativeMerge(cases, a, b) == sparkMerge(cases, a, b), s"($a, $b)")
+    val rnd = new scala.util.Random(7)
+    val alpha = Vector("a", "b", "c")
+    val arrs = Seq.fill(100)(
+      Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size))))
+    for (a <- alpha; b <- alpha)
+      assert(nativeMerge(arrs, a, b) == sparkMerge(arrs, a, b), s"($a, $b)")
+    // whole-corpus cross-check: the full t18 chain under both forms
+    val key = "spark.graft.bpeNative"
+    def run() = {
+      TextAnalysis.clearShared()
+      TextAnalysis.t18_bpe_merges(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toSeq).toSeq
+    }
+    val native = run()
+    spark.conf.set(key, "false")
+    try assert(run() == native, "t18 diverged between native and composed merge")
+    finally spark.conf.unset(key)
+  }
+
   test("t18 smoke: one merge rule per round, token totals strictly decrease") {
     val out = TextAnalysis.t18_bpe_merges(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == TextAnalysis.bpeRounds)
