@@ -51,7 +51,11 @@ object Bench {
     // each query once — the full-surface sf1 sweep, where per-query
     // medians would triple a multi-hour run for no extra signal
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+      .foreach { kv => kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_CONF entry '$kv' is not k=v (expected 'k1=v1;k2=v2')")
+      } })
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // untimed warmup: JVM/codegen/parquet-footer caches
@@ -76,6 +80,12 @@ object Bench {
         // across 178 queries × 3 runs the accumulated blocks inflate later
         // queries' timings (heap pressure + block-manager bookkeeping).
         // Cold isolation includes STORAGE: drop the blocks too.
+        // INVARIANT: this unpersist drops the blocks of localCheckpoint'ed
+        // DataFrames whose lineage is TRUNCATED — recompute is impossible,
+        // so every module that caches a checkpointed frame per session
+        // MUST be listed in the clearShared() calls above. A new per-
+        // session cache that skips the list would fail later with
+        // "checkpoint block not found" instead of recomputing.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
       val t0 = System.nanoTime()

@@ -19,7 +19,11 @@ object Verify {
     // knobs generally trade oracle hash-equality for the production shape,
     // so the driver never sets this — it's for local measurement dumps
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+      .foreach { kv => kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_CONF entry '$kv' is not k=v (expected 'k1=v1;k2=v2')")
+      } })
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: GRAFT_VERIFY_ONLY=q14_cube,q15_asof_join
     // dumps just those queries (the driver never sets it → full run)

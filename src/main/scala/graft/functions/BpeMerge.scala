@@ -99,6 +99,19 @@ object BpeMerge {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bpe_merge"),
       info,
-      (exprs: Seq[Expression]) => BpeMerge(exprs(0), exprs(1), exprs(2)))
+      (exprs: Seq[Expression]) => {
+        // arity-checked here so a miscalled bpe_merge surfaces as a proper
+        // analysis error naming the signature, not an
+        // IndexOutOfBoundsException at plan time
+        if (exprs.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map(
+              "functionName" -> "`bpe_merge`(tokens ARRAY<STRING>, left STRING, right STRING)",
+              "expectedNum" -> "3",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        BpeMerge(exprs(0), exprs(1), exprs(2))
+      })
   }
 }

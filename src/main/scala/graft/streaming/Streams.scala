@@ -1953,7 +1953,13 @@ object Streams {
           // every buffered event is ≥ the finalized prefix by construction
           val arrived = it.map(e => FunEv(e.user_id, e.event_id, e.t, e.tag)).toList
           val pending = (st.buf ++ arrived).sortBy(e => (e.t, e.tag, e.event_id))
-          val (ripe, hold) = pending.partition(_.t <= wmUs)
+          // STRICT comparison: Spark's watermark contract only promises
+          // that events with t < watermark can no longer arrive — an event
+          // with t == wm (and a smaller tag/event_id) may still show up,
+          // and finalizing the equality boundary early would fold it after
+          // its same-timestamp peers, breaking the (t, tag, event_id)
+          // order q21 parity depends on. The boundary stays in the buffer.
+          val (ripe, hold) = pending.partition(_.t < wmUs)
           val (lv, ls, nv, n2, n3) =
             fold(st.lastView, st.lastS2, st.nViews, st.nS2, st.nS3, ripe)
           val nFin = st.nFin + ripe.size
