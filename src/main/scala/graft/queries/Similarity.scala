@@ -1431,6 +1431,143 @@ object Similarity {
       |FROM asgd a JOIN asge x USING (vec_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** C2-PRUNE-AUDIT: the ANN routing's approximation measured at the
+    * OUTCOME level — [[c2_assign_audit]] grades the router at the CELL
+    * level (48% agreement at p = 2, sf0.01 defaults), but SemDeDup's
+    * semantics never consume the cell id: a cell is only a locality
+    * scope for the pair search, and what a deployment ships is the
+    * KEPT/DROPPED verdict. This audit runs the [[semdedupPrune]] verdict
+    * twice under IDENTICAL sampled-trained centroids — once over the
+    * exhaustive nearest-centroid assignment, once over the two-level
+    * routed assignment — and reports one row: cell-level agreement
+    * (c2-audit's number, for contrast in the same artifact), prune-level
+    * agreement, both drop-set sizes, their overlap, and the drop-set
+    * Jaccard. If prune agreement ≫ cell agreement, the routing default
+    * is vindicated at the level that matters (a vector that lands in a
+    * "wrong" but nearby cell still meets its near-duplicates there); if
+    * not, `semdedupRouteProbes` must rise. Same centroids on both sides
+    * isolates ROUTING loss from the orthogonal sampling loss (which
+    * c2 vs c2-ann would conflate).
+    *
+    * Cost: both assignment passes (one exhaustive n·k — the audit's
+    * subject contains its baseline, s8's discipline), two cell-scoped
+    * pair searches, and a 1-row-per-vector comparison join — the same
+    * sampled-eval class as s19. */
+  def c2_prune_audit(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    graft.functions.DotProduct.register(s) // semdedupPrune's native prefilter
+    val k = s.conf.get("spark.graft.semdedupK", "10").toInt
+    val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
+    val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
+    val p = s.conf.get("spark.graft.semdedupRouteProbes", "2").toInt
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // identical sampled-trained centroids on BOTH sides
+    val coarse = trainCoarseOn(emb.filter(col("vec_id") < m), ex, k)
+    val asgE = assignToNearest(emb, coarse, ex)
+      .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
+      .withColumn("n2", dot(col("embedding"), col("embedding"), ex))
+      .select(col("vec_id"), col("cluster").as("cell"), col("embedding"),
+              col("dist"), col("n2"))
+      .localCheckpoint()
+    val asgA = annAssign(emb, coarse, ex, g, p)
+      .withColumn("n2", dot(col("embedding"), col("embedding"), ex))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("dist"), col("n2"))
+      .localCheckpoint()
+    val verdicts = asgE.select(col("vec_id"), col("cell").as("cell_exact"))
+      .join(asgA.select(col("vec_id"), col("cell").as("cell_ann")), Seq("vec_id"))
+      .join(semdedupPrune(asgE, ex)
+        .select(col("vec_id"), col("kept").as("kept_exact")), Seq("vec_id"))
+      .join(semdedupPrune(asgA, ex)
+        .select(col("vec_id"), col("kept").as("kept_ann")), Seq("vec_id"))
+    val dropBoth = sum(when(!col("kept_exact") && !col("kept_ann"), 1L)
+      .otherwise(0L))
+    verdicts.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cell_exact") === col("cell_ann"), 1L).otherwise(0L))
+          .as("n_cell_match"),
+        sum(when(col("kept_exact") === col("kept_ann"), 1L).otherwise(0L))
+          .as("n_prune_match"),
+        sum(when(!col("kept_exact"), 1L).otherwise(0L)).as("n_drop_exact"),
+        sum(when(!col("kept_ann"), 1L).otherwise(0L)).as("n_drop_ann"),
+        dropBoth.as("n_drop_both"))
+      .select(col("n_docs"), col("n_cell_match"),
+              round4(col("n_cell_match").cast("double") / col("n_docs"))
+                .as("cell_agree"),
+              col("n_prune_match"),
+              round4(col("n_prune_match").cast("double") / col("n_docs"))
+                .as("prune_agree"),
+              col("n_drop_exact"), col("n_drop_ann"), col("n_drop_both"),
+              round4(col("n_drop_both").cast("double") /
+                greatest(col("n_drop_exact") + col("n_drop_ann")
+                  - col("n_drop_both"), lit(1L))).as("drop_jaccard"))
+  }
+
+  /** The exhaustive pair-search + keep-the-outlier CTE pair over an
+    * assignment relation `src (vec_id, cell, dist)` — the SQL twin of
+    * [[semdedupPrune]], shared by the c2-ann and c2-prune-audit oracles. */
+  private def prRemSql(src: String, pr: String, rem: String): String =
+    s"""$pr AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb, a.dist AS da, b.dist AS db,
+      |         sum((ea.v * eb.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM $src a JOIN $src b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+      |  GROUP BY 1, 2, 3, 4
+      |), $rem AS (
+      |  SELECT DISTINCT CASE WHEN p.da < p.db THEN p.va
+      |                       WHEN p.db < p.da THEN p.vb
+      |                       ELSE p.vb END AS vec_id
+      |  FROM $pr p
+      |  JOIN norms na ON na.vec_id = p.va
+      |  JOIN norms nb ON nb.vec_id = p.vb
+      |  WHERE floor(p.dp / sqrt(na.n2 * nb.n2) * 10000.0 + 0.5) / 10000.0 >= 0.4
+      |)""".stripMargin
+
+  /** c2-prune-audit oracle: the routed chain (asgd), the dist-retaining
+    * exhaustive assignment over the SAME sampled-trained centroids
+    * (asge), BOTH prune chains, one aggregate row. */
+  val c2PruneAuditSql: String =
+    s"""WITH $elemsSqlCte, $annRouteCtesSql, asge AS (
+      |  SELECT vec_id, cluster AS cell, dist FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS dist,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
+      |  FROM e GROUP BY 1
+      |), ${prRemSql("asgd", "prA", "remA")},
+      |${prRemSql("asge", "prE", "remE")}
+      |SELECT count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN a.cell = x.cell THEN 1 ELSE 0 END)::BIGINT AS n_cell_match,
+      |  floor(sum(CASE WHEN a.cell = x.cell THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*) * 10000.0 + 0.5) / 10000.0 AS cell_agree,
+      |  sum(CASE WHEN (ra.vec_id IS NULL) = (re.vec_id IS NULL)
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_prune_match,
+      |  floor(sum(CASE WHEN (ra.vec_id IS NULL) = (re.vec_id IS NULL)
+      |        THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0
+      |    AS prune_agree,
+      |  sum(CASE WHEN re.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_drop_exact,
+      |  sum(CASE WHEN ra.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_drop_ann,
+      |  sum(CASE WHEN ra.vec_id IS NOT NULL AND re.vec_id IS NOT NULL
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_drop_both,
+      |  floor(sum(CASE WHEN ra.vec_id IS NOT NULL AND re.vec_id IS NOT NULL
+      |            THEN 1 ELSE 0 END)::DOUBLE
+      |        / greatest(sum(CASE WHEN re.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |                 + sum(CASE WHEN ra.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |                 - sum(CASE WHEN ra.vec_id IS NOT NULL AND re.vec_id IS NOT NULL
+      |                       THEN 1 ELSE 0 END), 1)
+      |        * 10000.0 + 0.5) / 10000.0 AS drop_jaccard
+      |FROM asgd a JOIN asge x USING (vec_id)
+      |LEFT JOIN remA ra ON ra.vec_id = a.vec_id
+      |LEFT JOIN remE re ON re.vec_id = a.vec_id""".stripMargin
+
   /** S11: per-class kNN-GRAPH construction — the first s-query with an
     * UNBOUNDED query side: EVERY vector finds its top-3 same-label
     * neighbors (the kNN graph UMAP/HNSW builds, SemDeDup's graph variant
@@ -2723,6 +2860,7 @@ object Similarity {
     "c2_semdedup"      -> (c2_semdedup _),
     "c2_semdedup_ann"  -> (c2_semdedup_ann _),
     "c2_assign_audit"  -> (c2_assign_audit _),
+    "c2_prune_audit"   -> (c2_prune_audit _),
     "s10_ivfpq_recall" -> (s10_ivfpq_recall _),
     "s8_recall_audit" -> (s8_recall_audit _),
     "s7_ivfpq_topk"  -> (s7_ivfpq_topk _),
@@ -2749,6 +2887,7 @@ object Similarity {
     "c2_semdedup"      -> c2Sql,
     "c2_semdedup_ann"  -> c2AnnSql,
     "c2_assign_audit"  -> c2AuditSql,
+    "c2_prune_audit"   -> c2PruneAuditSql,
     "s10_ivfpq_recall" -> s10Sql,
     "s8_recall_audit" -> s8Sql,
     "s7_ivfpq_topk"  -> s7Sql,

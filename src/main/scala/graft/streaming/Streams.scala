@@ -465,6 +465,128 @@ object Streams {
       .orderBy("event_id")
   }
 
+  /** Per-user half of the x35 state: the last two activity timestamps (the
+    * 3-event moving-frequency shift register). */
+  case class SigUState(t1: Long, t2: Long, nSeen: Long)
+  /** The x35 global-signature state: five conditional decimal sums (held as
+    * plain strings — exact, encoder-stable) + counts, plus the per-user
+    * feature registers (the reference's keyed ComputeFeatures state folded
+    * into the same operator — see [[x35_stream_signature]]). */
+  case class SigState(sums: Array[String], cnts: Array[Long],
+                      users: Map[Long, SigUState])
+  case class SigOut(event_id: Long, user_id: Long, freq: Double,
+                    comment_len: Long, post_len: Long,
+                    comment_ratio: Double, post_ratio: Double, reasons: Int)
+
+  /** The x35 stateful fold — one call per (constant-key) group per trigger;
+    * shared with `StreamingSpec`'s cross-trigger continuity case. Replays
+    * the batch st6 semantics exactly: per event (in (ts, event_id) order),
+    * derive the five features from the per-user shift register, fold the
+    * non-sentinel ones into the global conditional decimal sums (update
+    * BEFORE check — the mean includes the current activity,
+    * AnomalousUserDetector.java:268-272), then apply the isNormal threshold
+    * checks and emit the event iff any fired. Sums accumulate as exact
+    * scale-10 decimals via the same valueOf path as Spark's
+    * double→DECIMAL(30,10) cast, so the emitted set is bit-identical to
+    * the batch fold's. */
+  private[graft] def signatureFold(it: Iterator[FEv],
+      state: GroupState[SigState]): Iterator[SigOut] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def round4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def dec(d: Double): JBD = JBD.valueOf(d).setScale(10, RoundingMode.HALF_UP)
+    val st0 = state.getOption.getOrElse(
+      SigState(Array.fill(5)("0"), Array.fill(5)(0L), Map.empty))
+    val sums = st0.sums.map(new JBD(_))
+    val cnts = st0.cnts.clone()
+    var users = st0.users
+    val out = scala.collection.mutable.ArrayBuffer.empty[SigOut]
+    it.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+      val sec = math.floorDiv(e.tsMicros, 1000000L)
+      val u = users.getOrElse(e.user_id, SigUState(-1L, -1L, 0L))
+      val freq = if (u.nSeen >= 2) 3.0 * 3600.0 / math.max(sec - u.t2, 1L)
+                 else -1.0
+      // content derivation identical to batch withFeatures / the x7 twin
+      val k = "([0-9]+)".r.findFirstIn(e.props)
+        .flatMap(_.toIntOption).getOrElse(0)
+      val content = if (k % 3 == 0) s"${e.event_type} ${e.event_type} ${e.props}"
+                    else s"${e.event_type} ${e.props}"
+      val isComment = e.event_type == "click" || e.event_type == "view"
+      val isPost = e.event_type == "purchase"
+      val toks = content.split(" ", -1)
+      val uwr = toks.distinct.length.toDouble / toks.length // RAW — means use it
+      val cLen = if (isComment) content.length.toLong else -1L
+      val pLen = if (isPost) content.length.toLong else -1L
+      val cRatio = if (isComment) uwr else -1.0
+      val pRatio = if (isPost) uwr else -1.0
+      // sentinel-aware signature update, BEFORE the normality check
+      val feats = Array(freq, cLen.toDouble, pLen.toDouble, cRatio, pRatio)
+      var i = 0
+      while (i < 5) {
+        if (feats(i) != -1.0) { sums(i) = sums(i).add(dec(feats(i))); cnts(i) += 1 }
+        i += 1
+      }
+      def avg(i: Int): Double = sums(i).doubleValue / cnts(i)
+      def band(c: Double, i: Int, bit: Int): Int =
+        if (c != -1.0 && (c < avg(i) * 0.5 || c > avg(i) * 2)) bit else 0
+      val reasons =
+        (if (freq != -1.0 && freq > avg(0) * 2) 1 else 0) +
+        band(cLen.toDouble, 1, 2) + band(pLen.toDouble, 2, 4) +
+        band(cRatio, 3, 8) + band(pRatio, 4, 16)
+      if (reasons > 0)
+        out += SigOut(e.event_id, e.user_id,
+          if (freq == -1.0) -1.0 else round4(freq), cLen, pLen,
+          if (cRatio == -1.0) -1.0 else round4(cRatio),
+          if (pRatio == -1.0) -1.0 else round4(pRatio), reasons)
+      users = users.updated(e.user_id, SigUState(sec, u.t1, u.nSeen + 1))
+    }
+    state.update(SigState(sums.map(_.toPlainString), cnts, users))
+    out.iterator
+  }
+
+  /** X35: streaming UnusualUserDetector — the ST3/ST6 global-signature
+    * anomaly detector as a CONSTANT-KEY `flatMapGroupsWithState`: every
+    * event routes to one group (the reference runs the detector at
+    * parallelism 1 and broadcast-replicates for the same reason,
+    * AnomalousUserDetector.java:66), whose state holds the running
+    * sentinel-aware conditional means of the five features
+    * (Signatures.update, :160-200) plus the per-user feature shift
+    * registers (ComputeFeatures' keyed ValueState, folded into the same
+    * operator because the signature must observe events in global order —
+    * a keyed upstream stage would only preserve per-user order). Emits the
+    * flagged events (:248-274's per-event verdict) under x30's in-order
+    * replay contract; state string-encodes the exact decimal sums so every
+    * trigger resumes the fold bit-exactly. Final output = the batch
+    * [[graft.queries.Stateful.st6_conditional_signature]] oracle.
+    *
+    * Scale note: constant-key statefulness is the declared non-scalable
+    * exact form — the same contract as the batch st3/st6 naive folds; the
+    * scalable path is the batch two-pass decomposition (st6_scalable),
+    * and this twin exists because SURVEY §2.3 maps ST3's streaming half
+    * to exactly this operator shape. */
+  /** The x35 stateful transform, factored so `StreamingSpec` can drive it
+    * from a `MemoryStream` across engineered triggers. */
+  private[graft] def signatureStateful(ds: Dataset[FEv]): Dataset[SigOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_ => 0L)
+      .flatMapGroupsWithState[SigState, SigOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[FEv], state: GroupState[SigState]) =>
+          signatureFold(it, state)
+      }
+  }
+
+  def x35_stream_signature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("tsMicros"), col("value"),
+              col("event_type"), col("props"))
+      .as[FEv]
+    runToMemory(signatureStateful(ds).toDF(), OutputMode.Update(),
+        s"x35_mem_${System.nanoTime()}")
+      .orderBy("event_id")
+  }
+
   case class EwmaState(ewma: Long, n: Long)
   case class EwmaOut(user_id: Long, n_events: Long, ewma_cents: Long)
 
@@ -1928,6 +2050,16 @@ object Streams {
     * finalized prefix. */
   def funnelBufferedStateful(ds: Dataset[FunBufEv]): Dataset[FunBufOut] = {
     import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunBufState, FunBufOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(funnelBufferedFold)
+  }
+
+  /** The per-trigger x33 fold, factored so `StreamingSpec` can pin the
+    * watermark-boundary semantics with a `TestGroupState` at an engineered
+    * watermark. */
+  private[graft] def funnelBufferedFold(u: Long, it: Iterator[FunBufEv],
+      state: GroupState[FunBufState]): Iterator[FunBufOut] = {
     val L = 86400000000L
     val NONE = Long.MinValue
     // q21's machine as a pure fold (same (t, tag, event_id) order, same
@@ -1942,32 +2074,33 @@ object Streams {
       }
       (lv, ls, nv, n2, n3)
     }
-    ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunBufState, FunBufOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (u: Long, it: Iterator[FunBufEv], state: GroupState[FunBufState]) =>
-          val st = state.getOption.getOrElse(
-            FunBufState(NONE, NONE, 0L, 0L, 0L, 0L, Nil))
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // global event-time order across buffered + newly-arrived events;
-          // every buffered event is ≥ the finalized prefix by construction
-          val arrived = it.map(e => FunEv(e.user_id, e.event_id, e.t, e.tag)).toList
-          val pending = (st.buf ++ arrived).sortBy(e => (e.t, e.tag, e.event_id))
-          // STRICT comparison: Spark's watermark contract only promises
-          // that events with t < watermark can no longer arrive — an event
-          // with t == wm (and a smaller tag/event_id) may still show up,
-          // and finalizing the equality boundary early would fold it after
-          // its same-timestamp peers, breaking the (t, tag, event_id)
-          // order q21 parity depends on. The boundary stays in the buffer.
-          val (ripe, hold) = pending.partition(_.t < wmUs)
-          val (lv, ls, nv, n2, n3) =
-            fold(st.lastView, st.lastS2, st.nViews, st.nS2, st.nS3, ripe)
-          val nFin = st.nFin + ripe.size
-          state.update(FunBufState(lv, ls, nv, n2, n3, nFin, hold))
-          // the estimate: provisional fold over the horizon buffer
-          val (_, _, env, en2, en3) = fold(lv, ls, nv, n2, n3, hold)
-          Iterator.single(FunBufOut(u, nFin + hold.size, env, en2, en3))
-      }
+    val st = state.getOption.getOrElse(
+      FunBufState(NONE, NONE, 0L, 0L, 0L, 0L, Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    // global event-time order across buffered + newly-arrived events;
+    // every buffered event is ≥ the finalized prefix by construction
+    val arrived = it.map(e => FunEv(e.user_id, e.event_id, e.t, e.tag)).toList
+    val pending = (st.buf ++ arrived).sortBy(e => (e.t, e.tag, e.event_id))
+    // STRICT comparison at the boundary: the documented watermark
+    // guarantee is one-directional — events inside the delay are never
+    // dropped; what happens to an event with t == wm is an engine detail
+    // (Spark 4's late-event predicate is <=, so such an event is dropped
+    // as late and cannot reach this operator in a later batch). Holding
+    // the equality boundary in the buffer is therefore not required by
+    // today's engine, but it is free and robust: if the eviction predicate
+    // ever admits t == wm, early finalization would fold that event after
+    // its same-timestamp peers and break the (t, tag, event_id) order q21
+    // parity depends on. Per-trigger OUTPUT is identical either way — each
+    // emission folds finalized state plus the held buffer over the same
+    // total order (pinned in StreamingSpec).
+    val (ripe, hold) = pending.partition(_.t < wmUs)
+    val (lv, ls, nv, n2, n3) =
+      fold(st.lastView, st.lastS2, st.nViews, st.nS2, st.nS3, ripe)
+    val nFin = st.nFin + ripe.size
+    state.update(FunBufState(lv, ls, nv, n2, n3, nFin, hold))
+    // the estimate: provisional fold over the horizon buffer
+    val (_, _, env, en2, en3) = fold(lv, ls, nv, n2, n3, hold)
+    Iterator.single(FunBufOut(u, nFin + hold.size, env, en2, en3))
   }
 
   case class DriftIn(lang: String, bucket: String)
@@ -2179,6 +2312,7 @@ object Streams {
     "x3_stream_resolver"       -> (x3_stream_resolver _),
     "x3_timer_resolver"        -> (x3_timer_resolver _),
     "x7_stream_features"       -> (x7_stream_features _),
+    "x35_stream_signature"     -> (x35_stream_signature _),
     "x8_stream_dedup"          -> (x8_stream_dedup _),
     "x9_tws_running_sum"       -> (x9_tws_running_sum _),
     "x10_tws_timer_resolver"   -> (x10_tws_timer_resolver _),
@@ -2217,6 +2351,8 @@ object Streams {
     "x3_stream_resolver"       -> graft.queries.Graph.st1Sql,
     "x3_timer_resolver"        -> graft.queries.Graph.st1Sql,
     "x7_stream_features"       -> graft.queries.Stateful.st2Sql,
+    "x35_stream_signature"     -> graft.queries.Stateful.st6Sql, // same flags
+
     "x8_stream_dedup"          -> x8Sql,
     "x9_tws_running_sum"       -> graft.queries.Stateful.st4Sql,
     "x10_tws_timer_resolver"   -> graft.queries.Graph.st1Sql,

@@ -102,4 +102,16 @@ class BpeMergeSpec extends SparkSpec {
       assert(r.getAs[String]("w1").nonEmpty && r.getAs[String]("w2").nonEmpty)
     }
   }
+
+  test("bpe_merge wrong arity raises a proper analysis error naming the signature") {
+    graft.functions.BpeMerge.register(spark)
+    val few = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bpe_merge(array('a','b'))").collect()
+    }
+    assert(few.getMessage.contains("bpe_merge"), few.getMessage)
+    val many = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bpe_merge(array('a','b'), 'a', 'b', 'c')").collect()
+    }
+    assert(many.getMessage.contains("bpe_merge"), many.getMessage)
+  }
 }

@@ -350,4 +350,61 @@ class StreamingSpec extends SparkSpec {
       s"state operators appeared in a stateless ingest: " +
         progress.flatMap(_.stateOperators.map(_.operatorName)).mkString(","))
   }
+
+  test("global signature state carries across micro-batches (x35 continuity)") {
+    // Two short comment-like events in trigger 1 seed the conditional
+    // length mean; the long event in trigger 2 is abnormal ONLY against
+    // that carried state (47 > 2 x (7+7+47)/3) -- against its own trigger
+    // alone its mean is 47 and nothing would be flagged. One flagged row
+    // with reasons = 2 is therefore proof the signature survived the
+    // batch boundary.
+    import graft.streaming.Streams.{FEv, signatureStateful}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[FEv]
+    val q = signatureStateful(mem.toDS()).toDF().writeStream.format("memory")
+      .queryName("sig_test").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(FEv(1L, 1L, 1000000L, 0.0, "click", "1"),
+                  FEv(2L, 2L, 2000000L, 0.0, "click", "1"))
+      q.processAllAvailable()
+      mem.addData(FEv(3L, 3L, 3000000L, 0.0, "click", "1" + "a" * 40))
+      q.processAllAvailable()
+      val rows = spark.table("sig_test").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getInt(7))).toSet
+      assert(rows == Set((3L, 47L, 2)),
+        s"only the long event, flagged on the carried length mean: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("x33 boundary: an event exactly at the watermark stays buffered and folds in order") {
+    // Pins the round-8 strict-< boundary semantics: a click with
+    // t == watermark is NOT finalized (it stays in the reorder buffer,
+    // though the per-trigger estimate still folds it), and when a
+    // same-timestamp smaller-tag view shows up in the next trigger the
+    // reunited pair folds in (t, tag, event_id) order -- the view lands
+    // BEFORE the click it qualifies, so the conversion counts. Early
+    // (<=) finalization would have folded the click first and lost the
+    // conversion permanently.
+    import graft.streaming.Streams.{FunBufEv, FunBufState, funnelBufferedFold}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val T = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def ev(id: Long, tUs: Long, tag: Int) = FunBufEv(7L, id, T, tUs, tag)
+    // trigger 1: watermark at 1 000 000 us; the click sits EXACTLY on it
+    val st1 = TestGroupState.create[FunBufState](Optional.empty(),
+      GroupStateTimeout.NoTimeout(), 0L, Optional.of(1000L), false)
+    val out1 = funnelBufferedFold(7L, Iterator(ev(2L, 1000000L, 1)), st1).toList
+    assert(st1.get.nFin == 0L && st1.get.buf.map(_.event_id) == List(2L),
+      s"equality-boundary event must stay buffered: ${st1.get}")
+    assert(out1.head.n_seen == 1L && out1.head.n_step2 == 0L,
+      "estimate folds the held click (no qualifying view yet)")
+    // trigger 2: a same-timestamp view arrives; watermark moves past t
+    val st2 = TestGroupState.create[FunBufState](Optional.of(st1.get),
+      GroupStateTimeout.NoTimeout(), 0L, Optional.of(2000L), false)
+    val out2 = funnelBufferedFold(7L, Iterator(ev(1L, 1000000L, 0)), st2).toList
+    assert(st2.get.nFin == 2L && st2.get.buf.isEmpty, s"both finalize: ${st2.get}")
+    assert(st2.get.nS2 == 1L && out2.head.n_step2 == 1L,
+      "the same-timestamp view must fold BEFORE the boundary click")
+  }
 }
