@@ -2368,6 +2368,181 @@ object Similarity {
       |SELECT vec_id, cell, j::BIGINT AS j, c FROM codes
       |WHERE vec_id % 10 = 0 ORDER BY vec_id, j""".stripMargin
 
+  /** The c8 drift gate: given a per-cell occupancy relation
+    * `(cell, dc, sc)` over the FULL trained cell inventory (delta and
+    * settled counts, zero-filled), compute t29's micro-nat add-one KL of
+    * the delta occupancy against the settled occupancy — one row
+    * (n_settled, n_delta, k_cells, kl). Factored so `SimilaritySpec` can
+    * pin both gate outcomes on engineered drifted/undrifted histograms. */
+  private[graft] def c8KlGate(base: DataFrame): DataFrame = {
+    // totals via a 1-row aggregate + cross join, not a global window — the
+    // relation is ≤ k rows either way, but a partitionless window would
+    // emit the single-partition warning the bench greps for
+    val tot = base.agg(sum(col("dc")).as("dt"), sum(col("sc")).as("st"),
+                       count(lit(1)).as("k"))
+    base.crossJoin(tot)
+      .withColumn("contrib", (col("dc") + 1) *
+        (floor(log((col("dc") + 1).cast("double") / (col("dt") + col("k")))
+           * 1000000.0 + 0.5).cast("long")
+         - floor(log((col("sc") + 1).cast("double") / (col("st") + col("k")))
+             * 1000000.0 + 0.5).cast("long")))
+      .groupBy()
+      .agg(max(col("st")).as("n_settled"), max(col("dt")).as("n_delta"),
+           max(col("k")).as("k_cells"), sum(col("contrib")).as("kl_scaled"))
+      .withColumn("kl", round4(col("kl_scaled").cast("double") / 1000000.0 /
+                               (col("n_delta") + col("k_cells"))))
+      .select(col("n_settled"), col("n_delta"), col("k_cells"), col("kl"))
+  }
+
+  /** C8: the DRIFT-GATED INCREMENT — the composition s18's scaladoc
+    * delegated to prose, now code: a production vector store does not
+    * append blindly; each crawl increment is admitted through a drift
+    * gate, and the gate's verdict selects between the O(delta) append
+    * fold (s18's frozen-artifact encode) and a full retrain+rebuild.
+    * The drift signal is the vector-native analogue of t29's text alarm:
+    * the delta's CELL-OCCUPANCY distribution under the FROZEN settled
+    * quantizer vs the settled occupancy, as add-one-smoothed KL on t29's
+    * exact micro-nat integer grid over the trained cell inventory — a
+    * shifted embedding distribution piles delta vectors into cells the
+    * settled corpus rarely used, which is precisely when frozen centroids
+    * stop representing the data and PQ residuals grow (the
+    * retrain-trigger production monitors; threshold
+    * `spark.graft.c8RetrainKl`, default t29's 0.05).
+    *
+    * The decision is a 1-row control-plane read (sanctioned
+    * `boundedCollect` — a retrain trigger IS a driver-side decision in
+    * any engine); the chosen branch's work is then summarized: vectors
+    * encoded, code rows written, cells touched. The delta here is a
+    * uniform `vec_id % 10` slice — no true drift — but the MEASURED gate
+    * behavior is SF-dependent exactly as t29's spec predicts: add-one
+    * smoothing carries a ≈K/2N small-sample bias, so at sf0.01 (50 delta
+    * vectors over 9 cells) kl reads 0.0524 and the RETRAIN branch fires
+    * (the oracle's CASE follows — retrain-branch parity is oracle-proven,
+    * not just spec-proven), while from sf0.1 up the bias decays
+    * (kl ≈ 0.008) and the APPEND branch fires. Both gate outcomes are
+    * additionally pinned deterministically in `SimilaritySpec` on
+    * engineered drifted/undrifted histograms. The retrain dataflow is the
+    * staged whole-corpus rebuild ([[ivfpqIndex]]: quantizer + codebook
+    * retrained on settled ∪ delta, every vector re-encoded).
+    *
+    * Scale shape: the gate costs one ≤ k-row aggregation over the
+    * assignment relations the increment already computes (the delta
+    * assignment IS the append fold's first stage — measuring drift adds
+    * no corpus pass), and the append branch stays O(delta). */
+  def c8_gated_increment(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val thr = s.conf.get("spark.graft.c8RetrainKl", "0.05").toDouble
+    val idxS = ivfpqSettledIndex(s, dir, ex)
+    val (asgD, _, codesD) = s18DeltaFold(s, dir, ex, idxS)
+    val hist = idxS.asg.select(col("cell"), lit(false).as("is_delta"))
+      .unionByName(asgD.select(col("cell"), lit(true).as("is_delta")))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("is_delta"), 1L).otherwise(0L)).as("dc"),
+           sum(when(!col("is_delta"), 1L).otherwise(0L)).as("sc"))
+    val base = idxS.coarse.select(col("cluster").as("cell"))
+      .join(hist, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("dc"), lit(0L)).as("dc"),
+              coalesce(col("sc"), lit(0L)).as("sc"))
+    val row = graft.plans.BroadcastContract.boundedCollect(
+      graft.plans.BroadcastContract.boundedCheckpoint(c8KlGate(base),
+        "c8 drift gate: one global-aggregate row by construction"),
+      "c8 retrain decision: 1-row control-plane read")(0)
+    val (nS, nD, kC, kl) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val drifted = kl > thr
+    val branchCodes =
+      if (drifted) ivfpqIndex(s, dir, ex).codes // retrain on settled ∪ delta
+      else codesD                               // s18's O(delta) append fold
+    branchCodes
+      .agg(countDistinct(col("vec_id")).as("n_vecs_encoded"),
+           count(lit(1)).as("n_code_rows"),
+           countDistinct(col("cell")).as("n_cells_touched"))
+      .select(lit(nS).as("n_settled"), lit(nD).as("n_delta"),
+              lit(kC).as("k_cells"), lit(kl).as("kl"),
+              lit(if (drifted) "retrain" else "append").as("decision"),
+              col("n_vecs_encoded"), col("n_code_rows"), col("n_cells_touched"))
+  }
+
+  /** c8 oracle: the frozen settled-index chain (the histogram and append
+    * summary read off `asg`/`codes`), the KL gate verbatim, a RENAMED
+    * full-corpus retrain chain (rc0→rcodes — both branch summaries are
+    * real relations, the CASE selects), one decision row. */
+  val c8Sql: String =
+    s"""WITH $s18IndexCtes, hist AS (
+      |  SELECT a.cell,
+      |    sum(CASE WHEN a.vec_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS dc,
+      |    sum(CASE WHEN a.vec_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS sc
+      |  FROM asg a GROUP BY 1
+      |), space AS (
+      |  SELECT DISTINCT cluster AS cell FROM c2
+      |), base AS (
+      |  SELECT s.cell, coalesce(h.dc, 0)::BIGINT AS dc,
+      |         coalesce(h.sc, 0)::BIGINT AS sc
+      |  FROM space s LEFT JOIN hist h USING (cell)
+      |), klrow AS (
+      |  SELECT max(dt)::BIGINT AS n_delta, max(st)::BIGINT AS n_settled,
+      |    max(k)::BIGINT AS k_cells,
+      |    floor(sum(contrib)::DOUBLE / 1000000.0 / (max(dt) + max(k))
+      |          * 10000.0 + 0.5) / 10000.0 AS kl
+      |  FROM (
+      |    SELECT dc, sc,
+      |      sum(dc) OVER ()::BIGINT AS dt, sum(sc) OVER ()::BIGINT AS st,
+      |      count(*) OVER () AS k,
+      |      (dc + 1) * (floor(ln((dc + 1)::DOUBLE
+      |            / (sum(dc) OVER () + count(*) OVER ())) * 1000000.0 + 0.5)::BIGINT
+      |        - floor(ln((sc + 1)::DOUBLE
+      |            / (sum(sc) OVER () + count(*) OVER ())) * 1000000.0 + 0.5)::BIGINT)
+      |        AS contrib
+      |    FROM base)
+      |), rc0 AS (
+      |  SELECT vec_id AS cluster, i, v AS cv FROM e WHERE vec_id < 10
+      |), rc1 AS (
+      |${assignAndMeanSql("rc0", "e")}
+      |), rc2 AS (
+      |${assignAndMeanSql("rc1", "e")}
+      |), rasg AS (
+      |  SELECT vec_id, cluster AS cell FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN rc2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), rsub AS (
+      |  SELECT e.vec_id, e.i // 8 AS j, e.i, e.v - c.cv AS v
+      |  FROM e JOIN rasg a USING (vec_id) JOIN rc2 c ON c.cluster = a.cell AND c.i = e.i
+      |), rcb0 AS (
+      |  SELECT vec_id AS c, j, i, v AS cv FROM rsub WHERE vec_id IN (1, 2, 3, 4)
+      |),
+      |${pqCandCte("rcand0", "rcb0", "rsub")},
+      |${pqEncCte("renc0", "rcand0")},
+      |rcb1 AS (
+      |  SELECT s.j, en.c, s.i,
+      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |  FROM rsub s JOIN renc0 en ON en.vec_id = s.vec_id AND en.j = s.j
+      |  GROUP BY 1, 2, 3
+      |),
+      |${pqCandCte("rcand1", "rcb1", "rsub")},
+      |${pqEncCte("renc1", "rcand1")},
+      |rcodes AS (
+      |  SELECT en.vec_id, a.cell, en.j, en.c FROM renc1 en JOIN rasg a USING (vec_id)
+      |), ap AS (
+      |  SELECT count(DISTINCT vec_id)::BIGINT AS nv, count(*)::BIGINT AS nr,
+      |         count(DISTINCT cell)::BIGINT AS nc
+      |  FROM codes WHERE vec_id % 10 = 0
+      |), rb AS (
+      |  SELECT count(DISTINCT vec_id)::BIGINT AS nv, count(*)::BIGINT AS nr,
+      |         count(DISTINCT cell)::BIGINT AS nc
+      |  FROM rcodes
+      |)
+      |SELECT k.n_settled, k.n_delta, k.k_cells, k.kl,
+      |  CASE WHEN k.kl > 0.05 THEN 'retrain' ELSE 'append' END AS decision,
+      |  CASE WHEN k.kl > 0.05 THEN rb.nv ELSE ap.nv END AS n_vecs_encoded,
+      |  CASE WHEN k.kl > 0.05 THEN rb.nr ELSE ap.nr END AS n_code_rows,
+      |  CASE WHEN k.kl > 0.05 THEN rb.nc ELSE ap.nc END AS n_cells_touched
+      |FROM klrow k, ap, rb""".stripMargin
+
   val s18Sql: String = {
     s"""WITH $s18IndexCtes, qcell AS (
       |  SELECT vec_id AS q_id, cell FROM asg WHERE vec_id % 100 = 0
@@ -2847,6 +3022,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19_retrieval_eval" -> (s19_retrieval_eval _),
     "s18_ivfpq_incremental" -> (s18_ivfpq_incremental _),
+    "c8_gated_increment" -> (c8_gated_increment _),
     "s17_hard_negatives" -> (s17_hard_negatives _),
     "s17_hard_negatives_ivf" -> (s17_hard_negatives_ivf _),
     "s16_hybrid_rrf" -> (s16_hybrid_rrf _),
@@ -2874,6 +3050,7 @@ object Similarity {
   lazy val oracles: Map[String, String] = Map(
     "s19_retrieval_eval" -> s19Sql,
     "s18_ivfpq_incremental" -> s18Sql,
+    "c8_gated_increment" -> c8Sql,
     "s17_hard_negatives" -> s17Sql,
     "s17_hard_negatives_ivf" -> s17IvfSql,
     "s16_hybrid_rrf" -> s16Sql,

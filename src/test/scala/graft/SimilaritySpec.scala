@@ -386,4 +386,24 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("c8 drift gate fires both branches deterministically on engineered histograms") {
+    import spark.implicits._
+    // undrifted: delta occupancy proportional to settled (10% slice per
+    // cell) -- the gate must stay far below the 0.05 retrain line
+    val flat = (0L until 10L).map(c => (c, 100L, 1000L)).toDF("cell", "dc", "sc")
+    val g1 = Similarity.c8KlGate(flat).collect()(0)
+    assert(g1.getLong(1) == 1000L && g1.getLong(2) == 10L)
+    assert(g1.getDouble(3) < 0.05,
+      s"proportional delta must read undrifted (append branch): $g1")
+    // drifted: the whole delta piles into the one cell the settled corpus
+    // barely uses -- exactly the shifted-embedding shape that invalidates
+    // frozen centroids; the gate must cross the retrain line
+    val skew = (0L until 10L)
+      .map(c => (c, if (c == 9) 1000L else 0L, if (c == 9) 10L else 1000L))
+      .toDF("cell", "dc", "sc")
+    val g2 = Similarity.c8KlGate(skew).collect()(0)
+    assert(g2.getDouble(3) > 0.05,
+      s"concentrated delta must read drifted (retrain branch): $g2")
+  }
 }
