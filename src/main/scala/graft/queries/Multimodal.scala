@@ -325,17 +325,8 @@ object Multimodal {
   /** m6's verified near-dup pair relation (doc_a < doc_b, hamming ≤ 3) —
     * shared by m6 and the m7 keep-best composite. */
   private def m6Pairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ph = assets(s, dir).as[Asset]
-      .mapPartitions(_.flatMap { a =>
-        if (a.payload.nonEmpty && a.payload.forall(_ >= 1)) Some(phash64(a))
-        else None
-      }).toDF()
-      .localCheckpoint()
-    val bands = ph.select(col("doc_id"), col("phash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))): _*))
-        .as(Seq("band", "key")))
+    val ph = phash64Of(s, assets(s, dir)).localCheckpoint()
+    val bands = bandsOf(ph)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -348,6 +339,24 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** [[phash64]] over an asset relation (partition-parallel, the m2 batch
+    * shape), under the ASCII + non-empty oracle-parity guard — factored
+    * from m6 for reuse by the m9 increment. */
+  private[graft] def phash64Of(s: SparkSession, as: DataFrame): DataFrame = {
+    import s.implicits._
+    as.as[Asset].mapPartitions(_.flatMap { a =>
+      if (a.payload.nonEmpty && a.payload.forall(_ >= 1)) Some(phash64(a))
+      else None
+    }).toDF()
+  }
+
+  /** The 4x16-bit band rows of a phash relation (doc_id, phash, band, key). */
+  private[graft] def bandsOf(ph: DataFrame): DataFrame =
+    ph.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band", "key")))
+
   /** m6's oracle: the signed-random-projection hash re-derived per doc in
     * exact integer arithmetic (weight formula replicated verbatim; the
     * engine's 0-based byte position i maps to SQL's 1-based i, so both
@@ -356,8 +365,10 @@ object Multimodal {
     * banding must return the identical set. The j=63 addend is −2⁶³, so
     * the signed sum stays in BIGINT range and equals the engine's
     * two's-complement long. */
-  private val m6SqlBody: String =
-    """WITH b AS (
+  /** The phash64 derivation CTEs (b -> blk -> ph) — shared by the m6 and
+    * m9 oracles. */
+  private val m6PhCtes: String =
+    """b AS (
       |  SELECT doc_id, i, ascii(substring(text, i, 1)) AS byte
       |  FROM documents CROSS JOIN (SELECT unnest(range(1, 1 + (SELECT max(length(text)) FROM documents))) AS i)
       |  WHERE i <= length(text) AND regexp_matches(text, '^[\x01-\x7f]*$')
@@ -371,7 +382,10 @@ object Multimodal {
       |             WHEN j = 63 THEN -9223372036854775807 - 1
       |             ELSE 1::BIGINT << j END)::BIGINT AS phash
       |  FROM blk GROUP BY 1
-      |)
+      |)""".stripMargin
+
+  private val m6SqlBody: String =
+    s"""WITH $m6PhCtes
       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |       bit_count(xor(a.phash, b2.phash))::BIGINT AS hamming
       |FROM ph a JOIN ph b2 ON a.doc_id < b2.doc_id
@@ -490,7 +504,164 @@ object Multimodal {
        |  sum(n_bytes)::BIGINT AS bytes
        |FROM led GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The SETTLED half of the m9 media-ingest increment, staged per
+    * (session, dir): the settled digest table (m4's md5 content key) and
+    * the settled 4×16 phash band table (m6's signed-random-projection
+    * index) — exactly the two warm artifacts a production media ingest
+    * keeps between crawl increments (d13's settled-band-table discipline
+    * applied to the media family). Bench clears it per timed run; the
+    * warm serving shape is the KEEP_SHARED study in STRESS_sf1.md. */
+  private val m9Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** `Bench.clearShared` contract: the staged frames are localCheckpoint'ed
+    * (lineage truncated), so the cache MUST be dropped before Bench's
+    * cold-isolation unpersist or later m9 runs would hit missing blocks. */
+  def clearShared(): Unit = m9Cache.clear()
+  private[graft] def m9SettledIndex(s: SparkSession,
+                                    dir: String): (DataFrame, DataFrame) =
+    graft.queries.QUtil.cachedPerSession(m9Cache, s, dir) {
+      val settled = assets(s, dir).filter(col("doc_id") % 10 =!= 0)
+      (settled.select(col("doc_id"), md5(col("payload")).as("h"))
+         .localCheckpoint(),
+       bandsOf(phash64Of(s, settled).localCheckpoint()))
+    }
+
+  /** M9: the MEDIA-INGEST INCREMENT — d12/d13's settled-vs-delta
+    * discipline applied to the media family, closing the increment story
+    * across all four asset classes (text d12/d13, postings t30, vectors
+    * s18/x34, media m9): the settled corpus was deduplicated when it
+    * settled and keeps its digest + phash band tables warm
+    * ([[m9SettledIndex]]); each arriving delta asset (doc_id % 10 = 0)
+    * is classified in O(delta) with NO settled×settled work:
+    *
+    *  1. EXACT tier (m4's content digest, d12's classification): byte-
+    *     identical to a settled asset → `dup_of_base` (canonical = lowest
+    *     settled id); else to an earlier delta arrival → `dup_in_delta`.
+    *  2. PERCEPTUAL tier (m6's machinery, d13's candidate discipline):
+    *     the delta's phash band rows equi-join the SETTLED band index and
+    *     earlier delta arrivals; candidates get exact Hamming ≤ 3 verify;
+    *     the partner is deterministic (settled beats delta, then lowest
+    *     id) → `neardup_of_base` / `neardup_in_delta`.
+    *  3. Neither → `unique`. Exact beats perceptual (a byte-identical
+    *     match needs no Hamming evidence; `hamming` is NULL on exact).
+    *
+    * Scale shape: per increment ships |delta| digests (16 bytes) and
+    * 4·|delta| band rows; the settled side contributes only bucket-
+    * matched band rows through the co-partitioned (band, key) join —
+    * payload bytes never shuffle anywhere (m6's contract), and the
+    * settled tables are append-target artifacts, never recomputed
+    * (warm-staging measured at sf1 in STRESS_sf1.md). */
+  def m9_incremental_media(s: SparkSession, dir: String): DataFrame = {
+    val (digS, bandS) = m9SettledIndex(s, dir)
+    m9Classify(s, digS, bandS, assets(s, dir).filter(col("doc_id") % 10 === 0))
+  }
+
+  /** The m9 classification against a given settled (digest, band) index —
+    * factored so `QueriesSmokeSpec` can drive all five status branches
+    * with engineered payload collisions (d12's `incrClassify` pattern). */
+  private[graft] def m9Classify(s: SparkSession, digS: DataFrame,
+                                bandS: DataFrame,
+                                deltaAssets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digD = deltaAssets.select(col("doc_id"), md5(col("payload")).as("h"))
+      .localCheckpoint() // consumed by the base join and the delta window
+    val bandD = bandsOf(phash64Of(s, deltaAssets).localCheckpoint())
+    // exact tier: d12's classification against the settled digest index
+    val baseMin = digS.groupBy(col("h")).agg(min(col("doc_id")).as("base_id"))
+    val exact = digD
+      .withColumn("delta_first",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .join(baseMin, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("base_id").isNotNull, lit("dup_of_base"))
+          .when(col("doc_id") =!= col("delta_first"), lit("dup_in_delta"))
+          .as("status_e"),
+        coalesce(col("base_id"),
+          when(col("doc_id") =!= col("delta_first"), col("delta_first")))
+          .as("dup_e"))
+    // perceptual tier: banded candidates against the settled index and
+    // earlier delta arrivals, exact Hamming verify, deterministic partner
+    val partnerS = bandS.select(col("doc_id").as("cand_id"), col("band"),
+                                col("key"), col("phash").as("pb"))
+    val partnerD = bandD.select(col("doc_id").as("cand_id"), col("band"),
+                                col("key"), col("phash").as("pb"))
+    val cand = bandD.join(partnerS, Seq("band", "key"))
+        .select(col("doc_id"), col("phash"), col("cand_id"), col("pb"))
+        .distinct().withColumn("is_base", lit(true))
+      .unionByName(bandD.join(partnerD, Seq("band", "key"))
+        .filter(col("cand_id") < col("doc_id"))
+        .select(col("doc_id"), col("phash"), col("cand_id"), col("pb"))
+        .distinct().withColumn("is_base", lit(false)))
+    val near = cand
+      .withColumn("hamming",
+        bit_count(col("phash").bitwiseXOR(col("pb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(when(col("is_base"), lit(0)).otherwise(lit(1)), col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        when(col("is_base"), lit("neardup_of_base"))
+          .otherwise(lit("neardup_in_delta")).as("status_n"),
+        col("cand_id").as("dup_n"), col("hamming"))
+    deltaAssets.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("status_e"), col("status_n"), lit("unique")).as("status"),
+        when(col("status_e").isNotNull, col("dup_e")).otherwise(col("dup_n"))
+          .as("dup_of"),
+        when(col("status_e").isNull, col("hamming")).as("hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** m9 oracle: the shared phash CTEs, the d12-shape exact tier over
+    * md5(text), the quadratic perceptual pair space filtered to the
+    * increment's candidate contract (settled partner, or earlier delta) —
+    * banding completeness means the engine's banded set must equal it. */
+  val m9Sql: String =
+    s"""WITH $m6PhCtes, dig AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |), base AS (
+      |  SELECT h, min(doc_id) AS base_id FROM dig WHERE doc_id % 10 <> 0 GROUP BY 1
+      |), exact AS (
+      |  SELECT dl.doc_id,
+      |    CASE WHEN b.base_id IS NOT NULL THEN 'dup_of_base'
+      |         WHEN dl.doc_id <> dl.delta_first THEN 'dup_in_delta' END AS status_e,
+      |    coalesce(b.base_id,
+      |      CASE WHEN dl.doc_id <> dl.delta_first THEN dl.delta_first END) AS dup_e
+      |  FROM (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS delta_first
+      |        FROM dig WHERE doc_id % 10 = 0) dl
+      |  LEFT JOIN base b USING (h)
+      |), cand AS (
+      |  SELECT d.doc_id, p.doc_id AS cand_id, p.doc_id % 10 <> 0 AS is_base,
+      |         bit_count(xor(d.phash, p.phash))::BIGINT AS hamming
+      |  FROM ph d JOIN ph p
+      |    ON d.doc_id % 10 = 0 AND (p.doc_id % 10 <> 0 OR p.doc_id < d.doc_id)
+      |  WHERE bit_count(xor(d.phash, p.phash)) <= 3
+      |), near AS (
+      |  SELECT doc_id,
+      |    CASE WHEN is_base THEN 'neardup_of_base'
+      |         ELSE 'neardup_in_delta' END AS status_n,
+      |    cand_id AS dup_n, hamming
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CASE WHEN is_base THEN 0 ELSE 1 END, cand_id) AS rn
+      |    FROM cand)
+      |  WHERE rn = 1
+      |)
+      |SELECT dl.doc_id,
+      |  coalesce(e.status_e, n.status_n, 'unique') AS status,
+      |  CASE WHEN e.status_e IS NOT NULL THEN e.dup_e ELSE n.dup_n END AS dup_of,
+      |  CASE WHEN e.status_e IS NULL THEN n.hamming END AS hamming
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dl
+      |LEFT JOIN exact e ON e.doc_id = dl.doc_id
+      |LEFT JOIN near n ON n.doc_id = dl.doc_id
+      |ORDER BY dl.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_incremental_media" -> (m9_incremental_media _),
     "m8_media_drop_ledger" -> (m8_media_drop_ledger _),
     "m7_media_keep_best" -> (m7_media_keep_best _),
     "m6_media_neardup"   -> (m6_media_neardup _),
@@ -501,6 +672,7 @@ object Multimodal {
     "m3_frame_sample"    -> (m3_frame_sample _))
 
   val oracles: Map[String, String] = Map(
+    "m9_incremental_media" -> m9Sql,
     "m8_media_drop_ledger" -> m8Sql,
     "m7_media_keep_best" -> m7Sql,
     "m6_media_neardup"   -> m6Sql,

@@ -719,4 +719,51 @@ class QueriesSmokeSpec extends SparkSpec {
     // partial aggregation (map-side combine) must precede the exchange
     assert(plan.contains("partial_sum"), s"expected partial aggregation in:\n$plan")
   }
+
+  test("m9 increment classifies all five statuses on engineered payloads") {
+    // Payload pairs engineered offline against the phash64 arithmetic:
+    // B/Bp and C/Cp differ in one byte (md5 differs) yet hash to the SAME
+    // 64-bit phash (the flipped byte never changes a stride-group's sign),
+    // so they are near-dups at Hamming 0; all cross-pair distances are
+    // >> 3 (verified offline). A/Ac are byte-identical.
+    import graft.queries.Multimodal
+    import spark.implicits._
+    val A  = "canonical asset alpha: wholly distinct content stream AAAA 1111" * 2
+    val B  = "settled media asset payload number two, stable bytes 0123456789" * 2
+    val Bp = "tettled media asset payload number two, stable bytes 0123456789" +
+             "settled media asset payload number two, stable bytes 0123456789"
+    val C  = "delta-only payload with no settled counterpart, run 9876543210" * 2
+    val Cp = "eelta-only payload with no settled counterpart, run 9876543210" +
+             "delta-only payload with no settled counterpart, run 9876543210"
+    val D  = "novel duplicate pair payload, byte-identical twice in the delta" * 2
+    val E  = "wholly unique delta asset with nothing nearby in any tier zzz" * 2
+    def asset(id: Long, text: String) =
+      Multimodal.Asset(id, "image", text.getBytes("UTF-8"), text.length.toLong, "src0")
+    val all = Seq(
+      asset(1L, A), asset(2L, B),                    // settled
+      asset(10L, A),  // byte-identical to settled 1     -> dup_of_base
+      asset(20L, Bp), // phash-equal to settled 2        -> neardup_of_base
+      asset(30L, C),  // novel                           -> unique
+      asset(40L, Cp), // phash-equal to EARLIER delta 30 -> neardup_in_delta
+      asset(50L, D),  // novel                           -> unique
+      asset(60L, D),  // byte-identical to delta 50      -> dup_in_delta
+      asset(70L, E))  // nothing nearby                  -> unique
+      .toDS().toDF()
+    val settled = all.filter(col("doc_id") % 10 =!= 0)
+    val digS = settled.select(col("doc_id"), md5(col("payload")).as("h"))
+    val out = Multimodal.m9Classify(spark, digS,
+        Multimodal.bandsOf(Multimodal.phash64Of(spark, settled)),
+        all.filter(col("doc_id") % 10 === 0))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(10L) == (("dup_of_base", Some(1L), None)),
+      s"exact beats perceptual and hamming stays NULL: ${out(10L)}")
+    assert(out(20L) == (("neardup_of_base", Some(2L), Some(0L))), out(20L).toString)
+    assert(out(30L) == (("unique", None, None)), out(30L).toString)
+    assert(out(40L) == (("neardup_in_delta", Some(30L), Some(0L))), out(40L).toString)
+    assert(out(50L) == (("unique", None, None)), out(50L).toString)
+    assert(out(60L) == (("dup_in_delta", Some(50L), None)), out(60L).toString)
+    assert(out(70L) == (("unique", None, None)), out(70L).toString)
+  }
 }
