@@ -34,7 +34,13 @@ object Multimodal {
     * UTF-8 bytes of `text` (deterministic stand-in for image/audio bytes);
     * media_type assigned round-robin for coverage. */
   def assets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+    assetsOf(Tables.documents(s, dir))
+
+  /** The asset lift over an arbitrary `documents`-shaped relation —
+    * shared with the x36 streaming ingest, whose input is the documents
+    * STREAM. */
+  private[graft] def assetsOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
@@ -620,7 +626,15 @@ object Multimodal {
     * md5(text), the quadratic perceptual pair space filtered to the
     * increment's candidate contract (settled partner, or earlier delta) —
     * banding completeness means the engine's banded set must equal it. */
-  val m9Sql: String =
+  val m9Sql: String = m9SqlAt("(p.doc_id % 10 <> 0 OR p.doc_id < d.doc_id)")
+
+  /** The x36 (online) variant: perceptual partners restricted to the
+    * SETTLED side — the online ingest classifies against the warm index
+    * only, and within-increment near-dups are delegated to the batch m9
+    * sweep (the x30 → x33 delegation pattern). */
+  val m9SettledOnlySql: String = m9SqlAt("p.doc_id % 10 <> 0")
+
+  private def m9SqlAt(partnerPred: String): String =
     s"""WITH $m6PhCtes, dig AS (
       |  SELECT doc_id, md5(text) AS h FROM documents
       |), base AS (
@@ -638,7 +652,7 @@ object Multimodal {
       |  SELECT d.doc_id, p.doc_id AS cand_id, p.doc_id % 10 <> 0 AS is_base,
       |         bit_count(xor(d.phash, p.phash))::BIGINT AS hamming
       |  FROM ph d JOIN ph p
-      |    ON d.doc_id % 10 = 0 AND (p.doc_id % 10 <> 0 OR p.doc_id < d.doc_id)
+      |    ON d.doc_id % 10 = 0 AND $partnerPred
       |  WHERE bit_count(xor(d.phash, p.phash)) <= 3
       |), near AS (
       |  SELECT doc_id,

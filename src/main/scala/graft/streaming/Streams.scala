@@ -1501,6 +1501,120 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  /** One pre-joined candidate row of the x36 media ingest: a delta
+    * asset's digest + exact-tier base match, and (exploded) one settled
+    * band-bucket candidate with its verified Hamming distance. */
+  case class MediaCand(doc_id: Long, h: String, base_id: Option[Long],
+                       cand_id: Option[Long], hamming: Option[Long])
+  case class MediaOut(doc_id: Long, status: String, dup_of: Option[Long],
+                      hamming: Option[Long])
+
+  /** The x36 stateful classification — keyed by content digest `h`, one
+    * first-arrival `ValueState` per digest (x22's admission discipline);
+    * factored so `StreamingSpec` can drive the tier precedence across
+    * engineered triggers. Per doc (its candidate rows all land in the
+    * arrival trigger): exact settled match → `dup_of_base`; earlier
+    * arrival with the same digest → `dup_in_delta`; else best settled
+    * perceptual partner (min cand_id at Hamming ≤ 3) → `neardup_of_base`;
+    * else `unique` — m9's precedence exactly, with the doc claiming the
+    * digest's first-arrival slot regardless of its perceptual verdict
+    * (m9's delta_first is digest-level, not status-level). */
+  private[graft] def mediaIngestStateful(ds: Dataset[MediaCand]): Dataset[MediaOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.h)
+      .flatMapGroupsWithState[Long, MediaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[MediaCand], state: GroupState[Long]) =>
+          var first = state.getOption
+          val outs = it.toSeq.groupBy(_.doc_id).toSeq.sortBy(_._1)
+            .map { case (id, rows) =>
+              val near = rows.flatMap(r => r.cand_id.zip(r.hamming))
+                .filter(_._2 <= 3L).sortBy(_._1).headOption
+              rows.head.base_id match {
+                case Some(b) => MediaOut(id, "dup_of_base", Some(b), None)
+                case None =>
+                  val out = first match {
+                    case Some(f) => MediaOut(id, "dup_in_delta", Some(f), None)
+                    case None => near match {
+                      case Some((c, hm)) =>
+                        MediaOut(id, "neardup_of_base", Some(c), Some(hm))
+                      case None => MediaOut(id, "unique", None, None)
+                    }
+                  }
+                  if (first.isEmpty) first = Some(id)
+                  out
+              }
+            }
+          first.foreach(state.update)
+          outs.iterator
+      }
+  }
+
+  case class MediaHashed(doc_id: Long, h: String, phash: Long, has_ph: Boolean)
+
+  /** X36: m9's MEDIA-INGEST INCREMENT ONLINE — the write-path twin that
+    * closes the online loop for the media family the way x34 did for
+    * vectors and x22 for text: arriving delta assets classify AT LANDING
+    * against the warm settled artifacts (m9's digest table aggregated to
+    * its canonical-min form and the 4×16 phash band index, both
+    * stream-static join sides — the unbounded settled corpus is never
+    * broadcast and never re-scanned beyond the bucket-matched band rows),
+    * plus one first-arrival `ValueState` per content digest for
+    * within-delta exact dups. The digest and perceptual hash are per-row
+    * computations on the stream (a stateless typed map — the mapPartitions
+    * codec shape at ingest rate); each asset's ≤ 4 band probes explode
+    * BEFORE the stateful operator so the per-digest group reduces its own
+    * candidate rows in-trigger.
+    *
+    * Delegation contract (x30 → x33's pattern, stated rather than
+    * hidden): within-increment PERCEPTUAL pairs are not matched online —
+    * that tier needs per-band-bucket state feeding a second per-doc
+    * reduction, an unsupported stateful-operator chain — so a delta asset
+    * whose only near-partner is an earlier delta arrival lands `unique`
+    * here and the nightly batch m9 sweep reclassifies it
+    * (`neardup_in_delta`). The oracle is m9's with the partner space
+    * restricted to settled — exactly that contract. In-order replay
+    * (doc_id order, x22's contract) makes first-arrival ≡ m9's
+    * digest-level delta_first. */
+  def x36_stream_media_ingest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = graft.queries.Multimodal
+    val settled = M.assets(s, dir).filter(col("doc_id") % 10 =!= 0)
+    val baseMin = settled.select(col("doc_id"), md5(col("payload")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("base_id"))
+    val bandS = M.bandsOf(M.phash64Of(s, settled))
+      .select(col("band"), col("key"), col("doc_id").as("cand_id"),
+              col("phash").as("pb"))
+    val hashed = M.assetsOf(docsStream(s, dir).filter(col("doc_id") % 10 === 0))
+      .withColumn("h", md5(col("payload")))
+      .select(col("doc_id"), col("h"), col("payload")).as[(Long, String, Array[Byte])]
+      // full object paths inside the lambda: a captured local alias of the
+      // Multimodal module is not serializable; the static MODULE$ access is
+      .mapPartitions(_.map { case (id, h, payload) =>
+        val ok = payload.nonEmpty && payload.forall(_ >= 1)
+        MediaHashed(id, h,
+          if (ok) graft.queries.Multimodal.phash64(
+            graft.queries.Multimodal.Asset(id, "", payload,
+              payload.length.toLong, "")).phash
+          else 0L, ok)
+      }).toDF()
+    val cands = hashed
+      .join(baseMin, Seq("h"), "left_outer")
+      .select(col("doc_id"), col("h"), col("base_id"), col("phash"),
+        posexplode_outer(when(col("has_ph"),
+          array((0 until 4).map(b =>
+            shiftright(col("phash"), b * 16).bitwiseAND(lit(65535L))): _*)))
+          .as(Seq("band", "key")))
+      .join(bandS, Seq("band", "key"), "left_outer")
+      .select(col("doc_id"), col("h"), col("base_id"), col("cand_id"),
+        when(col("cand_id").isNotNull,
+          bit_count(col("phash").bitwiseXOR(col("pb"))).cast("long")).as("hamming"))
+      .as[MediaCand]
+    runToMemory(mediaIngestStateful(cands).toDF(), OutputMode.Append(),
+        s"x36_mem_${System.nanoTime()}")
+      .orderBy("doc_id")
+  }
+
   case class ChunkIn(doc_id: Long, chunk_id: Long, chunk_hash: String)
   case class ChunkOut(doc_id: Long, chunk_id: Long, chunk_hash: String,
                       canon_doc: Long, canon_chunk: Long, is_dup: Boolean)
@@ -2313,6 +2427,7 @@ object Streams {
     "x3_timer_resolver"        -> (x3_timer_resolver _),
     "x7_stream_features"       -> (x7_stream_features _),
     "x35_stream_signature"     -> (x35_stream_signature _),
+    "x36_stream_media_ingest"  -> (x36_stream_media_ingest _),
     "x8_stream_dedup"          -> (x8_stream_dedup _),
     "x9_tws_running_sum"       -> (x9_tws_running_sum _),
     "x10_tws_timer_resolver"   -> (x10_tws_timer_resolver _),
@@ -2352,6 +2467,7 @@ object Streams {
     "x3_timer_resolver"        -> graft.queries.Graph.st1Sql,
     "x7_stream_features"       -> graft.queries.Stateful.st2Sql,
     "x35_stream_signature"     -> graft.queries.Stateful.st6Sql, // same flags
+    "x36_stream_media_ingest"  -> graft.queries.Multimodal.m9SettledOnlySql,
 
     "x8_stream_dedup"          -> x8Sql,
     "x9_tws_running_sum"       -> graft.queries.Stateful.st4Sql,

@@ -407,4 +407,42 @@ class StreamingSpec extends SparkSpec {
     assert(st2.get.nS2 == 1L && out2.head.n_step2 == 1L,
       "the same-timestamp view must fold BEFORE the boundary click")
   }
+
+  test("media ingest tiers classify at landing; digest first-arrival carries across triggers (x36)") {
+    import graft.streaming.Streams.{MediaCand, mediaIngestStateful}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[MediaCand]
+    val q = mediaIngestStateful(mem.toDS()).toDF().writeStream.format("memory")
+      .queryName("media_test").outputMode(OutputMode.Append()).start()
+    try {
+      // trigger 1: doc 10 exact-matches settled 3; doc 20 lands a new
+      // digest with two settled perceptual partners (min cand_id wins,
+      // m9's rule -- NOT min hamming); doc 30's only candidate fails the
+      // Hamming gate
+      mem.addData(
+        MediaCand(10L, "hA", Some(3L), None, None),
+        MediaCand(20L, "hB", None, Some(9L), Some(1L)),
+        MediaCand(20L, "hB", None, Some(7L), Some(2L)),
+        MediaCand(30L, "hC", None, Some(8L), Some(9L)))
+      q.processAllAvailable()
+      // trigger 2: doc 40 repeats doc 20's digest -> dup_in_delta(20)
+      // (the digest-level first-arrival slot carried across the batch
+      // boundary and beats the perceptual tier); doc 50 repeats the
+      // settled digest -> exact base tier still wins
+      mem.addData(
+        MediaCand(40L, "hB", None, None, None),
+        MediaCand(50L, "hA", Some(3L), None, None))
+      q.processAllAvailable()
+      val rows = spark.table("media_test").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+      assert(rows(10L) == (("dup_of_base", Some(3L), None)), rows(10L).toString)
+      assert(rows(20L) == (("neardup_of_base", Some(7L), Some(2L))), rows(20L).toString)
+      assert(rows(30L) == (("unique", None, None)), rows(30L).toString)
+      assert(rows(40L) == (("dup_in_delta", Some(20L), None)), rows(40L).toString)
+      assert(rows(50L) == (("dup_of_base", Some(3L), None)), rows(50L).toString)
+    } finally q.stop()
+  }
 }
