@@ -1231,7 +1231,7 @@ object Similarity {
     val k = s.conf.get("spark.graft.semdedupK", "10").toInt
     val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
     val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
-    val p = s.conf.get("spark.graft.semdedupRouteProbes", "2").toInt
+    val p = s.conf.get("spark.graft.semdedupRouteProbes", "1").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     // 1. bounded-sample training: O(m·k), corpus-size-independent
     val coarse = trainCoarseOn(emb.filter(col("vec_id") < m), ex, k)
@@ -1248,16 +1248,20 @@ object Similarity {
     * (g distances) then scores only those pilots' groups (~p·k/g).
     * MULTI-PROBE is the standard recall knob of two-level routing — a
     * vector near a pilot boundary finds its true centroid in the second
-    * probe. The default p = 2 was DECIDED BY [[c2_assign_audit]]'s
-    * measurement at the production shape (sf1, k = 100, g = 10):
-    * single-probe agreement with the exhaustive assignment is 32%;
-    * p = 2 and p = 3 are measured in STRESS_sf1.md, and SemDeDup's
-    * keep-the-outlier semantics only need locality, so the audited
-    * agreement-vs-cost curve is exactly the tuning signal production
-    * uses. The g-sweep refutes the other direction: more pilots at
-    * fixed p narrow each group and LOSE agreement at matched eval
-    * budget (g = 20 → 43.8% vs g = 10 → 47.8% at p = 2) — hold g at
-    * √k, buy recall with probes. Returns (vec_id, embedding, cell, dist) with `dist` the exact
+    * probe. The default p = 1 was DECIDED BY [[c2_prune_audit]]'s
+    * OUTCOME-level measurement at the production shape (sf1, k = 100,
+    * g = 10), which REFUTED the round-6 cell-level choice of p = 2:
+    * cell agreement climbs steeply with probes (32% → 47.8% → 59.8% for
+    * p = 1/2/3) but the kept/dropped verdict — the only thing SemDeDup
+    * ships — is FLAT at 99.15% → 99.25% → 99.38% (drop-set Jaccard
+    * ≥ 0.99 everywhere): a vector routed to a wrong-but-nearby cell
+    * still meets its near-duplicates there, so each extra probe pays
+    * +k/g evals per vector for ~0.1 points of shipped agreement. The
+    * g-sweep refutes the other direction too: more pilots at fixed p
+    * narrow each group and LOSE agreement at matched eval budget
+    * (g = 20 → 43.8% vs g = 10 → 47.8% at p = 2) — hold g at √k, and
+    * buy outcome fidelity (when a deployment's threshold demands it)
+    * with probes. Returns (vec_id, embedding, cell, dist) with `dist` the exact
     * distance to the ROUTED centroid. */
   private def annAssign(emb: DataFrame, coarse: DataFrame, ex: Boolean,
                         g: Int, p: Int): DataFrame = {
@@ -1308,7 +1312,7 @@ object Similarity {
     val k = s.conf.get("spark.graft.semdedupK", "10").toInt
     val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
     val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
-    val p = s.conf.get("spark.graft.semdedupRouteProbes", "2").toInt
+    val p = s.conf.get("spark.graft.semdedupRouteProbes", "1").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val coarse = trainCoarseOn(emb.filter(col("vec_id") < m), ex, k)
     val exact = assignToNearest(emb, coarse, ex)
@@ -1365,7 +1369,7 @@ object Similarity {
       |                 p.pcell) AS rn
       |    FROM e JOIN pil p USING (i)
       |    GROUP BY e.vec_id, p.pcell)
-      |  WHERE rn <= 2
+      |  WHERE rn <= 1
       |), asgd AS (
       |  SELECT vec_id, cluster AS cell, dist FROM (
       |    SELECT e.vec_id, c.cluster,
@@ -1459,7 +1463,7 @@ object Similarity {
     val k = s.conf.get("spark.graft.semdedupK", "10").toInt
     val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
     val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
-    val p = s.conf.get("spark.graft.semdedupRouteProbes", "2").toInt
+    val p = s.conf.get("spark.graft.semdedupRouteProbes", "1").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     // identical sampled-trained centroids on BOTH sides
     val coarse = trainCoarseOn(emb.filter(col("vec_id") < m), ex, k)

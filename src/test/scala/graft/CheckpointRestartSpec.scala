@@ -439,4 +439,50 @@ class CheckpointRestartSpec extends SparkSpec {
     q2.awaitTermination()
     assert(batchResult(out) == expectedCodes)
   }
+
+  test("global signature killed mid-replay resumes the exact decimal sums (x35)") {
+    // L6 on the x35 state shape — the string-encoded exact decimal sums
+    // plus the per-user shift-register map: a flag decision in a
+    // post-restart batch depends on conditional sums accumulated before
+    // the kill, so any loss or double-count in the restored state shifts
+    // a mean and flips a threshold verdict. Union of committed batches
+    // must equal the batch st6 fold exactly.
+    val src = chunkedStreamDirCols(4, "events_chunked_sig4",
+      Seq("event_id", "user_id", "ts", "value", "event_type", "props"))
+    val base = Files.createTempDirectory("graft_sig_ckpt_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    def startSig(availableNow: Boolean) = {
+      val schema = spark.read.parquet(src.resolve("0_chunk.parquet").toString).schema
+      val ds = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("tsMicros"), col("value"),
+                col("event_type"), col("props"))
+        .as[Streams.FEv]
+      Streams.signatureStateful(ds).toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    val expectedSig = graft.queries.Stateful
+      .st6_conditional_signature(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val q1 = startSig(availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    assert(batchResult(out) != expectedSig, "kill happened too late to test restart")
+    val q2 = startSig(availableNow = true)
+    q2.awaitTermination()
+    assert(batchResult(out) == expectedSig,
+      "restored signature state must continue the fold bit-exactly")
+  }
 }
