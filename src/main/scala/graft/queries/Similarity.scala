@@ -2112,14 +2112,18 @@ object Similarity {
     * STRESS_sf1.md); ADC list contents differ from exact cosine ranking
     * exactly as the index's recall audit (s10) measures. */
   /** The SERVING probe width for every IVF-served retrieval leg (s16-ivf's
-    * dense leg, s17-ivf's candidate stream, s19's `dense_ivf` /
-    * `hybrid_rrf_ivf` systems). Default 2 — DECIDED BY MEASUREMENT, not
-    * asserted: [[s19_retrieval_eval]] grades serving at BOTH probe widths
-    * in one report, and at p = 1 the fused product loses 87% of its
-    * recall@5 (0.46 → 0.06 at sf0.01) while p = 2 recovers it (the same
-    * trade [[s10_ivfpq_recall]] measures at the list level, where 2-probe
-    * roughly doubles the candidate scan — the sf1 cost-per-probe delta is
-    * in STRESS_sf1.md). Like `semdedupK`/`exactDecimals`, the oracles pin
+    * dense leg, s17-ivf's candidate stream, s19's `dense_ivf_p*` /
+    * `hybrid_rrf_ivf_p*` systems). Default 2 — DECIDED BY MEASUREMENT:
+    * [[s19_retrieval_eval]] sweeps p ∈ {1, 2, 4} in one report, and the
+    * probed-cell ROUTING CEILINGS measured at sf0.1 are 0.285 / 0.47 /
+    * 0.69 recall@5 — each probe buys ceiling at one extra cell scan per
+    * query, and p = 2 is the knee (p = 4 pays another 2× scan for
+    * proportionally less, and at 10 cells is already 40% of a brute
+    * scan). Probes alone did NOT fix the condemned legacy posture — at
+    * the old depth-10 shortlist the sweep measured p2 = p4 = 0.11, a
+    * refutation that moved the recovery to [[servingRerankDepth]] —
+    * but they set the ceiling depth converges to. Full study in
+    * STRESS_sf1.md. Like `semdedupK`/`exactDecimals`, the oracles pin
     * the DEFAULT: overriding the knob trades oracle hash-equality for a
     * different recall/cost point; the dataflow is identical at any p. */
   private[graft] def servingNprobe(s: SparkSession): Int =
@@ -2758,12 +2762,13 @@ object Similarity {
     * index's recall loss (s10's measurement seen through the eval lens) —
     * the harness measures real systems over data with no signal in it,
     * which is precisely why the report prints the number instead of
-    * assuming one. nprobe is the lever, and since round 9 the report
-    * grades it directly: the p = 1 rows document the single-probe recall
-    * collapse (fused recall@5 0.46 → 0.06 at sf0.01) that made
-    * [[servingNprobe]]'s default 2 — the deploy-gate measurement, not an
-    * assertion (s10's 1- vs 2-probe audit is the same trade at the list
-    * level; the cost side is STRESS_sf1.md's per-probe delta). */
+    * assuming one. Since round 9 the report grades the probe lever
+    * directly (p ∈ {1, 2, 4} at the serving depth): at sf0.1 the dense
+    * rows read 0.285 / 0.42 / 0.525 — the deploy-gate measurement behind
+    * [[servingNprobe]] = 2 and [[servingRerankDepth]] = 200, under which
+    * the fused product recovered 0.085 → 0.35 against the 0.505
+    * brute-fused bar (fused trails dense because RRF dilutes with the
+    * zero-signal lexical leg — this corpus's honest ceiling). */
   def s19_retrieval_eval(s: SparkSession, dir: String): DataFrame = {
     val truth10 = exactDenseLeg(s, dir)
     val truth5 = truth10.filter(col("rk_ann") <= 5)
