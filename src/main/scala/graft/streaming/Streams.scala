@@ -1577,6 +1577,16 @@ object Streams {
     * (doc_id order, x22's contract) makes first-arrival ≡ m9's
     * digest-level delta_first. */
   def x36_stream_media_ingest(s: SparkSession, dir: String): DataFrame = {
+    runToMemory(mediaIngestStateful(x36Cands(s, dir)).toDF(), OutputMode.Append(),
+        s"x36_mem_${System.nanoTime()}")
+      .orderBy("doc_id")
+  }
+
+  /** The x36 pre-state pipeline (digest/phash per row, exact-tier join,
+    * band-probe explosion, settled candidate join) — factored so
+    * `StreamingSpec` can assert the structural single-state-operator
+    * contract on the running query. */
+  private[graft] def x36Cands(s: SparkSession, dir: String): Dataset[MediaCand] = {
     import s.implicits._
     val M = graft.queries.Multimodal
     val settled = M.assets(s, dir).filter(col("doc_id") % 10 =!= 0)
@@ -1610,9 +1620,7 @@ object Streams {
         when(col("cand_id").isNotNull,
           bit_count(col("phash").bitwiseXOR(col("pb"))).cast("long")).as("hamming"))
       .as[MediaCand]
-    runToMemory(mediaIngestStateful(cands).toDF(), OutputMode.Append(),
-        s"x36_mem_${System.nanoTime()}")
-      .orderBy("doc_id")
+    cands
   }
 
   case class ChunkIn(doc_id: Long, chunk_id: Long, chunk_hash: String)

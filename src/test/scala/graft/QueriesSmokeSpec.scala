@@ -768,4 +768,32 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(out(60L) == (("dup_in_delta", Some(50L), None)), out(60L).toString)
     assert(out(70L) == (("unique", None, None)), out(70L).toString)
   }
+
+  test("media payload bytes never ride a shuffle in the m9 increment") {
+    // m6's only-the-8-byte-hash-shuffles contract, asserted on m9's
+    // executed plan: digests (hex strings) and phashes shuffle; the
+    // binary payload column must be projected away before every exchange.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = graft.queries.Multimodal.m9_incremental_media(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val exchanges = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected at least one exchange in m9")
+    for (e <- exchanges) {
+      val bin = e.output.filter(_.dataType == BinaryType)
+      assert(bin.isEmpty,
+        s"binary column ${bin.map(_.name).mkString(",")} rides a shuffle")
+    }
+  }
 }

@@ -445,4 +445,22 @@ class StreamingSpec extends SparkSpec {
       assert(rows(50L) == (("dup_of_base", Some(3L), None)), rows(50L).toString)
     } finally q.stop()
   }
+
+  test("media ingest plans exactly ONE state operator (x36 structure)") {
+    // x36's scale contract: all corpus-sized work is stream-static joins
+    // and per-row expressions; the only state is the per-digest
+    // first-arrival slot. Assert it on the running query's progress.
+    val dir = "/root/testdata/sf0.001"
+    import graft.streaming.Streams
+    val q = Streams.mediaIngestStateful(Streams.x36Cands(spark, dir)).toDF()
+      .writeStream.format("memory")
+      .queryName(s"x36_struct_${System.nanoTime()}")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ops = q.recentProgress.flatMap(_.stateOperators.map(_.operatorName)).distinct
+    assert(ops.toSeq == Seq("flatMapGroupsWithState"),
+      s"expected exactly the first-arrival FMGWS state operator: ${ops.mkString(",")}")
+  }
 }
