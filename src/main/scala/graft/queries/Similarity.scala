@@ -2768,7 +2768,11 @@ object Similarity {
     * [[servingNprobe]] = 2 and [[servingRerankDepth]] = 200, under which
     * the fused product recovered 0.085 → 0.35 against the 0.505
     * brute-fused bar (fused trails dense because RRF dilutes with the
-    * zero-signal lexical leg — this corpus's honest ceiling). */
+    * zero-signal lexical leg — this corpus's honest ceiling). The
+    * `_p2_d10` rows keep the DEPTH axis in the gated artifact: they
+    * serve the rounds-5–8 depth-10 shortlist at the default probe
+    * width, so the report itself shows why the depth sweep — not more
+    * probes — was the recall fix. */
   def s19_retrieval_eval(s: SparkSession, dir: String): DataFrame = {
     val truth10 = exactDenseLeg(s, dir)
     val truth5 = truth10.filter(col("rk_ann") <= 5)
@@ -2793,18 +2797,23 @@ object Similarity {
     val ex2 = exactDecimals(s)
     val scored = ivfpqScored(s, dir, nprobe = 4, qmod = 50).localCheckpoint()
     val ivfLegs = Seq(1, 2, 4).map(p =>
-      p -> ivfRerankLeg(s, dir, scored.filter(col("probe") <= p), ex2,
-                        depth = servingRerankDepth(s)))
+      s"p$p" -> ivfRerankLeg(s, dir, scored.filter(col("probe") <= p), ex2,
+                             depth = servingRerankDepth(s))) :+
+      // the legacy depth-10 shortlist at the default probe width: keeps the
+      // depth axis IN the gated artifact — this row is the rounds-5-8
+      // serving posture the depth study condemned
+      ("p2_d10" -> ivfRerankLeg(s, dir, scored.filter(col("probe") <= 2), ex2,
+                                depth = 10))
     val lists = (
       Seq(("bm25", bm10.filter(col("rk_bm") <= 5)
             .select(col("query_id"), col("doc_id"), col("rk_bm").as("rk"))),
           ("hybrid_rrf", rrfFuse(bm10, truth10)
             .select(col("query_id"), col("doc_id"), col("rk"))))
-      ++ ivfLegs.map { case (p, leg) =>
-          (s"dense_ivf_p$p", leg.filter(col("rk_ann") <= 5)
+      ++ ivfLegs.map { case (tag, leg) =>
+          (s"dense_ivf_$tag", leg.filter(col("rk_ann") <= 5)
             .select(col("query_id"), col("doc_id"), col("rk_ann").as("rk"))) }
-      ++ ivfLegs.map { case (p, leg) =>
-          (s"hybrid_rrf_ivf_p$p", rrfFuse(bm10, leg)
+      ++ ivfLegs.map { case (tag, leg) =>
+          (s"hybrid_rrf_ivf_$tag", rrfFuse(bm10, leg)
             .select(col("query_id"), col("doc_id"), col("rk"))) })
       .map { case (name, df) => df.withColumn("system", lit(name)) }
       .reduce(_ unionByName _)
@@ -2820,8 +2829,9 @@ object Similarity {
     // for a query scores zero — absence is data, not a dropped row
     universe.select(col("query_id"),
         explode(array(lit("bm25"), lit("dense_ivf_p1"), lit("dense_ivf_p2"),
-                      lit("dense_ivf_p4"), lit("hybrid_rrf"),
-                      lit("hybrid_rrf_ivf_p1"), lit("hybrid_rrf_ivf_p2"),
+                      lit("dense_ivf_p2_d10"), lit("dense_ivf_p4"),
+                      lit("hybrid_rrf"), lit("hybrid_rrf_ivf_p1"),
+                      lit("hybrid_rrf_ivf_p2"), lit("hybrid_rrf_ivf_p2_d10"),
                       lit("hybrid_rrf_ivf_p4"))).as("system"))
       .join(perQ, Seq("system", "query_id"), "left")
       .groupBy(col("system"))
@@ -2840,7 +2850,8 @@ object Similarity {
   /** s19 oracle: one t27 splice, ONE qmod = 50 multi-probe ADC chain at
     * the serving default p = 2 (the p = 1 systems are `probe = 1` filters
     * of the same scored relation — exactly the Spark dataflow), the exact
-    * cosine ground truth, the eight system lists, then the per-cell eval
+    * cosine ground truth, the ten system lists (incl. the legacy
+    * depth-10 p = 2 posture rows), then the per-cell eval
     * aggregation. def — splices t27Sql (the s16Sql init-cycle note). */
   def s19Sql: String =
     s"""WITH bm_full AS (
@@ -2894,6 +2905,24 @@ object Similarity {
       |  SELECT query_id, doc_id, rk_ann FROM ivf10r_2 WHERE rk_ann <= 10
       |), ivf5_2 AS (
       |  SELECT query_id, doc_id, rk_ann AS rk FROM ivf10_2 WHERE rk_ann <= 5
+      |), short10_2s AS (
+      |  SELECT q_id, n_id FROM adcrk2 WHERE rank <= 10
+      |), rrx2s AS (
+      |  SELECT sh.q_id, sh.n_id,
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
+      |  FROM short10_2s sh
+      |  JOIN e eq ON eq.vec_id = sh.q_id
+      |  JOIN e ed ON ed.vec_id = sh.n_id AND ed.i = eq.i
+      |  GROUP BY 1, 2
+      |), ivf10r_2s AS (
+      |  SELECT q_id AS query_id, n_id AS doc_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sqd_micro, n_id) AS rk_ann
+      |  FROM rrx2s
+      |), ivf10_2s AS (
+      |  SELECT query_id, doc_id, rk_ann FROM ivf10r_2s WHERE rk_ann <= 10
+      |), ivf5_2s AS (
+      |  SELECT query_id, doc_id, rk_ann AS rk FROM ivf10_2s WHERE rk_ann <= 5
       |), adcrk4 AS (
       |  SELECT q_id, n_id, score_micro,
       |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro, n_id) AS rank
@@ -2962,6 +2991,19 @@ object Similarity {
       |        ORDER BY rrf_micro DESC, doc_id) AS rk
       |    FROM fusedx2)
       |  WHERE rk <= 5
+      |), fusedx2s AS (
+      |  SELECT coalesce(bm10.query_id, ivf10_2s.query_id) AS query_id,
+      |         coalesce(bm10.doc_id, ivf10_2s.doc_id) AS doc_id,
+      |    coalesce(floor(1000000.0 / (60 + bm10.rk_bm) + 0.5)::BIGINT, 0)
+      |    + coalesce(floor(1000000.0 / (60 + ivf10_2s.rk_ann) + 0.5)::BIGINT, 0) AS rrf_micro
+      |  FROM bm10 FULL OUTER JOIN ivf10_2s USING (query_id, doc_id)
+      |), hyb5_2s AS (
+      |  SELECT query_id, doc_id, rk FROM (
+      |    SELECT query_id, doc_id, rrf_micro,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rrf_micro DESC, doc_id) AS rk
+      |    FROM fusedx2s)
+      |  WHERE rk <= 5
       |), fusedx4 AS (
       |  SELECT coalesce(bm10.query_id, ivf10_4.query_id) AS query_id,
       |         coalesce(bm10.doc_id, ivf10_4.doc_id) AS doc_id,
@@ -2999,6 +3041,8 @@ object Similarity {
       |  UNION ALL SELECT 'hybrid_rrf_ivf_p2', query_id, doc_id, rk FROM hyb5_2
       |  UNION ALL SELECT 'dense_ivf_p4', query_id, doc_id, rk FROM ivf5_4
       |  UNION ALL SELECT 'hybrid_rrf_ivf_p4', query_id, doc_id, rk FROM hyb5_4
+      |  UNION ALL SELECT 'dense_ivf_p2_d10', query_id, doc_id, rk FROM ivf5_2s
+      |  UNION ALL SELECT 'hybrid_rrf_ivf_p2_d10', query_id, doc_id, rk FROM hyb5_2s
       |), univ AS (
       |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0
       |), perq AS (
@@ -3014,8 +3058,9 @@ object Similarity {
       |), cells AS (
       |  SELECT u.query_id, sn.system FROM univ u
       |  CROSS JOIN (VALUES ('bm25'), ('dense_ivf_p1'), ('dense_ivf_p2'),
-      |              ('dense_ivf_p4'), ('hybrid_rrf'), ('hybrid_rrf_ivf_p1'),
-      |              ('hybrid_rrf_ivf_p2'), ('hybrid_rrf_ivf_p4')) AS sn(system)
+      |              ('dense_ivf_p2_d10'), ('dense_ivf_p4'), ('hybrid_rrf'),
+      |              ('hybrid_rrf_ivf_p1'), ('hybrid_rrf_ivf_p2'),
+      |              ('hybrid_rrf_ivf_p2_d10'), ('hybrid_rrf_ivf_p4')) AS sn(system)
       |)
       |SELECT c.system, count(*)::BIGINT AS n_queries,
       |  sum(CASE WHEN p.hits5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_answered,

@@ -687,8 +687,8 @@ class QueriesSmokeSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
                            r.getDouble(4), r.getDouble(5)))
     assert(rows.map(_._1).toSeq == Seq("bm25", "dense_ivf_p1", "dense_ivf_p2",
-      "dense_ivf_p4", "hybrid_rrf", "hybrid_rrf_ivf_p1", "hybrid_rrf_ivf_p2",
-      "hybrid_rrf_ivf_p4"))
+      "dense_ivf_p2_d10", "dense_ivf_p4", "hybrid_rrf", "hybrid_rrf_ivf_p1",
+      "hybrid_rrf_ivf_p2", "hybrid_rrf_ivf_p2_d10", "hybrid_rrf_ivf_p4"))
     val universes = rows.map(_._2).distinct
     assert(universes.length == 1 && universes.head > 0,
       "all systems must be judged over the same dense-query universe")
