@@ -155,7 +155,15 @@ object Bench {
     // the cold artifact instead of clobbering it
     val sfName = new java.io.File(sfDir).getName +
       (if (keepShared) "_warm" else "")
-    for (dirName <- Seq("target", "bench")) {
+    // a cold SPARK_GRAFT_ONLY subset run is an experiment, not the round
+    // artifact — it must not clobber the committed full-surface map in
+    // bench/ (this bit two sessions in a row before the guard). The warm
+    // artifact is the exception: the serving section is BY DESIGN a
+    // curated subset run (KEEP_SHARED), and it writes its own _warm name.
+    val artifactDirs =
+      if (only.isEmpty || keepShared) Seq("target", "bench")
+      else Seq("target")
+    for (dirName <- artifactDirs) {
       val out = java.nio.file.Paths.get(s"$dirName/bench_$sfName.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
