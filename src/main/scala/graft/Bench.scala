@@ -30,6 +30,15 @@ object Bench {
     s(s.length / 2)
   }
 
+  /** Which artifact directories a run may write. A cold SPARK_GRAFT_ONLY
+    * subset run is an experiment and must not clobber the committed
+    * full-surface map in bench/; full runs and KEEP_SHARED serving runs
+    * (whose _warm artifact is by design a curated subset) refresh both.
+    * Pure so the routing decision is spec-pinned (`QueriesSmokeSpec`). */
+  private[graft] def artifactDirs(subsetRun: Boolean,
+                                  keepShared: Boolean): Seq[String] =
+    if (!subsetRun || keepShared) Seq("target", "bench") else Seq("target")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -155,15 +164,8 @@ object Bench {
     // the cold artifact instead of clobbering it
     val sfName = new java.io.File(sfDir).getName +
       (if (keepShared) "_warm" else "")
-    // a cold SPARK_GRAFT_ONLY subset run is an experiment, not the round
-    // artifact — it must not clobber the committed full-surface map in
-    // bench/ (this bit two sessions in a row before the guard). The warm
-    // artifact is the exception: the serving section is BY DESIGN a
-    // curated subset run (KEEP_SHARED), and it writes its own _warm name.
-    val artifactDirs =
-      if (only.isEmpty || keepShared) Seq("target", "bench")
-      else Seq("target")
-    for (dirName <- artifactDirs) {
+    // clobber guard: see artifactDirs — this bit two sessions in a row
+    for (dirName <- artifactDirs(only.nonEmpty, keepShared)) {
       val out = java.nio.file.Paths.get(s"$dirName/bench_$sfName.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")

@@ -796,4 +796,17 @@ class QueriesSmokeSpec extends SparkSpec {
         s"binary column ${bin.map(_.name).mkString(",")} rides a shuffle")
     }
   }
+
+  test("bench artifact routing: subset experiments never clobber bench/") {
+    // full runs and KEEP_SHARED serving runs refresh the committed map;
+    // a cold SPARK_GRAFT_ONLY subset run writes only target/
+    assert(Bench.artifactDirs(subsetRun = false, keepShared = false) ===
+      Seq("target", "bench"))
+    assert(Bench.artifactDirs(subsetRun = true, keepShared = true) ===
+      Seq("target", "bench"))
+    assert(Bench.artifactDirs(subsetRun = false, keepShared = true) ===
+      Seq("target", "bench"))
+    assert(Bench.artifactDirs(subsetRun = true, keepShared = false) ===
+      Seq("target"))
+  }
 }
