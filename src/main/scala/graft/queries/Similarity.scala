@@ -3073,7 +3073,291 @@ object Similarity {
       |LEFT JOIN perq p ON p.system = c.system AND p.query_id = c.query_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ───────────────────────── SQ8 scalar quantization ─────────────────────────
+
+  /** Exact-cosine re-rank depth for the SQ8 serving leg (s20). Default 50,
+    * decided by [[s21_sq8_recall]]'s depth audit (the same measured-knee
+    * discipline as `servingRerankDepth`): the audit's d10/d50/d200 rows
+    * grade the axis, and d = 50 is where SQ8 reaches its measured
+    * convergence on this corpus — see STRESS_sf1.md §Round 10. */
+  private[graft] def sq8RerankDepth(s: SparkSession): Int =
+    s.conf.get("spark.graft.sq8RerankDepth", "50").toInt
+
+  /** Symmetric per-dimension int8 scalar quantization of the corpus — the
+    * SQ8 encoding (FAISS `ScalarQuantizer` QT_8bit-style; Jégou et al.'s
+    * memory-bandwidth lever taken to its simplest form): per dimension d,
+    * scale s_d = max|x_d| over the corpus; code q_d = round(127·x_d/s_d)
+    * clamped to [-127, 127], stored as a tinyint array — 1 byte/dim, a 4×
+    * cut of scan bytes vs float32 with NO codebook training and exact
+    * integer scoring.
+    *
+    * Scale shape: the scales relation is D rows (bounded by the embedding
+    * dimensionality — a broadcast contract by construction, same class as
+    * s5's codebook fold at line 256); computing it is one corpus scan with
+    * a map-side-combined 64-group max. Quantization itself is a stateless
+    * per-row `zip_with` against the broadcast scales — no shuffle touches
+    * the corpus.
+    *
+    * Cross-engine determinism: s_d is a float max (exact); the code is
+    * `floor(v·127/s_d + 0.5)` over IEEE doubles — the identical op
+    * sequence in DuckDB — and every downstream score is EXACT 64-bit
+    * integer arithmetic, order-independent by construction (unlike the
+    * float paths, no decimal fold is ever needed: the native codegen'd
+    * `dot_i8` IS the oracle-exact path). */
+  private[graft] def sq8Quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProductI8.register(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val scales = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "vf")))
+      .groupBy(col("i")).agg(max(abs(col("vf").cast("double"))).as("sc"))
+      .groupBy().agg(array_sort(collect_list(struct(col("i"), col("sc")))).as("p"))
+      .select(transform(col("p"), x => x.getField("sc")).as("scales"))
+    emb.crossJoin(broadcast(scales))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("scales"), (x, sc) =>
+          when(sc === lit(0.0), lit(0.0))
+            .otherwise(greatest(lit(-127.0), least(lit(127.0),
+              floor(x.cast("double") * lit(127.0) / sc + lit(0.5)))))
+            .cast("tinyint")).as("qvec"))
+  }
+
+  /** The shared SQ8 scored relation: every (query, candidate) int8 dot
+    * score with its per-query rank. Queries = the established
+    * `vec_id % 100` bounded contract, broadcast; the corpus never
+    * shuffles (the rank window partitions by q_id over scalar columns —
+    * the s11 narrow-shuffle contract). */
+  private def sq8Scored(s: SparkSession, dir: String): DataFrame = {
+    val qv = sq8Quantized(s, dir)
+    val qq = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
+    qv.join(broadcast(qq), col("vec_id") =!= col("q_id"))
+      .withColumn("iscore", call_function("dot_i8", col("qvec"), col("qq")))
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
+      .select(col("q_id"), col("vec_id"), col("iscore"), col("q_rank"))
+  }
+
+  /** S20: SQ8-SERVED top-k — int8 shortlist + exact re-rank, the
+    * scalar-quantization sibling of the PQ serving stack (s13/s16-ivf):
+    * score the whole corpus with the 1-byte-per-dim codes (4× fewer scan
+    * bytes than float32, exact integer arithmetic in one fused codegen'd
+    * loop — `dot_i8`), keep the top-[[sq8RerankDepth]] shortlist per
+    * query, and re-rank only those raw vectors with the exact cosine.
+    * Where PQ buys ~16-32× compression at the cost of trained codebooks
+    * and lossy ADC ordering (the round-9 depth study), SQ8 buys 4× with
+    * NO training and a far tighter ordering — the standard first rung of
+    * the ANN memory-bandwidth ladder.
+    *
+    * Scale shape: one corpus scan over tinyint codes (integer SIMD-class
+    * work, whole-stage codegen — no decimal fold on ANY path), shortlist
+    * is |Q|·depth scalar rows, re-rank joins are the bounded-side
+    * broadcasts s13 already declared. At 100 TB the raw-vector fetch
+    * touches depth·|Q| rows instead of the corpus. */
+  def s20_sq8_topk(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val depth = sq8RerankDepth(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              dot(col("embedding"), col("embedding"), ex).as("n2"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
+    sq8Scored(s, dir).filter(col("q_rank") <= depth)
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine",
+        round4(dot(col("embedding"), col("qemb"), ex) / sqrt(col("qn2") * col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("iscore"), col("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** SQ8 quantization + integer-score CTE chain over the `e` elements CTE:
+    * per-dim max-abs scales, int8 codes, exact integer dot scores with
+    * per-query ranks — the DuckDB twin of [[sq8Scored]]. */
+  private def sq8SqlCtes: String =
+    s"""sca AS (
+      |  SELECT i, max(abs(v)) AS sc FROM e GROUP BY 1
+      |), qv8 AS (
+      |  SELECT e.vec_id, e.i,
+      |    (CASE WHEN sc = 0 THEN 0
+      |          ELSE greatest(-127.0, least(127.0, floor(v * 127.0 / sc + 0.5)))
+      |     END)::BIGINT AS q
+      |  FROM e JOIN sca USING (i)
+      |), isc AS (
+      |  SELECT qq.vec_id AS q_id, dd.vec_id AS vec_id,
+      |         sum(qq.q * dd.q)::BIGINT AS iscore
+      |  FROM qv8 qq JOIN qv8 dd ON qq.i = dd.i AND dd.vec_id <> qq.vec_id
+      |  WHERE qq.vec_id % 100 = 0
+      |  GROUP BY 1, 2
+      |), srk AS (
+      |  SELECT q_id, vec_id, iscore,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
+      |  FROM isc
+      |)""".stripMargin
+
+  /** s20 oracle at an explicit re-rank depth (the conf default below —
+    * template-parameterized, per the round-9 `ivfpqAdcCtesAt` rule). */
+  def s20SqlAt(depth: Int): String =
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |), rr AS (
+      |  SELECT sh.q_id, sh.vec_id, sh.iscore,
+      |         sum((eq.v * ed.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM srk sh
+      |  JOIN e eq ON eq.vec_id = sh.q_id
+      |  JOIN e ed ON ed.vec_id = sh.vec_id AND ed.i = eq.i
+      |  WHERE sh.q_rank <= $depth
+      |  GROUP BY 1, 2, 3
+      |), scored AS (
+      |  SELECT q_id, rr.vec_id AS n_id, iscore,
+      |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM rr
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = rr.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, iscore, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, iscore, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  def s20Sql: String = s20SqlAt(50)
+
+  /** S21: the SQ8 DEPTH AUDIT — recall@5 / MRR@5 of four SQ8 serving
+    * postures against the exact brute-force ground truth, from ONE scored
+    * relation (the s10/s19 audit-contains-its-subjects shape): the raw
+    * int8 ordering served directly (`sq8_direct`) and the exact re-rank
+    * at depths 10 / 50 / 200. This is the deploy-gate measurement behind
+    * [[sq8RerankDepth]] — round 9 proved shortlist depth is the
+    * high-leverage axis for the PQ index; this audit asks the same
+    * question of SQ8 and prints where the depth curve flattens (SQ8's
+    * int8 ordering is far closer to exact than PQ's ADC, so it converges
+    * at a much shallower depth — the measured reason the s20 default can
+    * be 50 where the PQ stack needed 200).
+    *
+    * Same scale contract as s19: the eval rides the bounded query
+    * contract, every comparison join is |Q|·k rows, and the one extra
+    * cost over s20 is the exact ground-truth pass the audit exists to
+    * compare against. */
+  def s21_sq8_recall(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              dot(col("embedding"), col("embedding"), ex).as("n2"))
+    val qn = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
+    // exact all-pairs cosine: ground truth AND the re-rank scorer share it
+    val cosines = emb.join(broadcast(qn), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round4(dot(col("embedding"), col("qemb"), ex) / sqrt(col("qn2") * col("n2"))))
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+      .localCheckpoint()
+    val exact = cosines.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+    val truth5 = exact.select(col("q_id"), col("vec_id"))
+    val top1 = exact.filter(col("rank") === 1)
+      .select(col("q_id"), col("vec_id").as("top1"))
+    val scored = sq8Scored(s, dir)
+      .select(col("q_id"), col("vec_id"), col("q_rank")).localCheckpoint()
+    def rerank(depth: Int): DataFrame = scored.filter(col("q_rank") <= depth)
+      .join(cosines, Seq("q_id", "vec_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 5).select(col("q_id"), col("vec_id"), col("rk"))
+    val systems = (
+      Seq("sq8_direct" -> scored.filter(col("q_rank") <= 5)
+            .select(col("q_id"), col("vec_id"), col("q_rank").as("rk")),
+          "sq8_rerank_d10" -> rerank(10),
+          "sq8_rerank_d50" -> rerank(50),
+          "sq8_rerank_d200" -> rerank(200)))
+      .map { case (name, df) => df.withColumn("system", lit(name)) }
+      .reduce(_ unionByName _)
+    systems
+      .join(truth5.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .join(broadcast(top1), Seq("q_id"))
+      .groupBy(col("system"), col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits5"),
+           max(when(col("vec_id") === col("top1"),
+             floor(lit(1000000.0) / col("rk") + 0.5).cast("long"))).as("rr_micro"))
+      .groupBy(col("system"))
+      .agg(count(lit(1)).as("n_queries"),
+           sum(col("hits5")).as("hits_total"),
+           sum(coalesce(col("rr_micro"), lit(0L))).as("rr_micro_total"))
+      .select(col("system"), col("n_queries"), col("hits_total"),
+              round4(col("hits_total").cast("double") / (col("n_queries") * lit(5.0)))
+                .as("recall_at_5"),
+              round4(col("rr_micro_total").cast("double") / col("n_queries") / lit(1000000.0))
+                .as("mrr"))
+      .orderBy("system")
+  }
+
+  def s21Sql: String =
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |), dots AS (
+      |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
+      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM e q JOIN e d ON q.i = d.i AND d.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 100 = 0
+      |  GROUP BY 1, 2
+      |), cosines AS (
+      |  SELECT q_id, dots.vec_id AS vec_id,
+      |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM dots
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = dots.vec_id
+      |), exrk AS (
+      |  SELECT q_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM cosines
+      |), truth5 AS (
+      |  SELECT q_id, vec_id FROM exrk WHERE rank <= 5
+      |), top1 AS (
+      |  SELECT q_id, vec_id AS top1 FROM exrk WHERE rank = 1
+      |), sys AS (
+      |  SELECT 'sq8_direct' AS system, q_id, vec_id, q_rank AS rk
+      |  FROM srk WHERE q_rank <= 5
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    SELECT 'sq8_rerank_d10' AS system, s.q_id, s.vec_id,
+      |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
+      |    FROM srk s JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
+      |    WHERE s.q_rank <= 10) WHERE rk <= 5
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    SELECT 'sq8_rerank_d50' AS system, s.q_id, s.vec_id,
+      |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
+      |    FROM srk s JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
+      |    WHERE s.q_rank <= 50) WHERE rk <= 5
+      |  UNION ALL
+      |  SELECT * FROM (
+      |    SELECT 'sq8_rerank_d200' AS system, s.q_id, s.vec_id,
+      |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
+      |    FROM srk s JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
+      |    WHERE s.q_rank <= 200) WHERE rk <= 5
+      |), perq AS (
+      |  SELECT sy.system, sy.q_id,
+      |    sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits5,
+      |    max(CASE WHEN sy.vec_id = o.top1
+      |        THEN floor(1000000.0 / sy.rk + 0.5)::BIGINT END) AS rr_micro
+      |  FROM sys sy
+      |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
+      |  JOIN top1 o ON o.q_id = sy.q_id
+      |  GROUP BY 1, 2)
+      |SELECT system, count(*)::BIGINT AS n_queries,
+      |  sum(hits5)::BIGINT AS hits_total,
+      |  floor(sum(hits5)::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5) / 10000.0
+      |    AS recall_at_5,
+      |  floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
+      |    / 10000.0 AS mrr
+      |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_sq8_topk" -> (s20_sq8_topk _),
+    "s21_sq8_recall" -> (s21_sq8_recall _),
     "s19_retrieval_eval" -> (s19_retrieval_eval _),
     "s18_ivfpq_incremental" -> (s18_ivfpq_incremental _),
     "c8_gated_increment" -> (c8_gated_increment _),
@@ -3102,6 +3386,8 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   lazy val oracles: Map[String, String] = Map(
+    "s20_sq8_topk" -> s20Sql,
+    "s21_sq8_recall" -> s21Sql,
     "s19_retrieval_eval" -> s19Sql,
     "s18_ivfpq_incremental" -> s18Sql,
     "c8_gated_increment" -> c8Sql,

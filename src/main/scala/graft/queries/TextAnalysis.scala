@@ -637,12 +637,7 @@ object TextAnalysis {
     * measurement says, so the string default stands). */
   def t14_contamination(s: SparkSession, dir: String): DataFrame = {
     val N = 3
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= N)
-    val gramsStr = t.select(col("doc_id"), explode(expr(
-      s"transform(sequence(1, size(w) - ${N - 1}), i -> concat_ws(' ', slice(w, i, $N)))"))
-      .as("gram"))
+    val gramsStr = docGramsStr(s, dir, N)
     val grams =
       if (s.conf.get("spark.graft.gramHashKey", "false").toBoolean)
         gramsStr.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
@@ -655,6 +650,17 @@ object TextAnalysis {
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count_distinct(col("gram")).as("n_shared"))
       .orderBy("train_doc", "eval_doc")
+  }
+
+  /** One row per (doc, word n-gram), string keys — t14's gram derivation,
+    * shared with the bloom-pruned decontamination pass (c9). */
+  private[graft] def docGramsStr(s: SparkSession, dir: String, n: Int): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+        .as("gram"))
   }
 
   val t14Sql: String =

@@ -406,4 +406,48 @@ class SimilaritySpec extends SparkSpec {
     assert(g2.getDouble(3) > 0.05,
       s"concentrated delta must read drifted (retrain branch): $g2")
   }
+
+  test("native dot_i8: exact integer scores + the composed fold's null semantics") {
+    graft.functions.DotProductI8.register(spark)
+    val d = spark.sql("SELECT dot_i8(CAST(array(1, -2, 3) AS ARRAY<TINYINT>), " +
+      "CAST(array(4, 5, 6) AS ARRAY<TINYINT>)) AS d").collect()(0)
+    assert(d.getLong(0) == 4L - 10L + 18L)
+    // length mismatch and a null element both poison the result, exactly
+    // like aggregate(zip_with(...)) would
+    val mism = spark.sql("SELECT dot_i8(CAST(array(1, 2) AS ARRAY<TINYINT>), " +
+      "CAST(array(1) AS ARRAY<TINYINT>)) AS d").collect()(0)
+    assert(mism.isNullAt(0))
+    val withNull = spark.sql("SELECT dot_i8(CAST(array(1, NULL) AS ARRAY<TINYINT>), " +
+      "CAST(array(1, 2) AS ARRAY<TINYINT>)) AS d").collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
+  test("sq8 codes are bounded in [-127, 127] and the per-dim extreme hits the rail") {
+    val qv = Similarity.sq8Quantized(spark, "/root/testdata/sf0.001")
+    val r = qv.selectExpr("min(array_min(qvec)) AS mn", "max(array_max(qvec)) AS mx")
+      .collect()(0)
+    val (mn, mx) = (r.getByte(0).toInt, r.getByte(1).toInt)
+    assert(mn >= -127 && mx <= 127, s"codes out of range: [$mn, $mx]")
+    // the vector that defines a dimension's scale quantizes to exactly ±127
+    assert(math.max(math.abs(mn), mx) == 127, s"no code on the rail: [$mn, $mx]")
+  }
+
+  test("s20 equals the brute-force top-5 at full depth, and at the DEFAULT depth at sf0.01") {
+    // full shortlist ⇒ the exact re-rank IS the brute-force ranking
+    spark.conf.set("spark.graft.sq8RerankDepth", "1000000")
+    try {
+      val s20 = Similarity.s20_sq8_topk(spark, "/root/testdata/sf0.001")
+        .select("q_id", "n_id", "rank").collect().toSeq
+      val s1 = Similarity.s1_ann_topk(spark, "/root/testdata/sf0.001")
+        .select("q_id", "n_id", "rank").collect().toSeq
+      assert(s20 == s1, "full-depth SQ8 re-rank must reproduce s1 exactly")
+    } finally spark.conf.unset("spark.graft.sq8RerankDepth")
+    // the shipped default (50, s21's measured knee) already reaches exact
+    // top-5 at sf0.01 — the spec twin of the audit's d50 recall = 1.0 row
+    val s20d = Similarity.s20_sq8_topk(spark, "/root/testdata/sf0.01")
+      .select("q_id", "n_id", "rank").collect().toSeq
+    val s1d = Similarity.s1_ann_topk(spark, "/root/testdata/sf0.01")
+      .select("q_id", "n_id", "rank").collect().toSeq
+    assert(s20d == s1d, "default-depth SQ8 re-rank must match s1 at sf0.01")
+  }
 }
