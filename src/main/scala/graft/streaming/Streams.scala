@@ -1576,6 +1576,79 @@ object Streams {
     * restricted to settled — exactly that contract. In-order replay
     * (doc_id order, x22's contract) makes first-arrival ≡ m9's
     * digest-level delta_first. */
+  case class DecontamIn(train_doc: Long, eval_doc: Long)
+  case class DecontamOut(train_doc: Long, eval_doc: Long, n_shared: Long)
+
+  /** X37: c9's BLOOM-PRUNED DECONTAMINATION ONLINE — the ingest-time
+    * contamination gate: training documents arrive as traffic and each is
+    * checked against the frozen eval suite within its arrival trigger,
+    * the deployment shape of "never let an eval-overlapping doc into the
+    * corpus" (vs c9/t14's nightly batch sweep).
+    *
+    * Composition mirrors the batch operator stage-for-stage, under the
+    * established streaming disciplines:
+    *  1. The eval-suite bloom is BUILT OFFLINE batch-side and folded into
+    *     the probe as a binary LITERAL (x34's frozen-artifact rule via
+    *     the sanctioned `boundedCollect` — the sketch is ONE row by
+    *     aggregation, a few MB by sizing): the stream-side prune is a
+    *     pure per-row codegen'd expression — no state store, no
+    *     per-trigger rebuild, nothing keyed.
+    *  2. Survivors exact-verify through a stream-static equi-join on the
+    *     gram key against the eval gram index (never broadcast — t14's
+    *     scale note), so false positives cost join probes, never rows in
+    *     the result.
+    *  3. Per-pair counts are an in-trigger gather (x27/x28's discipline):
+    *     every gram row of a training doc derives from its one arriving
+    *     row through stateless ops, so a doc's rows never span triggers;
+    *     group state is declared but never written.
+    *
+    * Emits t14/c9's exact relation — shared oracle (final-value
+    * fidelity). */
+  def x37_stream_decontam(s: SparkSession, dir: String): DataFrame = {
+    runToMemory(x37Out(s, dir).toDF(), OutputMode.Append(),
+        s"x37_mem_${System.nanoTime()}")
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  /** x37's full pre-sink pipeline — factored so `StreamingSpec` can assert
+    * the structural contract (exactly one state operator; all pruning is
+    * per-row expressions and stream-static joins) on the running query. */
+  private[graft] def x37Out(s: SparkSession, dir: String): Dataset[DecontamOut] = {
+    import s.implicits._
+    graft.functions.BloomBridge.register(s)
+    val N = 3
+    val ev = graft.queries.TextAnalysis.docGramsStr(s, dir, N)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("gram"), col("doc_id").as("eval_doc"))
+    val sketch = graft.plans.BroadcastContract.boundedCollect(
+      ev.agg(call_function("bloom_filter_agg", xxhash64(col("gram")),
+        lit(1048576L), lit(10485760L)).as("bf")),
+      "frozen decontam bloom sketch: one row by aggregation")
+      .head.getAs[Array[Byte]](0)
+    val gramsExpr = expr(
+      s"transform(sequence(1, size(split(text, ' ')) - ${N - 1}), " +
+      s"i -> concat_ws(' ', slice(split(text, ' '), i, $N)))")
+    val cand = docsStream(s, dir)
+      .filter(col("doc_id") % 100 =!= 0)
+      .filter(size(split(col("text"), " ")) >= N)
+      .select(col("doc_id").as("train_doc"),
+              explode(array_distinct(gramsExpr)).as("gram"))
+      .filter(call_function("might_contain", lit(sketch), xxhash64(col("gram"))))
+      .join(ev, Seq("gram")) // stream-static exact verify
+      .select(col("train_doc"), col("eval_doc")).as[DecontamIn]
+    val out = cand.groupByKey(_.train_doc)
+      .flatMapGroupsWithState[Long, DecontamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (td: Long, it: Iterator[DecontamIn], _: GroupState[Long]) =>
+          // rows are distinct per (train_doc, gram) by array_distinct, so
+          // per-eval-doc row counts ARE t14's count(DISTINCT gram)
+          it.toSeq.groupBy(_.eval_doc).toSeq.sortBy(_._1)
+            .map { case (ed, rs) => DecontamOut(td, ed, rs.size.toLong) }
+            .iterator
+      }
+    out
+  }
+
   def x36_stream_media_ingest(s: SparkSession, dir: String): DataFrame = {
     runToMemory(mediaIngestStateful(x36Cands(s, dir)).toDF(), OutputMode.Append(),
         s"x36_mem_${System.nanoTime()}")
@@ -2436,6 +2509,7 @@ object Streams {
     "x7_stream_features"       -> (x7_stream_features _),
     "x35_stream_signature"     -> (x35_stream_signature _),
     "x36_stream_media_ingest"  -> (x36_stream_media_ingest _),
+    "x37_stream_decontam"      -> (x37_stream_decontam _),
     "x8_stream_dedup"          -> (x8_stream_dedup _),
     "x9_tws_running_sum"       -> (x9_tws_running_sum _),
     "x10_tws_timer_resolver"   -> (x10_tws_timer_resolver _),
@@ -2476,6 +2550,7 @@ object Streams {
     "x7_stream_features"       -> graft.queries.Stateful.st2Sql,
     "x35_stream_signature"     -> graft.queries.Stateful.st6Sql, // same flags
     "x36_stream_media_ingest"  -> graft.queries.Multimodal.m9SettledOnlySql,
+    "x37_stream_decontam"      -> graft.queries.TextAnalysis.t14Sql, // same relation online
 
     "x8_stream_dedup"          -> x8Sql,
     "x9_tws_running_sum"       -> graft.queries.Stateful.st4Sql,

@@ -374,7 +374,8 @@ class SimilaritySpec extends SparkSpec {
     for ((name, df) <- Seq(
         "s11" -> Similarity.s11_knn_graph(spark, "/root/testdata/sf0.001"),
         "s11_sharded" -> Similarity.s11_knn_graph_sharded(spark, "/root/testdata/sf0.001"),
-        "s13_rerank" -> Similarity.s13_ivfpq_rerank(spark, "/root/testdata/sf0.001"))) {
+        "s13_rerank" -> Similarity.s13_ivfpq_rerank(spark, "/root/testdata/sf0.001"),
+        "s20_sq8" -> Similarity.s20_sq8_topk(spark, "/root/testdata/sf0.001"))) {
       df.collect() // finalize the adaptive plan
       val windows = flatten(df.queryExecution.executedPlan)
         .collect { case w: WindowExec => w }

@@ -463,4 +463,28 @@ class StreamingSpec extends SparkSpec {
     assert(ops.toSeq == Seq("flatMapGroupsWithState"),
       s"expected exactly the first-arrival FMGWS state operator: ${ops.mkString(",")}")
   }
+
+  test("online decontam matches the batch relation; ONE state operator (x37)") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.streaming.Streams
+    val name = s"x37_struct_${System.nanoTime()}"
+    val q = Streams.x37Out(spark, dir).toDF()
+      .writeStream.format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // structure: the bloom probe is a frozen literal and the verify join is
+    // stream-static — the per-pair gather is the ONLY stateful operator
+    val ops = q.recentProgress.flatMap(_.stateOperators.map(_.operatorName)).distinct
+    assert(ops.toSeq == Seq("flatMapGroupsWithState"),
+      s"expected exactly the in-trigger-gather FMGWS operator: ${ops.mkString(",")}")
+    // final-value fidelity: identical rows to t14's batch contamination
+    val online = spark.table(name)
+      .orderBy("train_doc", "eval_doc").collect().toSeq
+    val batch = graft.queries.TextAnalysis.t14_contamination(spark, dir)
+      .collect().toSeq
+    assert(online == batch, "x37 must replay to t14's exact relation")
+  }
 }
