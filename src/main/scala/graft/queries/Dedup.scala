@@ -240,7 +240,7 @@ object Dedup {
       |  FROM mh GROUP BY 1, 2
       |)""".stripMargin
 
-  private val d3SqlBody: String =
+  private[queries] val d3SqlBody: String =
     s"""WITH $bandsSqlCtes, cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM bands x JOIN bands y

@@ -394,7 +394,107 @@ object Pipeline {
          |ORDER BY 1, 2""".stripMargin)
   }
 
+  /** C10: the SPLIT-LEAKAGE AUDIT — the eval-integrity check every serious
+    * train/val/test release runs AFTER near-dup detection: a test document
+    * that is a near-duplicate of a training document inflates every eval
+    * number computed on it (the memorization-vs-generalization confound),
+    * and random hash splits (c6's) produce such pairs by construction —
+    * splitting must happen at the DUPLICATE-CLUSTER level, and this audit
+    * is the query that proves whether it did. Emits every verified
+    * near-dup pair (d3's staged pair table at d8's ≥ 0.5 edge threshold)
+    * whose endpoints landed in DIFFERENT splits, with both splits and the
+    * pair's Jaccard — the work list a release review either empties
+    * (re-split by cluster) or signs off.
+    *
+    * Pure composition of two already-oracled operators (d3 pairs, c6
+    * split): two doc_id-keyed broadcast-able joins of the bounded pair
+    * table against the split projection; the expensive signature work is
+    * the staged d3 relation every dedup consumer already shares. At
+    * 100 TB the pair table is the LSH-bounded candidate set — the audit
+    * costs two narrow joins over it, never a corpus pass of its own. */
+  def c10_split_leakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.d3Pairs(s, dir).filter(col("jaccard") >= 0.5)
+    val splits = c6_train_split(s, dir).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+            Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+            Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+              col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: d3's pair CTE spliced verbatim + c6's split CASE, the same
+    * threshold d8 uses for edges. */
+  val c10Sql: String =
+    s"""WITH prs AS (
+       |${Dedup.d3SqlBody}
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(md5('split:' || doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+       |         WHEN substring(md5('split:' || doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+       |       p.jaccard
+       |FROM prs p
+       |JOIN sp sa ON sa.doc_id = p.doc_a
+       |JOIN sp sb ON sb.doc_id = p.doc_b
+       |WHERE p.jaccard >= 0.5 AND sa.split <> sb.split
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
+  /** C11: CLUSTER-ANCHORED SPLIT — c10's remediation, the split discipline
+    * every leakage-clean release actually ships: the train/val/test hash is
+    * keyed on the document's duplicate-CLUSTER representative (d8's
+    * cluster_id; unclustered docs anchor themselves), so an entire near-dup
+    * cluster lands in ONE split and c10's leak set is empty BY
+    * CONSTRUCTION — every ≥ 0.5 pair is a d8 edge, hence same cluster,
+    * hence same anchor, hence same split (the invariant is both provable
+    * and spec-pinned on the real tables). Same salted-md5 assignment as c6
+    * (c6's eval-set-freeze property carries over per anchor); one extra
+    * doc_id-keyed left join against the d8 relation the pipeline already
+    * computes — at 100 TB the fix costs one narrow join, not a new pass.
+    *
+    * c6 remains the naive baseline the audit runs against — the pair
+    * (c6 → c10 → c11) is the audit → measured defect → remediation chain,
+    * the same shape as s19's depth study and c2's prune audit. */
+  def c11_cluster_split(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.d8_dup_clusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val anchor = coalesce(col("cluster_id"), col("doc_id"))
+    val hx = substring(md5(concat(lit("split:"), anchor.cast("string"))), 1, 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+              anchor.as("anchor"),
+              when(hx <= "b", "train").when(hx <= "d", "val").otherwise("test")
+                .as("split"))
+      .orderBy("doc_id")
+  }
+
+  val c11Sql: String =
+    s"""WITH comp AS (
+       |${Dedup.d8Sql}
+       |), anch AS (
+       |  SELECT d.doc_id, d.lang,
+       |    len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+       |    coalesce(c.cluster_id, d.doc_id) AS anchor
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, lang, n_tokens, anchor,
+       |  CASE WHEN substring(md5('split:' || anchor::VARCHAR), 1, 1) <= 'b' THEN 'train'
+       |       WHEN substring(md5('split:' || anchor::VARCHAR), 1, 1) <= 'd' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM anch ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c11_cluster_split" -> (c11_cluster_split _),
+    "c10_split_leakage" -> (c10_split_leakage _),
     "c9_bloom_decontam" -> (c9_bloom_decontam _),
     "c7_drop_ledger" -> (c7_drop_ledger _),
     "c6_train_split" -> (c6_train_split _),
@@ -404,6 +504,8 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c11_cluster_split" -> c11Sql,
+    "c10_split_leakage" -> c10Sql,
     // identical relation by construction — the bloom only prunes the
     // shuffle, never the result, so t14's exact oracle is c9's oracle
     "c9_bloom_decontam" -> TextAnalysis.t14Sql,

@@ -3277,7 +3277,9 @@ object Similarity {
       .reduce(_ unionByName _)
     systems
       .join(truth5.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
-      .join(broadcast(top1), Seq("q_id"))
+      // no broadcast hint: top1 is |Q| rows but its bound sits behind the
+      // checkpoint, invisible to BroadcastContract — AQE sizes it instead
+      .join(top1, Seq("q_id"))
       .groupBy(col("system"), col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits5"),
            max(when(col("vec_id") === col("top1"),

@@ -23,7 +23,7 @@ class QueriesSmokeSpec extends SparkSpec {
     val allowedEmpty = Set("d2_ngram_jaccard", "d3_minhash_lsh", "s2_lsh_neardup",
       "d5_embedding_neardup", "j4_ts_violations", "s9_order_audit",
       // pair/dup/funnel results may legitimately be empty at tiny scale
-      "d8_dup_clusters", "m4_media_dedup", "q21_funnel",
+      "d8_dup_clusters", "m4_media_dedup", "q21_funnel", "c10_split_leakage",
       "x11_stream_stream_join",
       // invariant audits: empty exactly when the error contract holds
       "w4_unique_users_approx", "t9_len_quantiles")
@@ -598,6 +598,30 @@ class QueriesSmokeSpec extends SparkSpec {
       "ledger's kept total must equal the cleaned corpus")
     assert(led.map(_._2).distinct.toSet.subsetOf(
       Set("dup_loser", "not_english", "low_quality", "kept")))
+  }
+
+  test("split leakage is non-empty under c6 and empty under c11 by construction (c10/c11)") {
+    import org.apache.spark.sql.functions._
+    // the audited defect is real at sf0.01: random doc-hash splits separate
+    // near-duplicates (10 leaking pairs in the gated artifact)
+    val sf01 = "/root/testdata/sf0.01"
+    val leaks = graft.queries.Pipeline.c10_split_leakage(spark, sf01)
+    assert(leaks.count() > 0, "expected the naive split to leak at sf0.01")
+    // the remediation: re-run the SAME audit join against c11's
+    // cluster-anchored assignment — zero pairs may straddle splits, because
+    // every >= 0.5 pair is a d8 edge => same cluster => same anchor
+    val pairs = graft.queries.Dedup.d3Pairs(spark, sf01)
+      .filter(col("jaccard") >= 0.5)
+    val splits = graft.queries.Pipeline.c11_cluster_split(spark, sf01)
+      .select(col("doc_id"), col("split"))
+    val leakC11 = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+            Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+            Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+    assert(leakC11.count() == 0,
+      "cluster-anchored split must be leak-free by construction")
   }
 
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {

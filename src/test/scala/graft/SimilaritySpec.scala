@@ -135,6 +135,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s20 serves identical rows on both precision paths (the int8 leg is path-free)") {
+    // the SQ8 shortlist is integer-exact on every path; only the re-rank
+    // cosine honors the switch, and its 1e-4 grid keeps ranks identical
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.graft.exactDecimals"
+    val exact = Similarity.s20_sq8_topk(spark, dir).collect().map(_.toSeq).toSeq
+    spark.conf.set(key, "false")
+    try {
+      val prod = Similarity.s20_sq8_topk(spark, dir).collect().map(_.toSeq).toSeq
+      assert(prod == exact, "production-precision SQ8 serving diverged")
+      assert(exact.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("c2 prefilter margin is lossless: double cosine never strays 1e-10 from exact") {
     // The c2_semdedup stage-1 prefilter admits pairs with double-dot cosine
     // >= 0.3999; stage 2 gates on the exact-decimal cosine rounding to
