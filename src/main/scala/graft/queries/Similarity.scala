@@ -3104,6 +3104,18 @@ object Similarity {
     * integer arithmetic, order-independent by construction (unlike the
     * float paths, no decimal fold is ever needed: the native codegen'd
     * `dot_i8` IS the oracle-exact path). */
+  /** NOT a staged table, by measurement: the d3/s18 staging discipline
+    * was tried here and showed NO win at sf1 (same-window pairs: s20
+    * 4.4 s staged-warm vs 3.8 s unstaged-cold; s22 3.5 vs 3.9 — inside
+    * the ambient band both ways, STRESS_sf1.md §Round 10). The reason is
+    * structural: SQ8's encode is ONE stateless codebook-free pass — a
+    * trivial fraction of the |Q|·N scoring join — while a
+    * `localCheckpoint`'d code table makes that join scan deserialized
+    * row blocks instead of whole-stage codegen over columnar parquet.
+    * The staging rule pays where the staged artifact is expensive to
+    * rebuild (d3's signatures, s18's trained quantizer); it does not
+    * transfer to a free-to-recompute encoding, so the simpler spelling
+    * — the whole serve inside one codegen pipeline — wins. */
   private[graft] def sq8Quantized(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProductI8.register(s)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -3180,7 +3192,7 @@ object Similarity {
     s"""sca AS (
       |  SELECT i, max(abs(v)) AS sc FROM e GROUP BY 1
       |), qv8 AS (
-      |  SELECT e.vec_id, e.i,
+      |  SELECT e.vec_id, e.label, e.i,
       |    (CASE WHEN sc = 0 THEN 0
       |          ELSE greatest(-127.0, least(127.0, floor(v * 127.0 / sc + 0.5)))
       |     END)::BIGINT AS q
@@ -3357,7 +3369,113 @@ object Similarity {
       |    / 10000.0 AS mrr
       |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S22: IVF × SQ8 — the two scan levers COMPOSED, the actual 100 TB
+    * serving shape: coarse routing cuts the candidate set to 1/cells
+    * (s3's label-centroid route), and the surviving cell is scanned in
+    * int8 (s20's codes, 1/4 the bytes) instead of float32 or PQ-ADC —
+    * FAISS's `IVF..,SQ8` index family. This is the THIRD scoring backend
+    * on the shared routing (s3 exact-decimal, s7 PQ-ADC, s22 int8),
+    * which is precisely the two-tower composition property: the router
+    * never changes, only the cell scanner swaps.
+    *
+    * Scale shape: routing is the bounded broadcast s3 declared; the cell
+    * scan is the cell equi-join (the corpus never shuffles) scored by the
+    * codegen'd `dot_i8`; the exact re-rank touches ≤ depth·|Q| raw rows
+    * (s13/s20's refine contract). Like s20, the int8 leg is
+    * oracle-exact on every precision path. */
+  def s22_ivf_sq8(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val depth = sq8RerankDepth(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+              dot(col("embedding"), col("embedding"), ex).as("n2"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
+    val routed = q.crossJoin(broadcast(labelCentroids(s, dir)))
+      .withColumn("cdp", dot(col("qemb"), col("cemb"), ex))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cdp").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label"))
+    val qv = sq8Quantized(s, dir)
+    val qq = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
+    val short = qv
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(broadcast(routed), Seq("label")) // the 1/cells prune
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qq), Seq("q_id"))
+      .withColumn("iscore", call_function("dot_i8", col("qvec"), col("qq")))
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
+      .filter(col("q_rank") <= depth)
+      .select(col("q_id"), col("label"), col("vec_id"), col("iscore"))
+    short
+      .join(emb.select(col("vec_id"), col("embedding"), col("n2")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine",
+        round4(dot(col("embedding"), col("qemb"), ex) / sqrt(col("qn2") * col("n2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("label").as("cell"), col("vec_id").as("n_id"),
+              col("iscore"), col("cosine"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  def s22SqlAt(depth: Int): String =
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, cent AS (
+      |  SELECT label, i, sum(v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
+      |  FROM e GROUP BY 1, 2
+      |), qe AS (
+      |  SELECT vec_id AS q_id, i, v AS qv FROM e WHERE vec_id % 100 = 0
+      |), q2c AS (
+      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::DOUBLE AS cdp
+      |  FROM qe JOIN cent USING (i) GROUP BY 1, 2
+      |), routed AS (
+      |  SELECT q_id, label FROM (
+      |    SELECT q_id, label,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cdp DESC, label) AS rn
+      |    FROM q2c) WHERE rn = 1
+      |), isc22 AS (
+      |  SELECT qq.vec_id AS q_id, r.label, dd.vec_id AS vec_id,
+      |         sum(qq.q * dd.q)::BIGINT AS iscore
+      |  FROM qv8 qq
+      |  JOIN routed r ON r.q_id = qq.vec_id
+      |  JOIN qv8 dd ON dd.i = qq.i AND dd.label = r.label
+      |              AND dd.vec_id <> qq.vec_id
+      |  GROUP BY 1, 2, 3
+      |), srk22 AS (
+      |  SELECT q_id, label, vec_id, iscore,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
+      |  FROM isc22
+      |), norms AS (
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |), rr AS (
+      |  SELECT sh.q_id, sh.label, sh.vec_id, sh.iscore,
+      |         sum((eq.v * ed.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  FROM srk22 sh
+      |  JOIN e eq ON eq.vec_id = sh.q_id
+      |  JOIN e ed ON ed.vec_id = sh.vec_id AND ed.i = eq.i
+      |  WHERE sh.q_rank <= $depth
+      |  GROUP BY 1, 2, 3, 4
+      |), scored AS (
+      |  SELECT q_id, label AS cell, rr.vec_id AS n_id, iscore,
+      |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM rr
+      |  JOIN norms nq ON nq.vec_id = q_id
+      |  JOIN norms nd ON nd.vec_id = rr.vec_id
+      |), ranked AS (
+      |  SELECT q_id, cell, n_id, iscore, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, cell, n_id, iscore, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  def s22Sql: String = s22SqlAt(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_ivf_sq8" -> (s22_ivf_sq8 _),
     "s20_sq8_topk" -> (s20_sq8_topk _),
     "s21_sq8_recall" -> (s21_sq8_recall _),
     "s19_retrieval_eval" -> (s19_retrieval_eval _),
@@ -3388,6 +3506,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   lazy val oracles: Map[String, String] = Map(
+    "s22_ivf_sq8" -> s22Sql,
     "s20_sq8_topk" -> s20Sql,
     "s21_sq8_recall" -> s21Sql,
     "s19_retrieval_eval" -> s19Sql,

@@ -149,6 +149,29 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("s22 answers only from the routed cell and never beats the global SQ8 serve") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val s22 = Similarity.s22_ivf_sq8(spark, dir).collect()
+    assert(s22.nonEmpty)
+    // cell contract: every neighbor belongs to the cell the query routed to
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(s22.forall(r => labels(r.getLong(2)) == r.getInt(1)),
+      "s22 returned a neighbor outside the routed cell")
+    // the cell-restricted serve can never beat the global serve: per query,
+    // s22's best cosine <= s20's best cosine (same codes, same re-rank)
+    val best22 = s22.filter(_.getLong(5) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val best20 = Similarity.s20_sq8_topk(spark, dir).collect()
+      .filter(_.getLong(4) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(best22.keySet == best20.keySet)
+    assert(best22.forall { case (q, c) => c <= best20(q) + 1e-12 },
+      "cell-restricted top-1 beat the global top-1")
+  }
+
   test("c2 prefilter margin is lossless: double cosine never strays 1e-10 from exact") {
     // The c2_semdedup stage-1 prefilter admits pairs with double-dot cosine
     // >= 0.3999; stage 2 gates on the exact-decimal cosine rounding to
