@@ -1613,7 +1613,15 @@ object Streams {
   /** x37's full pre-sink pipeline — factored so `StreamingSpec` can assert
     * the structural contract (exactly one state operator; all pruning is
     * per-row expressions and stream-static joins) on the running query. */
-  private[graft] def x37Out(s: SparkSession, dir: String): Dataset[DecontamOut] = {
+  private[graft] def x37Out(s: SparkSession, dir: String): Dataset[DecontamOut] =
+    x37Gate(s, dir)(docsStream(s, dir))
+
+  /** The gate as a TRANSFORM over any document relation (batch or stream)
+    * — factored so `CheckpointRestartSpec` can drive the same pipeline
+    * from a chunked checkpointed source and prove the contamination
+    * verdicts are exactly-once under kill/restart. */
+  private[graft] def x37Gate(s: SparkSession, dir: String)(
+      docsIn: DataFrame): Dataset[DecontamOut] = {
     import s.implicits._
     graft.functions.BloomBridge.register(s)
     val N = 3
@@ -1628,7 +1636,7 @@ object Streams {
     val gramsExpr = expr(
       s"transform(sequence(1, size(split(text, ' ')) - ${N - 1}), " +
       s"i -> concat_ws(' ', slice(split(text, ' '), i, $N)))")
-    val cand = docsStream(s, dir)
+    val cand = docsIn
       .filter(col("doc_id") % 100 =!= 0)
       .filter(size(split(col("text"), " ")) >= N)
       .select(col("doc_id").as("train_doc"),

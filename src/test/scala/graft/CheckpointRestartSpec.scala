@@ -440,6 +440,64 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(batchResult(out) == expectedCodes)
   }
 
+  test("contamination gate killed mid-replay emits each verdict exactly once (x37)") {
+    // L6 on the INGEST GATE: x37's only state is the in-trigger gather
+    // (never written), so its restart contract is pure source-offset
+    // resume — a kill between micro-batches must neither re-emit verdicts
+    // for already-committed training docs nor skip pending ones. The
+    // union of committed batches must equal t14's batch relation exactly.
+    val srcDir = Paths.get("/tmp/graft_stream",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"), "docs_chunked_4")
+    val doneMarker = srcDir.resolve("3_chunk.parquet")
+    if (!Files.exists(doneMarker)) {
+      Files.createDirectories(srcDir)
+      val docs = Tables.documents(spark, dir)
+        .withColumn("_rk", row_number().over( // test setup, not a query plan
+          Window.orderBy(col("doc_id"))))
+      val total = docs.count()
+      (0 until 4).foreach { k =>
+        val lo = k * total / 4 + 1; val hi = (k + 1) * total / 4
+        val tmp = srcDir.resolve(s"_build_$k")
+        docs.filter(col("_rk").between(lo, hi)).drop("_rk")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, srcDir.resolve(s"${k}_chunk.parquet"))
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    val base = Files.createTempDirectory("graft_x37_ckpt_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val expectedPairs: Set[Seq[Any]] =
+      queries.TextAnalysis.t14_contamination(spark, dir)
+        .collect().map(_.toSeq).toSet
+    def startGate(availableNow: Boolean) = {
+      val schema = spark.read.parquet(srcDir.resolve("0_chunk.parquet").toString).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      Streams.x37Gate(spark, dir)(src).toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    val q1 = startGate(availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    val q2 = startGate(availableNow = true)
+    q2.awaitTermination()
+    assert(batchResult(out) == expectedPairs)
+  }
+
   test("global signature killed mid-replay resumes the exact decimal sums (x35)") {
     // L6 on the x35 state shape — the string-encoded exact decimal sums
     // plus the per-user shift-register map: a flag decision in a
