@@ -18,11 +18,12 @@ import org.apache.spark.sql.SparkSession
   * so each measurement is a cold, self-contained cost.
   *
   * Artifact shape: the FULL per-query JSON goes to
-  * `target/bench_<sf>.json`; stdout gets the same full line for humans
-  * plus a final compact line (headline total + the most expensive queries,
-  * capped under ~1.8 KB) — the driver machine-parses a bounded log tail
-  * (2000 chars), which the 146-query full line overflows (round 5's
-  * artifact carried `parsed: null` for exactly this reason).
+  * `target/bench_<sf>.json` (and `bench/` on full runs); stdout gets ONE
+  * compact spec-shaped line (headline total + the most expensive queries,
+  * capped under 0.9 KB) — the driver machine-parses a bounded log tail,
+  * which the 196-query full line overflows (rounds 5-10 all carried
+  * `parsed: null`; round 10's tail shows the window cut the summary line
+  * short because the full line printed just before it ate the budget).
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -170,18 +171,23 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
     }
-    println(json)
-    // final stdout line: the driver machine-parses a bounded (2000-char)
-    // log tail, which the full line overflows at 146 queries. Emit a
-    // compact, VALID-JSON summary — headline total + as many of the most
-    // expensive per-query timings as fit a 0.9 KB budget (the 1.8 KB
-    // budget of rounds 6-8 left the line complete in the tail yet still
-    // unparsed — halve it so the line survives even a smaller window) —
-    // as the LAST line so the tail always contains one parseable
-    // artifact; the full map is in the files above.
+    // stdout: the driver machine-parses a bounded log tail. Five rounds of
+    // BENCH_rN.json shipped parsed:null because the ~11 KB full-map line
+    // printed right before the compact line polluted the captured window
+    // (BENCH_r10's tail ends MID-compact-line: the window anchored inside
+    // the full line and ran out before the summary finished), and the
+    // compact line keyed its map "top_queries" where the driver contract
+    // says "queries". Fix both: the full map goes ONLY to the artifact
+    // files above, and the single stdout line is spec-shaped
+    // ({metric,value,unit,queries,sf}) with the most expensive per-query
+    // timings capped to a 0.9 KB budget so the whole line fits any
+    // plausible tail window.
     val byCost = results.toSeq.sortBy(-_._2)
     val budget = 900
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"sf":"$sfDir","n_queries":${results.size},"full":"target/bench_$sfName.json","top_queries":{"""
+    // point at the DURABLE copy when one was written (bench/ is committed;
+    // target/ is wiped between rounds and only subset experiments stop there)
+    val fullDir = artifactDirs(only.nonEmpty, keepShared).last
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"n_queries":${results.size},"full":"$fullDir/bench_$sfName.json","sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tailStr.length

@@ -374,10 +374,20 @@ object Pipeline {
     * built sketch as a literal into the codegen'd probe filter and
     * deserializes it once per task — exactly the build-once semantics the
     * pre-filter needs). */
+  /** The ONE sizing source for the decontamination bloom — read by BOTH the
+    * batch gate (c9's scalar-subquery sketch) and the online gate (x37's
+    * frozen literal sketch), so retuning the knobs can never silently
+    * diverge the two paths' FP rates (round-10 verdict finding #3: x37
+    * hardcoded the same values as literals). Sizing only moves the FP
+    * rate — both gates exact-verify survivors, so correctness is
+    * sizing-independent by construction (spec-pinned in StreamingSpec). */
+  private[graft] def bloomDecontamSizing(s: SparkSession): (Long, Long) =
+    (s.conf.get("spark.graft.bloomDecontamItems", "1048576").toLong,
+     s.conf.get("spark.graft.bloomDecontamBits", "10485760").toLong)
+
   def c9_bloom_decontam(s: SparkSession, dir: String): DataFrame = {
     graft.functions.BloomBridge.register(s)
-    val items = s.conf.get("spark.graft.bloomDecontamItems", "1048576").toLong
-    val bits = s.conf.get("spark.graft.bloomDecontamBits", "10485760").toLong
+    val (items, bits) = bloomDecontamSizing(s)
     TextAnalysis.docGramsStr(s, dir, 3).createOrReplaceTempView("c9_grams")
     s.sql(
       s"""SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,

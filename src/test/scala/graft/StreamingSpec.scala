@@ -487,4 +487,49 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(online == batch, "x37 must replay to t14's exact relation")
   }
+
+  test("x37 counts DISTINCT shared grams under repeats; sketch sizing is c9's knob") {
+    import graft.streaming.Streams
+    // engineered corpus: the eval doc (id % 100 == 0) REPEATS a shared
+    // trigram, and so does the train doc — the case the natural corpora
+    // never exercise (round-10 advice, high): without the static-side
+    // dedup the in-trigger gather counts one row per eval OCCURRENCE and
+    // n_shared would read 4 where t14's count(DISTINCT gram) reads 3
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x37_grams_").toString
+    Seq((100L, "a b c a b c x y z"), // eval: "a b c" appears twice
+        (1L,   "a b c a b c q"))     // train: shares {a b c, b c a, c a b}
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    def gate(): Seq[(Long, Long, Long)] =
+      Streams.x37Gate(spark, tmp)(Tables.documents(spark, tmp))
+        .collect().map(o => (o.train_doc, o.eval_doc, o.n_shared)).toSeq
+    assert(gate() == Seq((1L, 100L, 3L)),
+      "n_shared must be count(DISTINCT gram) when the eval doc repeats a gram")
+    // the batch relation agrees on the SAME repeated-gram corpus — the
+    // shared-oracle contract holds on ordinary text, not just dedup-free text
+    val batch = graft.queries.TextAnalysis.t14_contamination(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch == Seq((1L, 100L, 3L)))
+    // one sizing source, both gates: the frozen sketch reads the c9 conf
+    // knobs (the serialized bloom tracks the bits knob), and exactness is
+    // sizing-INDEPENDENT — a tiny high-FP bloom still replays t14's exact
+    // relation because survivors exact-verify through the gram join
+    val ev = graft.queries.TextAnalysis.docGramsStr(spark, tmp, 3)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("gram"), col("doc_id").as("eval_doc")).distinct()
+    val defaultSketch = Streams.decontamSketch(spark, ev)
+    spark.conf.set("spark.graft.bloomDecontamItems", "64")
+    spark.conf.set("spark.graft.bloomDecontamBits", "512")
+    try {
+      assert(graft.queries.Pipeline.bloomDecontamSizing(spark) == ((64L, 512L)))
+      val small = Streams.decontamSketch(spark, ev)
+      assert(small.length < defaultSketch.length,
+        "x37's sketch must track the shared bloomDecontam sizing knobs")
+      assert(gate() == Seq((1L, 100L, 3L)),
+        "gate correctness must be independent of the bloom sizing")
+    } finally {
+      spark.conf.unset("spark.graft.bloomDecontamItems")
+      spark.conf.unset("spark.graft.bloomDecontamBits")
+    }
+  }
 }
