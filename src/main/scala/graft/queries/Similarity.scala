@@ -2126,8 +2126,10 @@ object Similarity {
     * STRESS_sf1.md. Like `semdedupK`/`exactDecimals`, the oracles pin
     * the DEFAULT: overriding the knob trades oracle hash-equality for a
     * different recall/cost point; the dataflow is identical at any p. */
+  private[graft] val ServingNprobeDefault = 2
+
   private[graft] def servingNprobe(s: SparkSession): Int =
-    s.conf.get("spark.graft.servingNprobe", "2").toInt
+    s.conf.get("spark.graft.servingNprobe", ServingNprobeDefault.toString).toInt
 
   /** The ADC shortlist depth the serving legs hand to the exact re-rank
     * (the R of IVFADC+R). Default 200 — DECIDED BY MEASUREMENT: at sf0.1
@@ -3075,13 +3077,25 @@ object Similarity {
 
   // ───────────────────────── SQ8 scalar quantization ─────────────────────────
 
-  /** Exact-cosine re-rank depth for the SQ8 serving leg (s20). Default 50,
-    * decided by [[s21_sq8_recall]]'s depth audit (the same measured-knee
-    * discipline as `servingRerankDepth`): the audit's d10/d50/d200 rows
-    * grade the axis, and d = 50 is where SQ8 reaches its measured
-    * convergence on this corpus — see STRESS_sf1.md §Round 10. */
+  /** The shipped serving defaults, SINGLE-SOURCED: the conf readers below
+    * and the registered oracle strings both derive from these constants,
+    * so the pinned-default contract (`servingNprobe`'s scaladoc: oracles
+    * pin the DEFAULT; overriding a knob trades oracle hash-equality for a
+    * different recall/cost point) cannot drift between the two sides
+    * (round-10 advice: the oracles previously hardcoded 50 as a separate
+    * literal). */
+  private[graft] val Sq8RerankDepthDefault = 50
+
+  /** Exact-cosine re-rank depth for the SQ8 serving legs (s20/s22).
+    * Default [[Sq8RerankDepthDefault]], decided by [[s21_sq8_recall]]'s
+    * depth audit (the same measured-knee discipline as
+    * `servingRerankDepth`): the audit's d10/d50/d200 rows grade the axis,
+    * and d = 50 is where SQ8 reaches its measured convergence on this
+    * corpus — see STRESS_sf1.md §Round 10. The audit's own legs are pinned
+    * LITERAL (s21 never reads this knob), so its system labels always
+    * state the depth actually measured. */
   private[graft] def sq8RerankDepth(s: SparkSession): Int =
-    s.conf.get("spark.graft.sq8RerankDepth", "50").toInt
+    s.conf.get("spark.graft.sq8RerankDepth", Sq8RerankDepthDefault.toString).toInt
 
   /** Symmetric per-dimension int8 scalar quantization of the corpus — the
     * SQ8 encoding (FAISS `ScalarQuantizer` QT_8bit-style; Jégou et al.'s
@@ -3235,7 +3249,7 @@ object Similarity {
       |SELECT q_id, n_id, iscore, cosine, rank FROM ranked
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  def s20Sql: String = s20SqlAt(50)
+  def s20Sql: String = s20SqlAt(Sq8RerankDepthDefault)
 
   /** S21: the SQ8 DEPTH AUDIT — recall@5 / MRR@5 of four SQ8 serving
     * postures against the exact brute-force ground truth, from ONE scored
@@ -3247,10 +3261,12 @@ object Similarity {
     * question of SQ8 and prints where the depth curve flattens (SQ8's
     * int8 ordering is far closer to exact than PQ's ADC, so it converges
     * at a much shallower depth — the measured reason the s20 default can
-    * be 50 where the PQ stack needed 200). The fifth system is s22's
-    * IVF-routed leg at serving defaults: its delta vs `sq8_rerank_d50`
-    * is exactly what single-cell routing costs (0.12 vs 1.00 — see
-    * [[s22_ivf_sq8]]'s verdict note).
+    * be 50 where the PQ stack needed 200). Systems five through seven are
+    * the IVF-routed leg at literal probe widths 1/2/4 (all depth 50, one
+    * multi-probe scored relation): the p1 row is round 10's condemned
+    * single-cell posture (0.12 recall@5 vs the global 1.00), and the
+    * p2/p4 rows grade what [[servingNprobe]]-width routing recovers —
+    * the deploy gate for [[s22_ivf_sq8]]'s shipped default.
     *
     * Same scale contract as s19: the eval rides the bounded query
     * contract, every comparison join is |Q|·k rows, and the one extra
@@ -3282,17 +3298,34 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= 5).select(col("q_id"), col("vec_id"), col("rk"))
+    // the IVF-routed legs at LITERAL probe widths 1/2/4 and depth 50, all
+    // from ONE multi-probe scored relation (probe <= p filters, the s10
+    // audit shape): p1 is round 10's condemned single-cell posture, p2 is
+    // the shipped `servingNprobe` default, p4 the next rung — the rows
+    // print the routing recovery curve the round-10 verdict asked for.
+    // Literal parameters keep the system labels honest under any conf
+    // (round-10 advice: the old leg read the depth knob while its label
+    // said d50).
+    val mp = ivfSq8ScoredMp(s, dir, 4)
+      .select(col("q_id"), col("probe"), col("vec_id"), col("iscore"))
+      .localCheckpoint()
+    def ivfLeg(p: Int): DataFrame = mp.filter(col("probe") <= p)
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
+      .filter(col("q_rank") <= 50)
+      .join(cosines, Seq("q_id", "vec_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 5).select(col("q_id"), col("vec_id"), col("rk"))
     val systems = (
       Seq("sq8_direct" -> scored.filter(col("q_rank") <= 5)
             .select(col("q_id"), col("vec_id"), col("q_rank").as("rk")),
           "sq8_rerank_d10" -> rerank(10),
           "sq8_rerank_d50" -> rerank(50),
           "sq8_rerank_d200" -> rerank(200),
-          // the IVF-routed leg at serving defaults: its delta vs
-          // sq8_rerank_d50 is exactly what the 1/cells routing costs —
-          // the same deploy-gate row s19 demanded of the PQ legs
-          "ivf_sq8_d50" -> s22_ivf_sq8(s, dir)
-            .select(col("q_id"), col("n_id").as("vec_id"), col("rank").as("rk"))))
+          "ivf_sq8_p1_d50" -> ivfLeg(1),
+          "ivf_sq8_p2_d50" -> ivfLeg(2),
+          "ivf_sq8_p4_d50" -> ivfLeg(4)))
       .map { case (name, df) => df.withColumn("system", lit(name)) }
       .reduce(_ unionByName _)
     systems
@@ -3315,6 +3348,20 @@ object Similarity {
                 .as("mrr"))
       .orderBy("system")
   }
+
+  /** One literal-width IVF×SQ8 system leg of the s21 oracle: shortlist
+    * the per-query top-50 integer scores among cells with probe <= p,
+    * exact-cosine re-rank, keep top-5 — the SQL twin of s21's
+    * `ivfLeg(p)`. */
+  private def s21IvfLegSql(p: Int): String =
+    s"""SELECT * FROM (
+       |    SELECT 'ivf_sq8_p${p}_d50' AS system, s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
+       |    FROM (SELECT q_id, vec_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
+       |          FROM isc22 WHERE probe <= $p) s
+       |    JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
+       |    WHERE s.q_rank <= 50) WHERE rk <= 5""".stripMargin
 
   def s21Sql: String =
     s"""WITH $elemsSqlCte, $sq8SqlCtes, norms AS (
@@ -3347,32 +3394,24 @@ object Similarity {
       |), q2c AS (
       |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::DOUBLE AS cdp
       |  FROM qe JOIN cent USING (i) GROUP BY 1, 2
-      |), routed AS (
-      |  SELECT q_id, label FROM (
+      |), qroute22 AS (
+      |  SELECT q_id, label, probe FROM (
       |    SELECT q_id, label,
-      |      row_number() OVER (PARTITION BY q_id ORDER BY cdp DESC, label) AS rn
-      |    FROM q2c) WHERE rn = 1
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cdp DESC, label) AS probe
+      |    FROM q2c) WHERE probe <= 4
       |), isc22 AS (
-      |  SELECT qq.vec_id AS q_id, dd.vec_id AS vec_id,
+      |  SELECT qq.vec_id AS q_id, r.probe, dd.vec_id AS vec_id,
       |         sum(qq.q * dd.q)::BIGINT AS iscore
       |  FROM qv8 qq
-      |  JOIN routed r ON r.q_id = qq.vec_id
+      |  JOIN qroute22 r ON r.q_id = qq.vec_id
       |  JOIN qv8 dd ON dd.i = qq.i AND dd.label = r.label
       |              AND dd.vec_id <> qq.vec_id
-      |  GROUP BY 1, 2
-      |), srk22 AS (
-      |  SELECT q_id, vec_id, iscore,
-      |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
-      |  FROM isc22
+      |  GROUP BY 1, 2, 3
       |), sys AS (
       |  SELECT 'sq8_direct' AS system, q_id, vec_id, q_rank AS rk
       |  FROM srk WHERE q_rank <= 5
       |  UNION ALL
-      |  SELECT * FROM (
-      |    SELECT 'ivf_sq8_d50' AS system, s.q_id, s.vec_id,
-      |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
-      |    FROM srk22 s JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
-      |    WHERE s.q_rank <= 50) WHERE rk <= 5
+      |  ${Seq(1, 2, 4).map(s21IvfLegSql).mkString("\n  UNION ALL\n  ")}
       |  UNION ALL
       |  SELECT * FROM (
       |    SELECT 'sq8_rerank_d10' AS system, s.q_id, s.vec_id,
@@ -3423,38 +3462,75 @@ object Similarity {
     * (s13/s20's refine contract). Like s20, the int8 leg is
     * oracle-exact on every precision path.
     *
-    * Honest deploy-gate verdict (s21's `ivf_sq8_d50` row): at SINGLE-CELL
-    * routing this leg reads recall@5 = 0.12 vs the global scan's 1.00 at
-    * both sf0.01 and sf0.1 — the loss is the router, not the
-    * quantization (label-centroid cells don't align with nearest
+    * Routing width: [[servingNprobe]] (default 2), the SAME knob the PQ
+    * serving legs priced in round 9 — round 10 shipped this leg at a
+    * hardcoded single cell and its own deploy gate (s21's d50 row) read
+    * recall@5 = 0.12 vs the global scan's 1.00 (the loss is the router,
+    * not the quantization: label-centroid cells don't align with nearest
     * neighbors on this corpus; s8 measured the same ceiling for s3's
-    * exact cell scan). The operator's contribution is the SCAN-SHAPE
-    * composition; a production deploy pairs it with the multi-probe
-    * routing width the `servingNprobe` study already priced — the two
-    * axes are orthogonal and the eval prints why both matter. */
-  def s22_ivf_sq8(s: SparkSession, dir: String): DataFrame = {
+    * exact cell scan). The round-11 fix wires the priced multi-probe
+    * width through: each query scans its top-`servingNprobe` cells, and
+    * s21's `ivf_sq8_p{1,2,4}_d50` rows grade the recovery curve (and the
+    * routing ceiling, where cells don't align). Probe width multiplies
+    * the per-query scanned codes (p·N/cells), never the corpus shuffle —
+    * the candidate cell equi-join is unchanged. */
+  def s22_ivf_sq8(s: SparkSession, dir: String): DataFrame =
+    ivfSq8Served(s, dir, servingNprobe(s), sq8RerankDepth(s))
+
+  /** Query→cell routing at an explicit probe width: every query's
+    * top-`probes` label-centroid cells by exact-decimal dot, with the
+    * probe rank (1 = nearest). The routing table is |Q|·probes rows —
+    * broadcast by construction. Factored `private[graft]` so the spec can
+    * pin s22's cell contract at any width. */
+  private[graft] def ivfSq8Routes(s: SparkSession, dir: String,
+                                  probes: Int): DataFrame = {
     val ex = exactDecimals(s)
-    val depth = sq8RerankDepth(s)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-              dot(col("embedding"), col("embedding"), ex).as("n2"))
-    val q = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
-    val routed = q.crossJoin(broadcast(labelCentroids(s, dir)))
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+    q.crossJoin(broadcast(labelCentroids(s, dir)))
       .withColumn("cdp", dot(col("qemb"), col("cemb"), ex))
-      .withColumn("rn", row_number().over(
+      .withColumn("probe", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cdp").desc, col("label"))))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("label"))
+      .filter(col("probe") <= probes)
+      .select(col("q_id"), col("probe"), col("label"))
+  }
+
+  /** The multi-probe IVF×SQ8 scored relation: every (query, candidate in
+    * a probed cell) int8 dot score, tagged with the candidate cell's probe
+    * rank — a candidate belongs to exactly ONE cell, so it carries exactly
+    * one probe rank per query, and ONE relation grades every width ≤
+    * `maxProbes` via a `probe <= p` filter (the s10
+    * audit-contains-its-subjects shape, here for the int8 backend). The
+    * corpus never shuffles: the prune is a broadcast equi-join on the
+    * cell label, and scoring is the codegen'd `dot_i8`. */
+  private def ivfSq8ScoredMp(s: SparkSession, dir: String,
+                             maxProbes: Int): DataFrame = {
     val qv = sq8Quantized(s, dir)
     val qq = qv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
-    val short = qv
-      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .join(broadcast(routed), Seq("label")) // the 1/cells prune
+    qv.join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+            Seq("vec_id"))
+      .join(broadcast(ivfSq8Routes(s, dir, maxProbes)), Seq("label")) // p/cells prune
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(qq), Seq("q_id"))
       .withColumn("iscore", call_function("dot_i8", col("qvec"), col("qq")))
+      .select(col("q_id"), col("probe"), col("label"), col("vec_id"), col("iscore"))
+  }
+
+  /** The IVF×SQ8 serve at explicit (probes, depth): int8-score the probed
+    * cells, shortlist the per-query top-`depth` by integer score across
+    * ALL probed cells, exact-cosine re-rank the shortlist, emit top-5.
+    * [[s22_ivf_sq8]] binds the knobs; [[s21_sq8_recall]] grades the
+    * literal (p, 50) grid. */
+  private[graft] def ivfSq8Served(s: SparkSession, dir: String,
+                                  probes: Int, depth: Int): DataFrame = {
+    val ex = exactDecimals(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              dot(col("embedding"), col("embedding"), ex).as("n2"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
+    val short = ivfSq8ScoredMp(s, dir, probes)
       .withColumn("q_rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
       .filter(col("q_rank") <= depth)
@@ -3472,7 +3548,7 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  def s22SqlAt(depth: Int): String =
+  def s22SqlAt(depth: Int, probes: Int): String =
     s"""WITH $elemsSqlCte, $sq8SqlCtes, cent AS (
       |  SELECT label, i, sum(v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
       |  FROM e GROUP BY 1, 2
@@ -3485,7 +3561,7 @@ object Similarity {
       |  SELECT q_id, label FROM (
       |    SELECT q_id, label,
       |      row_number() OVER (PARTITION BY q_id ORDER BY cdp DESC, label) AS rn
-      |    FROM q2c) WHERE rn = 1
+      |    FROM q2c) WHERE rn <= $probes
       |), isc22 AS (
       |  SELECT qq.vec_id AS q_id, r.label, dd.vec_id AS vec_id,
       |         sum(qq.q * dd.q)::BIGINT AS iscore
@@ -3521,7 +3597,7 @@ object Similarity {
       |SELECT q_id, cell, n_id, iscore, cosine, rank FROM ranked
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  def s22Sql: String = s22SqlAt(50)
+  def s22Sql: String = s22SqlAt(Sq8RerankDepthDefault, ServingNprobeDefault)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s22_ivf_sq8" -> (s22_ivf_sq8 _),

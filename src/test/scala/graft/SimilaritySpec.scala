@@ -149,19 +149,35 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
-  test("s22 answers only from the routed cell and never beats the global SQ8 serve") {
+  test("s22 answers only from the probed cells and never beats the global SQ8 serve") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"
     val s22 = Similarity.s22_ivf_sq8(spark, dir).collect()
     assert(s22.nonEmpty)
-    // cell contract: every neighbor belongs to the cell the query routed to
+    // cell contract at the shipped width: every neighbor's cell is among
+    // the query's top-servingNprobe routed cells (round 11 wired the
+    // multi-probe width through; at the default this is the top-2 set),
+    // and the emitted `cell` column is the neighbor's own label
+    val probes = Similarity.servingNprobe(spark)
+    val routed = Similarity.ivfSq8Routes(spark, dir, probes).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getInt(2)).toSet }
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(s22.forall(r => labels(r.getLong(2)) == r.getInt(1)),
-      "s22 returned a neighbor outside the routed cell")
+      "s22's cell column must be the neighbor's own label")
+    assert(s22.forall(r => routed(r.getLong(0)).contains(r.getInt(1))),
+      "s22 returned a neighbor outside the query's probed cells")
+    // and the probed-cell sets nest: p1 ⊂ p2 per query (the multi-probe
+    // relation grades widths by filtering, so nesting is the contract)
+    val r1 = Similarity.ivfSq8Routes(spark, dir, 1).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getInt(2)).toSet }
+    assert(r1.forall { case (q, cs) => cs.subsetOf(routed(q)) })
     // the cell-restricted serve can never beat the global serve: per query,
-    // s22's best cosine <= s20's best cosine (same codes, same re-rank)
+    // s22's best cosine <= s20's best cosine (s20's d50 shortlist is exact
+    // on this corpus — s21 measures recall 1.00 — so its top-1 IS the
+    // global exact top-1, which no restricted candidate set can exceed)
     val best22 = s22.filter(_.getLong(5) == 1L)
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
     val best20 = Similarity.s20_sq8_topk(spark, dir).collect()
