@@ -502,7 +502,64 @@ object Pipeline {
        |       ELSE 'test' END AS split
        |FROM anch ORDER BY doc_id""".stripMargin
 
+  /** C12: the SPLIT-DELTA LEDGER — the release-engineering consequence of
+    * adopting c11's cluster-anchored split over c6's naive doc-hash split
+    * (the round-10 verdict's missing audit leg of the c6 → c10 → c11
+    * chain): re-splitting moves every doc whose cluster anchor hashes into
+    * a different bucket than its own id, and a release review needs the
+    * per-doc ledger of those moves plus the ONE transition that
+    * invalidates frozen eval history — a c6 `test` doc landing in c11
+    * `train` (its content, published with an earlier eval freeze, would
+    * enter the training corpus: the re-split variant of c7's drop
+    * ledger). Emits (doc_id, anchor, split_c6, split_c11,
+    * frozen_eval_leak) for every MOVED doc.
+    *
+    * Scale shape: one doc_id equi-join of two projections the pipeline
+    * already computes (both sides co-partitioned on the doc_id spine);
+    * only movers survive the filter, and a mover necessarily has
+    * anchor ≠ doc_id (a self-anchored doc hashes identically under both
+    * schemes — the invariant the smoke spec pins), so the ledger is
+    * bounded by the CLUSTERED doc count, a vanishing fraction at 100 TB. */
+  def c12_split_delta(s: SparkSession, dir: String): DataFrame = {
+    val before = c6_train_split(s, dir)
+      .select(col("doc_id"), col("split").as("split_c6"))
+    val after = c11_cluster_split(s, dir)
+      .select(col("doc_id"), col("anchor"), col("split").as("split_c11"))
+    after.join(before, Seq("doc_id"))
+      .filter(col("split_c6") =!= col("split_c11"))
+      .select(col("doc_id"), col("anchor"), col("split_c6"), col("split_c11"),
+              (col("split_c6") === "test" && col("split_c11") === "train")
+                .as("frozen_eval_leak"))
+      .orderBy("doc_id")
+  }
+
+  val c12Sql: String =
+    s"""WITH comp AS (
+       |${Dedup.d8Sql}
+       |), anch AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS anchor
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |), sp6 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(md5('split:' || doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+       |         WHEN substring(md5('split:' || doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+       |         ELSE 'test' END AS split_c6
+       |  FROM documents
+       |), sp11 AS (
+       |  SELECT doc_id, anchor,
+       |    CASE WHEN substring(md5('split:' || anchor::VARCHAR), 1, 1) <= 'b' THEN 'train'
+       |         WHEN substring(md5('split:' || anchor::VARCHAR), 1, 1) <= 'd' THEN 'val'
+       |         ELSE 'test' END AS split_c11
+       |  FROM anch
+       |)
+       |SELECT s11.doc_id, s11.anchor, s6.split_c6, s11.split_c11,
+       |  (s6.split_c6 = 'test' AND s11.split_c11 = 'train') AS frozen_eval_leak
+       |FROM sp11 s11 JOIN sp6 s6 ON s6.doc_id = s11.doc_id
+       |WHERE s6.split_c6 <> s11.split_c11
+       |ORDER BY s11.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_split_delta" -> (c12_split_delta _),
     "c11_cluster_split" -> (c11_cluster_split _),
     "c10_split_leakage" -> (c10_split_leakage _),
     "c9_bloom_decontam" -> (c9_bloom_decontam _),
@@ -514,6 +571,7 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c12_split_delta" -> c12Sql,
     "c11_cluster_split" -> c11Sql,
     "c10_split_leakage" -> c10Sql,
     // identical relation by construction — the bloom only prunes the

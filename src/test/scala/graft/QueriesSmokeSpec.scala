@@ -624,6 +624,35 @@ class QueriesSmokeSpec extends SparkSpec {
       "cluster-anchored split must be leak-free by construction")
   }
 
+  test("split-delta ledger: only cluster-anchored docs move, leak flag is exact (c12)") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val led = graft.queries.Pipeline.c12_split_delta(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                           r.getString(3), r.getBoolean(4)))
+    // the re-split moves someone at sf0.01 (c10 measured 10 leaking pairs,
+    // and healing any cross-split pair forces at least one endpoint over)
+    assert(led.nonEmpty, "expected the cluster re-split to move docs at sf0.01")
+    // invariant: a mover MUST be cluster-anchored away from itself — a
+    // self-anchored doc hashes identically under c6 and c11
+    assert(led.forall { case (id, anchor, _, _, _) => anchor != id },
+      "a self-anchored doc cannot change split")
+    // movers really moved, and the frozen-eval flag is exactly the
+    // test->train transition
+    assert(led.forall { case (_, _, from, to, _) => from != to })
+    assert(led.forall { case (_, _, from, to, leak) =>
+      leak == (from == "test" && to == "train") })
+    // completeness: the ledger is EXACTLY the c6-vs-c11 disagreement set
+    val c6 = graft.queries.Pipeline.c6_train_split(spark, sf01)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val c11 = graft.queries.Pipeline.c11_cluster_split(spark, sf01)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = c6.keySet.filter(id => c6(id) != c11(id))
+    assert(led.map(_._1).toSet == moved, "ledger must list every mover once")
+  }
+
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
     val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
       .collect().map(_.toSeq).toSet
