@@ -180,6 +180,7 @@ object Similarity {
     coarseCache.clear()
     ivfpqCache.clear()
     ivfpqSettledCache.clear()
+    sq8AsgCache.clear()
   }
 
   /** S2 random-hyperplane LSH near-dup: 16 sign bits, 2×8-bit bands,
@@ -3262,11 +3263,12 @@ object Similarity {
     * int8 ordering is far closer to exact than PQ's ADC, so it converges
     * at a much shallower depth — the measured reason the s20 default can
     * be 50 where the PQ stack needed 200). Systems five through seven are
-    * the IVF-routed leg at literal probe widths 1/2/4 (all depth 50, one
-    * multi-probe scored relation): the p1 row is round 10's condemned
-    * single-cell posture (0.12 recall@5 vs the global 1.00), and the
-    * p2/p4 rows grade what [[servingNprobe]]-width routing recovers —
-    * the deploy gate for [[s22_ivf_sq8]]'s shipped default.
+    * the LABEL-routed ivf leg at literal probe widths 1/2/4 (all depth
+    * 50, one multi-probe scored relation): the p1 row is round 10's
+    * condemned single-cell posture (0.12 recall@5 vs the global 1.00) and
+    * the p2/p4 rows the width recovery — the measured history that led to
+    * [[s24_router_audit]], which then retired this router from serving
+    * (s24 is s22's standing deploy gate).
     *
     * Same scale contract as s19: the eval rides the bounded query
     * contract, every comparison join is |Q|·k rows, and the one extra
@@ -3524,6 +3526,135 @@ object Similarity {
       |    / 10000.0 AS mrr
       |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S24: the ROUTER AUDIT — the s23 grid proved ALL of the IVF×SQ8 leg's
+    * recall loss is the router, which raises the obvious next question:
+    * is that a property of IVF routing, or of the LABEL-centroid cells
+    * s3/s22 inherited? This audit swaps routers under the identical int8
+    * backend and grades both at probe widths 1/2/4 (depth literal 50,
+    * where the grid showed depth is free): cells from the corpus LABELS
+    * (round 10's shipped router) vs cells from the TRAINED coarse
+    * quantizer (s4/s7's k-means, k = 10, squared-euclidean assignment —
+    * the router the PQ stack already serves with). Same ground truth,
+    * same scored shape, one report — the measured delta is the price of
+    * skipping coarse training at ingest.
+    *
+    * MEASURED (and acted on): trained ≈ 2× label recall at EVERY width —
+    * sf0.1 recall@5 0.27/0.43/0.68 vs 0.12/0.23/0.42 at p = 1/2/4 (and
+    * the trained curve reproduces the PQ stack's measured routing
+    * ceilings 0.285/0.47/0.69, as it must: same router, near-exact
+    * backend). Trained p2 matches label p4 at HALF the scanned codes.
+    * One honest caveat a smaller corpus surfaces: at sf0.01 p4 the two
+    * routers tie on recall (0.72) with label ahead on MRR (1.0 vs 0.8) —
+    * wide probing eventually washes the router out. On the strength of
+    * the p = 2 serving-default rows, [[s22_ivf_sq8]] now serves on the
+    * trained router; this audit is its standing deploy gate.
+    *
+    * Scale shape: both routers are k-row broadcasts; both corpus
+    * assignments are per-row argmins over the broadcast centroids (the
+    * corpus never shuffles for routing); the graded legs are the shared
+    * |probed cells| scored relation filtered per width, exactly s23's
+    * contract. The one new cost over s23 is the trained assignment pass —
+    * the same pass every PQ query already stages. */
+  def s24_router_audit(s: SparkSession, dir: String): DataFrame = {
+    val (cosines, truth5, top1) = sq8EvalGround(s, dir)
+    // router A: label-centroid cells — round 10's shipped router
+    val labelMp = ivfSq8ScoredMp(s, dir, 4)
+      .select(col("q_id"), col("probe"), col("vec_id"), col("iscore"))
+      .localCheckpoint()
+    // router B: the trained coarse quantizer — corpus assigned to its
+    // nearest trained centroid, queries ranked over the same centroids by
+    // the same squared-euclidean metric (s7's routing, multi-probe; the
+    // SERVING router since this audit's measurement landed)
+    val trainedMp = ivfSq8ScoredMpTrained(s, dir, 4)
+      .select(col("q_id"), col("probe"), col("vec_id"), col("iscore"))
+      .localCheckpoint()
+    def leg(mp: DataFrame, router: String, p: Int): DataFrame = mp
+      .filter(col("probe") <= p)
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
+      .filter(col("q_rank") <= 50)
+      .join(cosines, Seq("q_id", "vec_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rk"),
+              lit(router).as("router"), lit(p).as("probes"))
+    val legs = (for (p <- Seq(1, 2, 4)) yield leg(labelMp, "label", p)) ++
+               (for (p <- Seq(1, 2, 4)) yield leg(trainedMp, "trained", p))
+    recallReport(legs.reduce(_ unionByName _), Seq("router", "probes"),
+                 truth5, top1)
+  }
+
+  /** One router-audit leg of the s24 oracle: `src` = isc22 (label router)
+    * or isc24 (trained router). */
+  private def s24LegSql(src: String, router: String, p: Int): String =
+    s"""SELECT * FROM (
+       |    SELECT '$router' AS router, $p AS probes, s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
+       |    FROM (SELECT q_id, vec_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
+       |          FROM $src WHERE probe <= $p) s
+       |    JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
+       |    WHERE s.q_rank <= 50) WHERE rk <= 5""".stripMargin
+
+  /** The trained-router CTE chain appended for s24: the unrolled k-means
+    * (c0→c1→c2, [[coarseTrainCtes]]), corpus assignment, multi-probe query
+    * routing over the trained centroids, and the per-probe int8 scores. */
+  private def s24TrainedCtes: String =
+    s"""$coarseTrainCtes, asg24 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), qroute24 AS (
+      |  SELECT vec_id AS q_id, probe, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS probe
+      |    FROM e JOIN c2 c USING (i)
+      |    WHERE e.vec_id % 100 = 0
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE probe <= 4
+      |), isc24 AS (
+      |  SELECT qq.vec_id AS q_id, r.probe, dd.vec_id AS vec_id,
+      |         sum(qq.q * dd.q)::BIGINT AS iscore
+      |  FROM qv8 qq
+      |  JOIN qroute24 r ON r.q_id = qq.vec_id
+      |  JOIN asg24 a ON a.cluster = r.cluster
+      |  JOIN qv8 dd ON dd.vec_id = a.vec_id AND dd.i = qq.i
+      |              AND dd.vec_id <> qq.vec_id
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  def s24Sql: String = {
+    val legs =
+      (for (p <- Seq(1, 2, 4)) yield s24LegSql("isc22", "label", p)) ++
+      (for (p <- Seq(1, 2, 4)) yield s24LegSql("isc24", "trained", p))
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, $sq8AuditCtes, $s24TrainedCtes, sys AS (
+      |  ${legs.mkString("\n  UNION ALL\n  ")}
+      |), perq AS (
+      |  SELECT sy.router, sy.probes, sy.q_id,
+      |    sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits5,
+      |    max(CASE WHEN sy.vec_id = o.top1
+      |        THEN floor(1000000.0 / sy.rk + 0.5)::BIGINT END) AS rr_micro
+      |  FROM sys sy
+      |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
+      |  JOIN top1 o ON o.q_id = sy.q_id
+      |  GROUP BY 1, 2, 3)
+      |SELECT router, probes, count(*)::BIGINT AS n_queries,
+      |  sum(hits5)::BIGINT AS hits_total,
+      |  floor(sum(hits5)::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5) / 10000.0
+      |    AS recall_at_5,
+      |  floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
+      |    / 10000.0 AS mrr
+      |FROM perq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** One (p, d) grid-cell leg of the s23 oracle: the s21 ivf leg shape at
     * an arbitrary literal depth, keyed by integer (probes, depth) columns
     * instead of a label. */
@@ -3559,32 +3690,30 @@ object Similarity {
       |FROM perq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** S22: IVF × SQ8 — the two scan levers COMPOSED, the actual 100 TB
-    * serving shape: coarse routing cuts the candidate set to 1/cells
-    * (s3's label-centroid route), and the surviving cell is scanned in
-    * int8 (s20's codes, 1/4 the bytes) instead of float32 or PQ-ADC —
-    * FAISS's `IVF..,SQ8` index family. This is the THIRD scoring backend
-    * on the shared routing (s3 exact-decimal, s7 PQ-ADC, s22 int8),
-    * which is precisely the two-tower composition property: the router
-    * never changes, only the cell scanner swaps.
+    * serving shape: coarse routing cuts the candidate set to p/cells, and
+    * the surviving cells are scanned in int8 (s20's codes, 1/4 the bytes)
+    * instead of float32 or PQ-ADC — FAISS's `IVF..,SQ8` index family, the
+    * THIRD scoring backend on an IVF route (s3 exact-decimal, s7 PQ-ADC,
+    * s22 int8): the router and the cell scanner compose freely.
     *
-    * Scale shape: routing is the bounded broadcast s3 declared; the cell
-    * scan is the cell equi-join (the corpus never shuffles) scored by the
-    * codegen'd `dot_i8`; the exact re-rank touches ≤ depth·|Q| raw rows
-    * (s13/s20's refine contract). Like s20, the int8 leg is
-    * oracle-exact on every precision path.
+    * Scale shape: routing is a k-row broadcast; the cell scan is the cell
+    * equi-join (the corpus never shuffles) scored by the codegen'd
+    * `dot_i8`; the exact re-rank touches ≤ depth·|Q| raw rows (s13/s20's
+    * refine contract). Like s20, the int8 leg is oracle-exact on every
+    * precision path.
     *
-    * Routing width: [[servingNprobe]] (default 2), the SAME knob the PQ
-    * serving legs priced in round 9 — round 10 shipped this leg at a
-    * hardcoded single cell and its own deploy gate (s21's d50 row) read
-    * recall@5 = 0.12 vs the global scan's 1.00 (the loss is the router,
-    * not the quantization: label-centroid cells don't align with nearest
-    * neighbors on this corpus; s8 measured the same ceiling for s3's
-    * exact cell scan). The round-11 fix wires the priced multi-probe
-    * width through: each query scans its top-`servingNprobe` cells, and
-    * s21's `ivf_sq8_p{1,2,4}_d50` rows grade the recovery curve (and the
-    * routing ceiling, where cells don't align). Probe width multiplies
-    * the per-query scanned codes (p·N/cells), never the corpus shuffle —
-    * the candidate cell equi-join is unchanged. */
+    * Serving posture — BOTH axes decided by measurement this round:
+    * routing width = [[servingNprobe]] (default 2, the knob the PQ legs
+    * priced in round 9; round 10 shipped this leg hardcoded single-cell
+    * and its own gate read recall@5 0.12 vs 1.00), and the ROUTER is the
+    * TRAINED coarse quantizer, not the label centroids it launched with:
+    * [[s24_router_audit]] measured trained cells at ~2× the label cells'
+    * recall at every width (sf0.1: 0.43 vs 0.23 at the p = 2 default;
+    * trained p2 ≈ label p4 at half the scan), so the measured claim
+    * became code and s24 is this operator's standing deploy gate.
+    * s21/s23's `ivf_sq8_p*` rows grade the retired label router — the
+    * history that motivated the swap. Probe width multiplies the
+    * per-query scanned codes (p·N/cells), never the corpus shuffle. */
   def s22_ivf_sq8(s: SparkSession, dir: String): DataFrame =
     ivfSq8Served(s, dir, servingNprobe(s), sq8RerankDepth(s))
 
@@ -3606,14 +3735,17 @@ object Similarity {
       .select(col("q_id"), col("probe"), col("label"))
   }
 
-  /** The multi-probe IVF×SQ8 scored relation: every (query, candidate in
-    * a probed cell) int8 dot score, tagged with the candidate cell's probe
-    * rank — a candidate belongs to exactly ONE cell, so it carries exactly
-    * one probe rank per query, and ONE relation grades every width ≤
-    * `maxProbes` via a `probe <= p` filter (the s10
-    * audit-contains-its-subjects shape, here for the int8 backend). The
-    * corpus never shuffles: the prune is a broadcast equi-join on the
-    * cell label, and scoring is the codegen'd `dot_i8`. */
+  /** The multi-probe IVF×SQ8 scored relation over LABEL cells: every
+    * (query, candidate in a probed cell) int8 dot score, tagged with the
+    * candidate cell's probe rank — a candidate belongs to exactly ONE
+    * cell, so it carries exactly one probe rank per query, and ONE
+    * relation grades every width ≤ `maxProbes` via a `probe <= p` filter
+    * (the s10 audit-contains-its-subjects shape, here for the int8
+    * backend). The corpus never shuffles: the prune is a broadcast
+    * equi-join on the cell label, and scoring is the codegen'd `dot_i8`.
+    * AUDIT-ONLY since round 11: [[s24_router_audit]] measured the trained
+    * router at ~2× this router's recall per width, so serving (s22) moved
+    * there; s21/s23/s24's label legs keep grading this one. */
   private def ivfSq8ScoredMp(s: SparkSession, dir: String,
                              maxProbes: Int): DataFrame = {
     val qv = sq8Quantized(s, dir)
@@ -3628,11 +3760,69 @@ object Similarity {
       .select(col("q_id"), col("probe"), col("label"), col("vec_id"), col("iscore"))
   }
 
+  // the trained SQ8 assignment is staged per session like the PQ index's
+  // asg (the staging rule: trained/assigned artifacts are expensive to
+  // rebuild — the exact-decimal argmin pass is the cost — while the int8
+  // encode stays unstaged per the round-10 refutation)
+  private val sq8AsgCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), DataFrame]()
+
+  /** The TRAINED corpus assignment behind the serving router: every vector
+    * assigned to its nearest trained coarse centroid (s4/s7's k-means,
+    * k = 10, squared-euclidean, ties to the lower cluster) — one per-row
+    * argmin over the broadcast k-row centroid table, staged per session
+    * (in production the index IS this assignment, computed at ingest). */
+  private[graft] def sq8TrainedAssign(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    QUtil.cachedPerSession(sq8AsgCache, s, (dir, ex))(
+      assignToNearest(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        trainCoarse(s, dir, ex), ex)
+        .select(col("vec_id"), col("cluster"))
+        .localCheckpoint())
+  }
+
+  /** Trained-router query routing at an explicit width: every query's
+    * top-`probes` trained cells by the assignment metric (squared
+    * euclidean), with the probe rank. |Q|·probes rows — broadcast by
+    * construction. */
+  private[graft] def ivfSq8TrainedRoutes(s: SparkSession, dir: String,
+                                         probes: Int): DataFrame = {
+    val ex = exactDecimals(s)
+    Tables.embeddings(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+      .crossJoin(broadcast(trainCoarse(s, dir, ex)))
+      .withColumn("dist", sqDist(col("qemb"), col("cemb"), ex))
+      .withColumn("probe", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cluster"))))
+      .filter(col("probe") <= probes)
+      .select(col("q_id"), col("probe"), col("cluster"))
+  }
+
+  /** [[ivfSq8ScoredMp]]'s twin over the TRAINED router's cells — the
+    * SERVING scored relation since round 11 ([[s24_router_audit]]'s
+    * measured ~2× recall-per-probe win become code). Same shape: per-probe
+    * int8 scores, corpus never shuffles, candidate carries its own
+    * trained cell. */
+  private def ivfSq8ScoredMpTrained(s: SparkSession, dir: String,
+                                    maxProbes: Int): DataFrame = {
+    val qv = sq8Quantized(s, dir)
+    val qq = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
+    qv.join(sq8TrainedAssign(s, dir), Seq("vec_id"))
+      .join(broadcast(ivfSq8TrainedRoutes(s, dir, maxProbes)), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qq), Seq("q_id"))
+      .withColumn("iscore", call_function("dot_i8", col("qvec"), col("qq")))
+      .select(col("q_id"), col("probe"), col("cluster"), col("vec_id"), col("iscore"))
+  }
+
   /** The IVF×SQ8 serve at explicit (probes, depth): int8-score the probed
-    * cells, shortlist the per-query top-`depth` by integer score across
-    * ALL probed cells, exact-cosine re-rank the shortlist, emit top-5.
-    * [[s22_ivf_sq8]] binds the knobs; [[s21_sq8_recall]] grades the
-    * literal (p, 50) grid. */
+    * TRAINED cells ([[s24_router_audit]]'s measured router decision),
+    * shortlist the per-query top-`depth` by integer score across ALL
+    * probed cells, exact-cosine re-rank the shortlist, emit top-5.
+    * [[s22_ivf_sq8]] binds the knobs; [[s24_router_audit]] is the deploy
+    * gate for this posture. */
   private[graft] def ivfSq8Served(s: SparkSession, dir: String,
                                   probes: Int, depth: Int): DataFrame = {
     val ex = exactDecimals(s)
@@ -3641,11 +3831,11 @@ object Similarity {
               dot(col("embedding"), col("embedding"), ex).as("n2"))
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qemb"), col("n2").as("qn2"))
-    val short = ivfSq8ScoredMp(s, dir, probes)
+    val short = ivfSq8ScoredMpTrained(s, dir, probes)
       .withColumn("q_rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
       .filter(col("q_rank") <= depth)
-      .select(col("q_id"), col("label"), col("vec_id"), col("iscore"))
+      .select(col("q_id"), col("cluster"), col("vec_id"), col("iscore"))
     short
       .join(emb.select(col("vec_id"), col("embedding"), col("n2")), Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
@@ -3654,41 +3844,48 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rank") <= 5)
-      .select(col("q_id"), col("label").as("cell"), col("vec_id").as("n_id"),
+      .select(col("q_id"), col("cluster").as("cell"), col("vec_id").as("n_id"),
               col("iscore"), col("cosine"), col("rank"))
       .orderBy("q_id", "rank")
   }
 
   def s22SqlAt(depth: Int, probes: Int): String =
-    s"""WITH $elemsSqlCte, $sq8SqlCtes, cent AS (
-      |  SELECT label, i, sum(v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
-      |  FROM e GROUP BY 1, 2
-      |), qe AS (
-      |  SELECT vec_id AS q_id, i, v AS qv FROM e WHERE vec_id % 100 = 0
-      |), q2c AS (
-      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::DOUBLE AS cdp
-      |  FROM qe JOIN cent USING (i) GROUP BY 1, 2
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, $coarseTrainCtes, asg24 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2 c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
       |), routed AS (
-      |  SELECT q_id, label FROM (
-      |    SELECT q_id, label,
-      |      row_number() OVER (PARTITION BY q_id ORDER BY cdp DESC, label) AS rn
-      |    FROM q2c) WHERE rn <= $probes
+      |  SELECT vec_id AS q_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS probe
+      |    FROM e JOIN c2 c USING (i)
+      |    WHERE e.vec_id % 100 = 0
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE probe <= $probes
       |), isc22 AS (
-      |  SELECT qq.vec_id AS q_id, r.label, dd.vec_id AS vec_id,
+      |  SELECT qq.vec_id AS q_id, a.cluster, dd.vec_id AS vec_id,
       |         sum(qq.q * dd.q)::BIGINT AS iscore
       |  FROM qv8 qq
       |  JOIN routed r ON r.q_id = qq.vec_id
-      |  JOIN qv8 dd ON dd.i = qq.i AND dd.label = r.label
+      |  JOIN asg24 a ON a.cluster = r.cluster
+      |  JOIN qv8 dd ON dd.vec_id = a.vec_id AND dd.i = qq.i
       |              AND dd.vec_id <> qq.vec_id
       |  GROUP BY 1, 2, 3
       |), srk22 AS (
-      |  SELECT q_id, label, vec_id, iscore,
+      |  SELECT q_id, cluster, vec_id, iscore,
       |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
       |  FROM isc22
       |), norms AS (
       |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
       |), rr AS (
-      |  SELECT sh.q_id, sh.label, sh.vec_id, sh.iscore,
+      |  SELECT sh.q_id, sh.cluster, sh.vec_id, sh.iscore,
       |         sum((eq.v * ed.v)::DECIMAL(30,20))::DOUBLE AS dp
       |  FROM srk22 sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
@@ -3696,7 +3893,7 @@ object Similarity {
       |  WHERE sh.q_rank <= $depth
       |  GROUP BY 1, 2, 3, 4
       |), scored AS (
-      |  SELECT q_id, label AS cell, rr.vec_id AS n_id, iscore,
+      |  SELECT q_id, cluster AS cell, rr.vec_id AS n_id, iscore,
       |    floor(dp / sqrt(nq.n2 * nd.n2) * 10000.0 + 0.5) / 10000.0 AS cosine
       |  FROM rr
       |  JOIN norms nq ON nq.vec_id = q_id
@@ -3711,6 +3908,7 @@ object Similarity {
   def s22Sql: String = s22SqlAt(Sq8RerankDepthDefault, ServingNprobeDefault)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_router_audit" -> (s24_router_audit _),
     "s23_sq8_grid" -> (s23_sq8_grid _),
     "s22_ivf_sq8" -> (s22_ivf_sq8 _),
     "s20_sq8_topk" -> (s20_sq8_topk _),
@@ -3743,6 +3941,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   lazy val oracles: Map[String, String] = Map(
+    "s24_router_audit" -> s24Sql,
     "s23_sq8_grid" -> s23Sql,
     "s22_ivf_sq8" -> s22Sql,
     "s20_sq8_topk" -> s20Sql,

@@ -150,29 +150,27 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("s22 answers only from the probed cells and never beats the global SQ8 serve") {
-    import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"
     val s22 = Similarity.s22_ivf_sq8(spark, dir).collect()
     assert(s22.nonEmpty)
-    // cell contract at the shipped width: every neighbor's cell is among
-    // the query's top-servingNprobe routed cells (round 11 wired the
-    // multi-probe width through; at the default this is the top-2 set),
-    // and the emitted `cell` column is the neighbor's own label
+    // cell contract at the shipped posture (round 11: TRAINED router at
+    // servingNprobe width — s24's measured decision): every neighbor's
+    // cell is among the query's top-servingNprobe trained cells, and the
+    // emitted `cell` column is the neighbor's own trained assignment
     val probes = Similarity.servingNprobe(spark)
-    val routed = Similarity.ivfSq8Routes(spark, dir, probes).collect()
+    val routed = Similarity.ivfSq8TrainedRoutes(spark, dir, probes).collect()
       .groupBy(_.getLong(0))
-      .map { case (q, rs) => q -> rs.map(_.getInt(2)).toSet }
-    val labels = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(s22.forall(r => labels(r.getLong(2)) == r.getInt(1)),
-      "s22's cell column must be the neighbor's own label")
-    assert(s22.forall(r => routed(r.getLong(0)).contains(r.getInt(1))),
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val asg = Similarity.sq8TrainedAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s22.forall(r => asg(r.getLong(2)) == r.getLong(1)),
+      "s22's cell column must be the neighbor's own trained cell")
+    assert(s22.forall(r => routed(r.getLong(0)).contains(r.getLong(1))),
       "s22 returned a neighbor outside the query's probed cells")
     // and the probed-cell sets nest: p1 ⊂ p2 per query (the multi-probe
     // relation grades widths by filtering, so nesting is the contract)
-    val r1 = Similarity.ivfSq8Routes(spark, dir, 1).collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getInt(2)).toSet }
+    val r1 = Similarity.ivfSq8TrainedRoutes(spark, dir, 1).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
     assert(r1.forall { case (q, cs) => cs.subsetOf(routed(q)) })
     // the cell-restricted serve can never beat the global serve: per query,
     // s22's best cosine <= s20's best cosine (s20's d50 shortlist is exact
