@@ -3585,6 +3585,72 @@ object Similarity {
                  truth5, top1)
   }
 
+  /** S25: the CELL-COUNT SWEEP — the last unpriced axis of the IVF×SQ8
+    * serve. Width (s21), depth (s23), and router (s24) are each measured;
+    * the cell COUNT k was inherited from the PQ stack (k = 10) without a
+    * row of its own, and k is precisely the axis that changes with corpus
+    * scale (a 100 TB deployment runs k ≈ √N cells, not 10). Three trained
+    * quantizers at literal k ∈ {5, 10, 20} graded at the serving posture
+    * (p = 2, d = 50), each row carrying BOTH sides of the trade: recall@5
+    * against the exact ground truth AND `total_scanned` — the exact
+    * number of int8 candidate scores the probed cells cost across the
+    * query set (the p·N/k scan term measured, not asserted). The
+    * recall-per-scanned-byte frontier is the capacity-planning curve an
+    * index deploy sizes k from.
+    *
+    * Scale contract: training cost is O(N·k) per sweep point (three
+    * bounded passes here; a production sweep trains on a sample, as
+    * c2-ann already demonstrates); everything downstream is the s23/s24
+    * audit shape — k-row broadcasts, cell equi-joins, |Q|·d re-ranks. */
+  def s25_cell_sweep(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val (cosines, truth5, top1) = sq8EvalGround(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qv = sq8Quantized(s, dir)
+    val qq = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
+    def sweepPoint(k: Int): (DataFrame, DataFrame) = {
+      val cent = trainCoarse(s, dir, ex, k)
+      val asg = assignToNearest(emb, cent, ex).select(col("vec_id"), col("cluster"))
+      val route = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", sqDist(col("qemb"), col("cemb"), ex))
+        .withColumn("probe", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cluster"))))
+        .filter(col("probe") <= 2) // the serving width, literal
+        .select(col("q_id"), col("cluster"))
+      val scored = qv.join(asg, Seq("vec_id"))
+        .join(broadcast(route), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qq), Seq("q_id"))
+        .withColumn("iscore", call_function("dot_i8", col("qvec"), col("qq")))
+        .select(col("q_id"), col("vec_id"), col("iscore"))
+        .localCheckpoint()
+      val leg = scored
+        .withColumn("q_rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
+        .filter(col("q_rank") <= 50)
+        .join(cosines, Seq("q_id", "vec_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"), lit(k).as("cells"))
+      val scanned = scored.groupBy()
+        .agg(count(lit(1)).as("total_scanned"))
+        .select(lit(k).as("cells"), col("total_scanned"))
+      (leg, scanned)
+    }
+    val points = Seq(5, 10, 20).map(sweepPoint)
+    val report = recallReport(points.map(_._1).reduce(_ unionByName _),
+                              Seq("cells"), truth5, top1)
+    val scans = points.map(_._2).reduce(_ unionByName _)
+    report.join(scans, Seq("cells"))
+      .select(col("cells"), col("n_queries"), col("total_scanned"),
+              col("hits_total"), col("recall_at_5"), col("mrr"))
+      .orderBy("cells")
+  }
+
   /** One router-audit leg of the s24 oracle: `src` = isc22 (label router)
     * or isc24 (trained router). */
   private def s24LegSql(src: String, router: String, p: Int): String =
@@ -3653,6 +3719,91 @@ object Similarity {
       |  floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
       |    / 10000.0 AS mrr
       |FROM perq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** One k-point CTE chain of the s25 oracle: k-seeded 2-iteration Lloyd
+    * (CTE names suffixed per k so three trainings coexist in one WITH),
+    * corpus assignment, p = 2 routing, and the scored candidate
+    * relation. */
+  private def s25PointCtes(k: Int): String =
+    s"""c0_$k AS (
+      |  SELECT vec_id AS cluster, i, v AS cv FROM e WHERE vec_id < $k
+      |), c1_$k AS (
+      |${assignAndMeanSql(s"c0_$k")}
+      |), c2_$k AS (
+      |${assignAndMeanSql(s"c1_$k")}
+      |), asg_$k AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e JOIN c2_$k c USING (i)
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), route_$k AS (
+      |  SELECT vec_id AS q_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS probe
+      |    FROM e JOIN c2_$k c USING (i)
+      |    WHERE e.vec_id % 100 = 0
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE probe <= 2
+      |), isc_$k AS (
+      |  SELECT qq.vec_id AS q_id, dd.vec_id AS vec_id,
+      |         sum(qq.q * dd.q)::BIGINT AS iscore
+      |  FROM qv8 qq
+      |  JOIN route_$k r ON r.q_id = qq.vec_id
+      |  JOIN asg_$k a ON a.cluster = r.cluster
+      |  JOIN qv8 dd ON dd.vec_id = a.vec_id AND dd.i = qq.i
+      |              AND dd.vec_id <> qq.vec_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** One k-point top-5 leg of the s25 oracle. */
+  private def s25LegSql(k: Int): String =
+    s"""SELECT * FROM (
+       |    SELECT $k AS cells, s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
+       |    FROM (SELECT q_id, vec_id,
+       |            row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
+       |          FROM isc_$k) s
+       |    JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
+       |    WHERE s.q_rank <= 50) WHERE rk <= 5""".stripMargin
+
+  def s25Sql: String = {
+    val ks = Seq(5, 10, 20)
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, $sq8AuditCtes,
+      |${ks.map(s25PointCtes).mkString(",\n")},
+      |sys AS (
+      |  ${ks.map(s25LegSql).mkString("\n  UNION ALL\n  ")}
+      |), perq AS (
+      |  SELECT sy.cells, sy.q_id,
+      |    sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits5,
+      |    max(CASE WHEN sy.vec_id = o.top1
+      |        THEN floor(1000000.0 / sy.rk + 0.5)::BIGINT END) AS rr_micro
+      |  FROM sys sy
+      |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
+      |  JOIN top1 o ON o.q_id = sy.q_id
+      |  GROUP BY 1, 2
+      |), rep AS (
+      |  SELECT cells, count(*)::BIGINT AS n_queries,
+      |    sum(hits5)::BIGINT AS hits_total,
+      |    floor(sum(hits5)::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5) / 10000.0
+      |      AS recall_at_5,
+      |    floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
+      |      / 10000.0 AS mrr
+      |  FROM perq GROUP BY 1
+      |), scn AS (
+      |  ${ks.map(k => s"SELECT $k AS cells, count(*)::BIGINT AS total_scanned FROM isc_$k")
+              .mkString("\n  UNION ALL\n  ")}
+      |)
+      |SELECT r.cells, r.n_queries, s.total_scanned, r.hits_total,
+      |       r.recall_at_5, r.mrr
+      |FROM rep r JOIN scn s ON s.cells = r.cells
+      |ORDER BY r.cells""".stripMargin
   }
 
   /** One (p, d) grid-cell leg of the s23 oracle: the s21 ivf leg shape at
@@ -3908,6 +4059,7 @@ object Similarity {
   def s22Sql: String = s22SqlAt(Sq8RerankDepthDefault, ServingNprobeDefault)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_cell_sweep" -> (s25_cell_sweep _),
     "s24_router_audit" -> (s24_router_audit _),
     "s23_sq8_grid" -> (s23_sq8_grid _),
     "s22_ivf_sq8" -> (s22_ivf_sq8 _),
@@ -3941,6 +4093,7 @@ object Similarity {
     "s4_kmeans_train" -> (s4_kmeans_train _))
 
   lazy val oracles: Map[String, String] = Map(
+    "s25_cell_sweep" -> s25Sql,
     "s24_router_audit" -> s24Sql,
     "s23_sq8_grid" -> s23Sql,
     "s22_ivf_sq8" -> s22Sql,

@@ -207,6 +207,25 @@ class SimilaritySpec extends SparkSpec {
         s"recall must not drop when depth grows (p=$p, $d1 -> $d2)")
   }
 
+  test("s25 k=10 point reproduces s24's trained p2 leg; scan totals measured") {
+    val dir = "/root/testdata/sf0.001"
+    val sweep = Similarity.s25_cell_sweep(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(sweep.keySet == Set(5, 10, 20))
+    assert(sweep.values.forall(_._2 > 0), "every sweep point must scan someone")
+    // cross-audit pin: the k=10 sweep point IS s24's trained p2/d50 leg
+    // (same trained quantizer, same width, same depth, same ground truth)
+    val s24 = Similarity.s24_router_audit(spark, dir).collect()
+      .filter(r => r.getString(0) == "trained" && r.getInt(1) == 2)
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .head
+    val k10 = sweep(10)
+    assert((k10._1, k10._3, k10._4, k10._5) == s24,
+      "the k=10/p=2/d50 sweep point must equal s24's trained p2 leg")
+  }
+
   test("c2 prefilter margin is lossless: double cosine never strays 1e-10 from exact") {
     // The c2_semdedup stage-1 prefilter admits pairs with double-dot cosine
     // >= 0.3999; stage 2 gates on the exact-decimal cosine rounding to
