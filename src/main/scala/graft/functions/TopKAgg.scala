@@ -39,12 +39,49 @@ case class TopKAgg(k: Int)
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** [[TopKAgg]] with two carried payload longs: keeps the k best
+  * (score DESC, ties id ASC) rows with their payload columns riding
+  * along — the streaming-legal per-key top-k for ANSWERS that must carry
+  * more than the ranking key (x38's served list carries each neighbor's
+  * cell and integer score next to the cosine it ranked by). The payload
+  * never participates in the order, so the total order — and therefore
+  * partition/arrival-order determinism and the boundary tie-break — is
+  * inherited from [[TopKAgg]] unchanged. */
+case class TopKPayloadAgg(k: Int)
+    extends Aggregator[(Double, Long, Long, Long),
+                       Seq[(Double, Long, Long, Long)],
+                       Seq[(Double, Long, Long, Long)]] {
+
+  private def keep(xs: Seq[(Double, Long, Long, Long)]): Seq[(Double, Long, Long, Long)] =
+    xs.sortBy { case (s, id, _, _) => (-s, id) }.take(k)
+
+  override def zero: Seq[(Double, Long, Long, Long)] = Nil
+  override def reduce(b: Seq[(Double, Long, Long, Long)],
+                      a: (Double, Long, Long, Long)): Seq[(Double, Long, Long, Long)] =
+    keep(b :+ a)
+  override def merge(b1: Seq[(Double, Long, Long, Long)],
+                     b2: Seq[(Double, Long, Long, Long)]): Seq[(Double, Long, Long, Long)] =
+    keep(b1 ++ b2)
+  override def finish(b: Seq[(Double, Long, Long, Long)]): Seq[(Double, Long, Long, Long)] = b
+  override def bufferEncoder: Encoder[Seq[(Double, Long, Long, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long, Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long, Long, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long, Long, Long)]]()
+}
+
 object TopKAgg {
   /** Untyped column form: `topK(3)(col("score"), col("id"))` → an
     * array<struct<_1: score, _2: id>> aggregate, best first. */
   def topK(k: Int): (Column, Column) => Column = {
     val fn = udaf(TopKAgg(k), ExpressionEncoder[(Double, Long)]())
     (score: Column, id: Column) => fn(score, id)
+  }
+
+  /** Payload form: `topKPayload(5)(score, id, p1, p2)` → an
+    * array<struct<_1: score, _2: id, _3: p1, _4: p2>>, best first. */
+  def topKPayload(k: Int): (Column, Column, Column, Column) => Column = {
+    val fn = udaf(TopKPayloadAgg(k), ExpressionEncoder[(Double, Long, Long, Long)]())
+    (score: Column, id: Column, p1: Column, p2: Column) => fn(score, id, p1, p2)
   }
 
   /** Spec hook: register as a SQL function name in a session. */

@@ -3131,14 +3131,25 @@ object Similarity {
     * rebuild (d3's signatures, s18's trained quantizer); it does not
     * transfer to a free-to-recompute encoding, so the simpler spelling
     * — the whole serve inside one codegen pipeline — wins. */
-  private[graft] def sq8Quantized(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.DotProductI8.register(s)
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val scales = emb
+  /** The per-dimension SQ8 scales as a 1-row array relation — factored so
+    * the online serve (x38) can fold the frozen scales into its per-row
+    * quantize expression via the sanctioned `boundedCollect`. */
+  private[graft] def sq8Scales(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(posexplode(col("embedding")).as(Seq("i", "vf")))
       .groupBy(col("i")).agg(max(abs(col("vf").cast("double"))).as("sc"))
       .groupBy().agg(array_sort(collect_list(struct(col("i"), col("sc")))).as("p"))
       .select(transform(col("p"), x => x.getField("sc")).as("scales"))
+
+  /** The trained coarse centroids behind the serving router, exposed for
+    * the online twin's frozen-artifact fold (k rows by construction). */
+  private[graft] def sq8TrainedCentroids(s: SparkSession, dir: String): DataFrame =
+    trainCoarse(s, dir, exactDecimals(s))
+
+  private[graft] def sq8Quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProductI8.register(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val scales = sq8Scales(s, dir)
     emb.crossJoin(broadcast(scales))
       .select(col("vec_id"),
         zip_with(col("embedding"), col("scales"), (x, sc) =>

@@ -1880,6 +1880,97 @@ object Streams {
       .orderBy("q_id", "rank")
   }
 
+  /** X38: ONLINE IVF×SQ8 SERVING — s22's trained-router int8 serve with
+    * the query side as traffic, closing the online loop for the round-11
+    * router decision the way x26 did for the label-celled exact scan:
+    * query vectors arrive, quantize and route PER ROW against two frozen
+    * artifacts, and are answered from the probed cells of the STATIC int8
+    * index.
+    *
+    * Composition, stage for stage:
+    *  1. BOTH frozen artifacts are structurally bounded and fold in via
+    *     the sanctioned `boundedCollect`: the k-row TRAINED centroid table
+    *     becomes a per-row top-p cell expression (array_sort over
+    *     (exact sqDist, cluster) structs — bit-identical to the batch
+    *     router's ORDER BY dist, cluster), and the 1-row per-dim scale
+    *     array becomes the per-row int8 quantize (`zip_with` against a
+    *     literal — byte-identical codes to [[graft.queries.Similarity]]'s
+    *     corpus encoder).
+    *  2. The cell scan is a stream-static equi-join on the cluster key
+    *     against the settled code+raw table — each query touches its p
+    *     probed cells, never the corpus (x26's pruning discipline on the
+    *     round-11 router).
+    *  3. Per-query state is O(5): the served list lives in the bounded
+    *     [[graft.functions.TopKPayloadAgg]] (complete mode — the serving
+    *     endpoint's answer table), carrying each neighbor's cell and
+    *     integer score next to the cosine it ranks by.
+    *
+    * Depth posture, stated not hidden (the x30/x33 delegation
+    * discipline): the online form serves the exact top-5 BY COSINE of the
+    * probed cells — the depth-∞ posture — because the batch leg's
+    * iscore-shortlist → re-rank is a second ranking stage (an unsupported
+    * chained stateful operator online). s23's grid measured depth as a
+    * no-op on the routed leg (every (p, d) row equals (p, 10) at both
+    * SFs), so the two postures coincide on real data, and the oracle is
+    * exact by construction for THIS form: [[graft.queries.Similarity
+    * .s22SqlAt]] with the shortlist depth at corpus scale. */
+  def x38_stream_sq8_serve(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Similarity
+    graft.functions.DotProductI8.register(s)
+    val probes = Similarity.servingNprobe(s)
+    val cents = graft.plans.BroadcastContract.boundedCollect(
+        Similarity.sq8TrainedCentroids(s, dir),
+        "trained coarse router: k rows by construction")
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val scales = graft.plans.BroadcastContract.boundedCollect(
+        Similarity.sq8Scales(s, dir),
+        "per-dimension SQ8 scales: one row by aggregation")
+      .head.getSeq[Double](0)
+    // per-row top-p routing: sort (dist, cluster) structs, keep p, project
+    val routeCells = transform(
+      slice(array_sort(array(cents.map { case (cl, ce) =>
+        struct(Similarity.exactSqDist(col("qemb"), typedlit(ce)).as("dist"),
+               lit(cl).as("cluster"))
+      }: _*)), 1, probes), c => c.getField("cluster"))
+    // per-row int8 quantize against the frozen scales (the corpus
+    // encoder's exact op sequence)
+    val qq8 = zip_with(col("qemb"), typedlit(scales), (x, sc) =>
+      when(sc === lit(0.0), lit(0.0))
+        .otherwise(greatest(lit(-127.0), least(lit(127.0),
+          floor(x.cast("double") * lit(127.0) / sc + lit(0.5)))))
+        .cast("tinyint"))
+    // the settled index: int8 codes + raw vectors + norms, keyed by cell
+    val statics = Similarity.sq8Quantized(s, dir)
+      .join(Similarity.sq8TrainedAssign(s, dir), Seq("vec_id"))
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+            Seq("vec_id"))
+      .select(col("vec_id").as("n_id"), col("cluster"), col("qvec").as("nq"),
+              col("embedding").as("ne"),
+              Similarity.exactDot(col("embedding"), col("embedding")).as("n2"))
+    val q = embStream(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+      .withColumn("qq8", qq8)
+      .withColumn("qn2", Similarity.exactDot(col("qemb"), col("qemb")))
+      .withColumn("cluster", explode(routeCells))
+    val scored = q.join(statics, Seq("cluster")) // stream-static, cell-pruned
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"),
+        graft.queries.QUtil.round4(
+          Similarity.exactDot(col("ne"), col("qemb"))
+            / sqrt(col("qn2") * col("n2"))).as("cosine"),
+        col("n_id"), col("cluster"),
+        call_function("dot_i8", col("nq"), col("qq8")).as("iscore"))
+    val topk = graft.functions.TopKAgg.topKPayload(5)
+    val answers = scored.groupBy(col("q_id"))
+      .agg(topk(col("cosine"), col("n_id"), col("cluster"), col("iscore")).as("top"))
+    runToMemory(answers, OutputMode.Complete(), s"x38_mem_${System.nanoTime()}")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e._3").as("cell"), col("e._2").as("n_id"),
+              col("e._4").as("iscore"), col("e._1").as("cosine"),
+              (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** X34: ONLINE INDEX INGEST — the streaming half of s18's incremental
     * vector index: delta embeddings ARRIVE as traffic and each is routed
     * and PQ-encoded against the FROZEN settled index entirely as per-row
@@ -2525,6 +2616,7 @@ object Streams {
     "x28_stream_bm25"          -> (x28_stream_bm25 _),
     "x27_stream_perplexity"    -> (x27_stream_perplexity _),
     "x26_stream_ann_topk"      -> (x26_stream_ann_topk _),
+    "x38_stream_sq8_serve"     -> (x38_stream_sq8_serve _),
     "x25_stream_chunk_dedup"   -> (x25_stream_chunk_dedup _),
     "x22_stream_incr_dedup"    -> (x22_stream_incr_dedup _),
     "x21_tws_admission"        -> (x21_tws_admission _),
@@ -2568,6 +2660,11 @@ object Streams {
     "x22_stream_incr_dedup"    -> graft.queries.Dedup.d12Sql, // same final rows
     "x21_tws_admission"        -> x19Sql, // identical admission decisions
     "x26_stream_ann_topk"      -> graft.queries.Similarity.s3Sql,
+    // the online serve is the depth-∞ posture of s22's trained-router
+    // form (see x38's scaladoc): the same CTE chain with the shortlist
+    // depth at corpus scale, probes pinned to the serving default
+    "x38_stream_sq8_serve"     -> graft.queries.Similarity.s22SqlAt(
+      1000000, graft.queries.Similarity.ServingNprobeDefault),
     "x25_stream_chunk_dedup"   -> x25Sql,
     "x24_stream_chunking"      -> graft.queries.TextAnalysis.t23Sql,
     "x20_stream_packing"       -> x20Sql,

@@ -488,6 +488,27 @@ class StreamingSpec extends SparkSpec {
     assert(online == batch, "x37 must replay to t14's exact relation")
   }
 
+  test("online SQ8 serve equals the batch depth-∞ serve; frozen-artifact routing (x38)") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.streaming.Streams
+    val S = graft.queries.Similarity
+    val online = Streams.x38_stream_sq8_serve(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // exact-by-construction twin: the batch trained-router serve with the
+    // shortlist depth at corpus scale (the posture x38's scaladoc states)
+    val batch = S.ivfSq8Served(spark, dir, S.servingNprobe(spark), Int.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(online.nonEmpty)
+    assert(online == batch,
+      "x38 must serve the exact top-5 of the probed trained cells")
+    // and on this corpus the stated delegation is measured-closed: the
+    // depth-∞ online answer coincides with s22's d50 batch serve (s23's
+    // grid result, re-pinned at the serving operator itself)
+    val s22 = S.s22_ivf_sq8(spark, dir).collect().map(_.toSeq).toSeq
+    assert(online == s22,
+      "depth-∞ online serve diverged from the d50 batch serve on this corpus")
+  }
+
   test("x37 counts DISTINCT shared grams under repeats; sketch sizing is c9's knob") {
     import graft.streaming.Streams
     // engineered corpus: the eval doc (id % 100 == 0) REPEATS a shared
