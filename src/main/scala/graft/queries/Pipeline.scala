@@ -558,7 +558,40 @@ object Pipeline {
        |WHERE s6.split_c6 <> s11.split_c11
        |ORDER BY s11.doc_id""".stripMargin
 
+  /** C13: the RELEASE MANIFEST — the one relation a training-data release
+    * actually ships, and the composition every prior c-query exists to
+    * feed: the deduplicated (c1: cluster representatives only), quality-
+    * and language-gated (c1), eval-excluded and DECONTAMINATED (c3: no
+    * doc sharing ≥ 2 grams with the eval suite) document set, each row
+    * carrying its language, quality score, token count (the budget
+    * accounting column), cluster anchor, and its LEAK-FREE split (c11's
+    * cluster-anchored assignment — the one c10 audits and c12 ledgers).
+    * A consumer reading this manifest needs no other table to build the
+    * corpus: filter split = 'train', sum n_tokens, fetch text by doc_id.
+    *
+    * Scale shape: one doc_id equi-join of two relations the pipeline
+    * already computes, both projections co-partitioned on the doc_id
+    * spine — the manifest costs nothing beyond its inputs at any scale. */
+  def c13_release_manifest(s: SparkSession, dir: String): DataFrame =
+    c3_decontaminated(s, dir)
+      .select(col("doc_id"), col("predicted").as("lang"), col("quality"))
+      .join(c11_cluster_split(s, dir)
+              .select(col("doc_id"), col("n_tokens"), col("anchor"), col("split")),
+            Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
+              col("anchor"), col("split"))
+      .orderBy("doc_id")
+
+  /** Oracle: the c3 and c11 oracles verbatim as derived tables (each
+    * carries its own WITH chain), joined on the doc spine. */
+  val c13Sql: String =
+    s"""SELECT b.doc_id, b.predicted AS lang, b.quality, s.n_tokens,
+       |       s.anchor, s.split
+       |FROM ($c3Sql) b JOIN ($c11Sql) s ON s.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_release_manifest" -> (c13_release_manifest _),
     "c12_split_delta" -> (c12_split_delta _),
     "c11_cluster_split" -> (c11_cluster_split _),
     "c10_split_leakage" -> (c10_split_leakage _),
@@ -571,6 +604,7 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c13_release_manifest" -> c13Sql,
     "c12_split_delta" -> c12Sql,
     "c11_cluster_split" -> c11Sql,
     "c10_split_leakage" -> c10Sql,

@@ -653,6 +653,30 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(led.map(_._1).toSet == moved, "ledger must list every mover once")
   }
 
+  test("release manifest is exactly the decontaminated set with leak-free splits (c13)") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val man = graft.queries.Pipeline.c13_release_manifest(spark, sf01).collect()
+    assert(man.nonEmpty)
+    // the manifest's doc set IS c3's decontaminated keep-set (c11 assigns
+    // every doc, so the join drops nothing)
+    val c3Ids = graft.queries.Pipeline.c3_decontaminated(spark, sf01)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(man.map(_.getLong(0)).toSet == c3Ids)
+    // gates carried through: quality >= 0.5, english, never an eval doc,
+    // split well-formed, token counts positive
+    assert(man.forall(_.getDouble(2) >= 0.5))
+    assert(man.forall(_.getString(1) == "en"))
+    assert(man.forall(_.getLong(0) % 100 != 0))
+    assert(man.forall(r => Set("train", "val", "test")(r.getString(5))))
+    assert(man.forall(_.getLong(3) > 0))
+    // and the split column is c11's (leak-free) assignment, not c6's
+    val c11 = graft.queries.Pipeline.c11_cluster_split(spark, sf01)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(man.forall(r => c11(r.getLong(0)) == r.getString(5)))
+  }
+
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
     val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
       .collect().map(_.toSeq).toSet
