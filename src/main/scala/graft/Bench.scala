@@ -196,7 +196,18 @@ object Bench {
       val extra = e.length + (if (entries.isEmpty) 0 else 1)
       if (len + extra <= budget) { entries += e; len += extra }
     }
-    println(head + entries.mkString(",") + tailStr)
+    val compact = head + entries.mkString(",") + tailStr
+    // the compact line ALSO lands in a dedicated file (round-11 advice:
+    // the driver's bounded log tail was polluted by post-println streaming
+    // shutdown WARNs, not line length — a file read needs no tail parsing)
+    for (dirName <- artifactDirs(only.nonEmpty, keepShared)) {
+      val out = java.nio.file.Paths.get(s"$dirName/bench_${sfName}_summary.json")
+      java.nio.file.Files.writeString(out, compact + "\n")
+    }
+    // stop BEFORE printing: Spark/streaming shutdown logging (the WARN
+    // lines that followed the summary in BENCH_r11's tail) now precedes
+    // the compact line, which becomes the genuinely last stdout line
     spark.stop()
+    println(compact)
   }
 }

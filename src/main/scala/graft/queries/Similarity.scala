@@ -3087,6 +3087,18 @@ object Similarity {
     * literal). */
   private[graft] val Sq8RerankDepthDefault = 50
 
+  /** The depth-∞ sentinel for the SQ8 serving family — the ONE constant
+    * shared by x38's registered oracle (`s22SqlAt(Sq8DepthUnbounded, …)`)
+    * and its spec batch twin (`ivfSq8Served(…, Sq8DepthUnbounded)`), so
+    * the "shortlist depth at corpus scale" posture can never silently
+    * diverge between the two sides (round-11 advice: the oracle spliced a
+    * literal 1,000,000 while the spec used Int.MaxValue). Int.MaxValue is
+    * exact in both engines (`q_rank <= 2147483647` over a BIGINT
+    * row_number); the stated corpus-size assumption is that no single
+    * query's probed cells ever hold ≥ 2^31 candidates — at p·N/k per
+    * query that needs a ~10^10-vector cell, orders past any deployment. */
+  private[graft] val Sq8DepthUnbounded: Int = Int.MaxValue
+
   /** Exact-cosine re-rank depth for the SQ8 serving legs (s20/s22).
     * Default [[Sq8RerankDepthDefault]], decided by [[s21_sq8_recall]]'s
     * depth audit (the same measured-knee discipline as
@@ -3319,7 +3331,7 @@ object Similarity {
   private def recallReport(legs: DataFrame, keys: Seq[String],
                            truth5: DataFrame, top1: DataFrame): DataFrame = {
     val keyCols = keys.map(col)
-    legs
+    val perq = legs
       .join(truth5.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
       // no broadcast hint: top1 is |Q| rows but its bound sits behind the
       // checkpoint, invisible to BroadcastContract — AQE sizes it instead
@@ -3328,9 +3340,19 @@ object Similarity {
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits5"),
            max(when(col("vec_id") === col("top1"),
              floor(lit(1000000.0) / col("rk") + 0.5).cast("long"))).as("rr_micro"))
+    // Denominator = the FULL query set for every leg (round-11 advice): a
+    // leg whose probed cells yield ZERO candidates for some query must
+    // count as zero hits there, not drop out of n_queries — otherwise
+    // narrow-probe legs inflate recall on singleton cells and n_queries
+    // drifts across rows. The grid is (leg inventory — bounded, a distinct
+    // over the key labels) × (query set) left-joined over the per-query
+    // hits, so every leg is graded on identical queries by construction.
+    val legKeys = legs.select(keyCols: _*).distinct()
+    broadcast(legKeys).crossJoin(top1.select(col("q_id")))
+      .join(perq, keys :+ "q_id", "left")
       .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("n_queries"),
-           sum(col("hits5")).as("hits_total"),
+           sum(coalesce(col("hits5"), lit(0L))).as("hits_total"),
            sum(coalesce(col("rr_micro"), lit(0L))).as("rr_micro_total"))
       .select((keyCols ++ Seq(col("n_queries"), col("hits_total"),
               round4(col("hits_total").cast("double") / (col("n_queries") * lit(5.0)))
@@ -3528,14 +3550,19 @@ object Similarity {
       |  FROM sys sy
       |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
       |  JOIN top1 o ON o.q_id = sy.q_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2
+      |), legk AS (SELECT DISTINCT system FROM sys
+      |), perqf AS (
+      |  SELECT g.system, coalesce(p.hits5, 0)::BIGINT AS hits5, p.rr_micro
+      |  FROM (SELECT l.system, t.q_id FROM legk l, top1 t) g
+      |  LEFT JOIN perq p ON p.system = g.system AND p.q_id = g.q_id)
       |SELECT system, count(*)::BIGINT AS n_queries,
       |  sum(hits5)::BIGINT AS hits_total,
       |  floor(sum(hits5)::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5) / 10000.0
       |    AS recall_at_5,
       |  floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
       |    / 10000.0 AS mrr
-      |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM perqf GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** S24: the ROUTER AUDIT — the s23 grid proved ALL of the IVF×SQ8 leg's
     * recall loss is the router, which raises the obvious next question:
@@ -3722,14 +3749,20 @@ object Similarity {
       |  FROM sys sy
       |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
       |  JOIN top1 o ON o.q_id = sy.q_id
-      |  GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2, 3
+      |), legk AS (SELECT DISTINCT router, probes FROM sys
+      |), perqf AS (
+      |  SELECT g.router, g.probes, coalesce(p.hits5, 0)::BIGINT AS hits5, p.rr_micro
+      |  FROM (SELECT l.router, l.probes, t.q_id FROM legk l, top1 t) g
+      |  LEFT JOIN perq p ON p.router = g.router AND p.probes = g.probes
+      |                  AND p.q_id = g.q_id)
       |SELECT router, probes, count(*)::BIGINT AS n_queries,
       |  sum(hits5)::BIGINT AS hits_total,
       |  floor(sum(hits5)::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5) / 10000.0
       |    AS recall_at_5,
       |  floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
       |    / 10000.0 AS mrr
-      |FROM perq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM perqf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** One k-point CTE chain of the s25 oracle: k-seeded 2-iteration Lloyd
@@ -3799,6 +3832,11 @@ object Similarity {
       |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
       |  JOIN top1 o ON o.q_id = sy.q_id
       |  GROUP BY 1, 2
+      |), legk AS (SELECT DISTINCT cells FROM sys
+      |), perqf AS (
+      |  SELECT g.cells, coalesce(p.hits5, 0)::BIGINT AS hits5, p.rr_micro
+      |  FROM (SELECT l.cells, t.q_id FROM legk l, top1 t) g
+      |  LEFT JOIN perq p ON p.cells = g.cells AND p.q_id = g.q_id
       |), rep AS (
       |  SELECT cells, count(*)::BIGINT AS n_queries,
       |    sum(hits5)::BIGINT AS hits_total,
@@ -3806,7 +3844,7 @@ object Similarity {
       |      AS recall_at_5,
       |    floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
       |      / 10000.0 AS mrr
-      |  FROM perq GROUP BY 1
+      |  FROM perqf GROUP BY 1
       |), scn AS (
       |  ${ks.map(k => s"SELECT $k AS cells, count(*)::BIGINT AS total_scanned FROM isc_$k")
               .mkString("\n  UNION ALL\n  ")}
@@ -3842,14 +3880,20 @@ object Similarity {
       |  FROM sys sy
       |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
       |  JOIN top1 o ON o.q_id = sy.q_id
-      |  GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2, 3
+      |), legk AS (SELECT DISTINCT probes, depth FROM sys
+      |), perqf AS (
+      |  SELECT g.probes, g.depth, coalesce(p.hits5, 0)::BIGINT AS hits5, p.rr_micro
+      |  FROM (SELECT l.probes, l.depth, t.q_id FROM legk l, top1 t) g
+      |  LEFT JOIN perq p ON p.probes = g.probes AND p.depth = g.depth
+      |                  AND p.q_id = g.q_id)
       |SELECT probes, depth, count(*)::BIGINT AS n_queries,
       |  sum(hits5)::BIGINT AS hits_total,
       |  floor(sum(hits5)::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5) / 10000.0
       |    AS recall_at_5,
       |  floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
       |    / 10000.0 AS mrr
-      |FROM perq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM perqf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** S22: IVF × SQ8 — the two scan levers COMPOSED, the actual 100 TB
     * serving shape: coarse routing cuts the candidate set to p/cells, and

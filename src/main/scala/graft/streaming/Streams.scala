@@ -2664,7 +2664,8 @@ object Streams {
     // form (see x38's scaladoc): the same CTE chain with the shortlist
     // depth at corpus scale, probes pinned to the serving default
     "x38_stream_sq8_serve"     -> graft.queries.Similarity.s22SqlAt(
-      1000000, graft.queries.Similarity.ServingNprobeDefault),
+      graft.queries.Similarity.Sq8DepthUnbounded,
+      graft.queries.Similarity.ServingNprobeDefault),
     "x25_stream_chunk_dedup"   -> x25Sql,
     "x24_stream_chunking"      -> graft.queries.TextAnalysis.t23Sql,
     "x20_stream_packing"       -> x20Sql,

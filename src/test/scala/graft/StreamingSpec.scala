@@ -495,8 +495,14 @@ class StreamingSpec extends SparkSpec {
     val online = Streams.x38_stream_sq8_serve(spark, dir)
       .collect().map(_.toSeq).toSeq
     // exact-by-construction twin: the batch trained-router serve with the
-    // shortlist depth at corpus scale (the posture x38's scaladoc states)
-    val batch = S.ivfSq8Served(spark, dir, S.servingNprobe(spark), Int.MaxValue)
+    // shortlist depth at corpus scale (the posture x38's scaladoc states).
+    // Sq8DepthUnbounded is the SAME constant the registered oracle splices
+    // (round-11 advice: twin and oracle must share one depth sentinel).
+    // Byte-cost posture, priced: because depth-∞ ranks by exact cosine,
+    // the online scan reads raw f32 + norms alongside the int8 codes
+    // (~5/4 of float32 bytes per candidate vs the batch serve's 1/4);
+    // candidate COUNT stays cell-pruned at p·N/k.
+    val batch = S.ivfSq8Served(spark, dir, S.servingNprobe(spark), S.Sq8DepthUnbounded)
       .collect().map(_.toSeq).toSeq
     assert(online.nonEmpty)
     assert(online == batch,
