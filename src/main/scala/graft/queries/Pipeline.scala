@@ -590,7 +590,313 @@ object Pipeline {
        |FROM ($c3Sql) b JOIN ($c11Sql) s ON s.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** The c14 trainer's two hyper-parameters, single-sourced for the Spark
+    * chain and the unrolled oracle (the Sq8RerankDepthDefault discipline).
+    * Both were decided by a MEASURED sweep (DuckDB CTE-literal sweep on
+    * the real tables, then replicated-grid numpy confirmation; round-12
+    * notes):
+    *
+    *   - iterations 8: recall-at-half-budget on the trusted slice climbs
+    *     4 → 8 (sf0.1: 0.566 → 0.662) and plateaus beyond (12: 0.662,
+    *     16: 0.660) — the batch-GD knee;
+    *   - step size η = 32: η = 128 OSCILLATES (sf0.1 recall 0.568 at
+    *     it=4 but 0.512-0.570 at it=6/8/16 — overshooting), η = 8 is
+    *     still climbing at the iteration budget. 32 is also a power of
+    *     two, so the step scaling η·g is EXACT in binary floating point
+    *     (the 6-dp re-pin then makes exactness moot, but the choice costs
+    *     nothing);
+    *   - the same-feature-space generative ceiling (t28's DSIR ranking,
+    *     re-ranked at half budget): 0.738 — the 8-round discriminative
+    *     fit lands within ~0.08 of it. */
+  private[graft] val QualityGdIters = 8
+  private[graft] val QualityGdEta = 32
+
+  /** C14: the MODEL-BASED QUALITY GATE — the one standard LLM-pipeline
+    * stage the c-family still lacked (round-11 verdict lead item): a
+    * TRAINED classifier scoring every document, DCLM / FineWeb-Edu class.
+    * The c-family's quality gate so far is t2's arithmetic heuristic; the
+    * modern pipeline trains a linear model whose positives are a TRUSTED
+    * slice and keeps the top of the score distribution. Everything here
+    * composes already-proven machinery:
+    *
+    *   - features: t28's 256-bucket hashed unigram+bigram space (bucket =
+    *     first 2 hex chars of md5(gram)) — structurally bounded, so the
+    *     weight relation broadcasts legitimately at any corpus size;
+    *     per-doc feature x = bucket count / doc gram count, 6-dp grid;
+    *   - labels: the trusted slice (src0/src1 — t26/t28's contract) = 1,
+    *     the raw web = 0 (FineWeb-Edu's seed-vs-crawl discipline);
+    *   - training: [[QualityGdIters]] batch-gradient-descent iterations of
+    *     logistic regression IN-ENGINE at step [[QualityGdEta]], t22's
+    *     exact cross-engine discipline (iteration 1 starts at w = 0 where
+    *     p ≡ ½ exactly; residual products summed in DECIMAL(30,20); every
+    *     transcendental pinned to the 6-dp grid before re-entering
+    *     arithmetic); the oracle unrolls ALL iterations as MATERIALIZED
+    *     CTEs generated from the same loop (s4/t18's pattern);
+    *   - the score: the final MARGIN (logit), not the sigmoid — monotone
+    *     in the probability, and immune to the measured failure mode
+    *     where grid-pinning collapses saturated sigmoids (at η ≥ 128
+    *     every doc's probability pins to the same 6-dp point and the
+    *     gate degenerates to keep-all — the η sweep caught this);
+    *   - the gate: keep the top half of the score distribution (budget
+    *     K = ⌈N/2⌉) — selected WITHOUT a global doc sort: 6-dp-pinned
+    *     scores live on a bounded integer grid, so the exact rank
+    *     threshold τ falls out of a bounded score HISTOGRAM (group by
+    *     grid point, one cumulative sum over the bounded relation, τ =
+    *     max grid point whose from-top cumulative count reaches K) — the
+    *     t6 decile trick applied to quantile selection. Ties keep: the
+    *     keep-set is the smallest score-threshold superset of K docs, a
+    *     doc's fate depends only on its score.
+    *
+    * Scale shape: per training iteration ONE (doc,bucket)-keyed agg joined
+    * against a ≤257-row broadcast weight relation — gradients are map-side
+    * combined partial sums, the corpus streams once per iteration (Lloyd's
+    * profile, s4); scoring is one more such pass; threshold selection
+    * never sorts docs. Nothing driver-side. The gradient grid survives
+    * corpus growth: per-bucket components are means of O(1)-magnitude
+    * terms over the docs that HIT the bucket (a Θ(1/256) fraction), so
+    * they do not vanish into the 6-dp grid as N grows.
+    *
+    * MEASURED at half-budget (trusted-slice recall vs the 0.5 random
+    * baseline): sf0.01 0.88, sf0.1 0.66 — vs t28's generative DSIR
+    * ranking at 0.738 (sf0.1, same features). [[c14_gate_compare]] grades
+    * the keep-set against t2's heuristic gate; the funnel slot (gating
+    * c13's manifest) is spec-pinned in QueriesSmokeSpec.
+    *
+    * Emits (doc_id, trusted, score, keep) — the per-doc gate artifact a
+    * filtering job ships. */
+  def c14_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DEC = "decimal(30,20)"
+    val r6 = QUtil.round6 _
+    val eta = lit(QualityGdEta.toDouble)
+    val tk = split(col("text"), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tk.as("tk"), size(tk).as("nt"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("tk"),
+          when(col("nt") >= 2,
+            expr("transform(sequence(1, nt - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+            .otherwise(typedlit(Seq.empty[String])))).as("gram"))
+      .withColumn("bucket", substring(md5(col("gram").cast("binary")), 1, 2))
+    val db = grams.groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds labels, features — one gram pass total
+    val labels = db.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("doc_id"), col("n"),
+        when(col("source").isin("src0", "src1"), 1.0).otherwise(0.0).as("y"))
+      .localCheckpoint() // consumed by every gradient and the output join
+    val nRel = labels.agg(count(lit(1)).as("nn"))
+    val feats = db.join(labels.select("doc_id", "n"), Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"),
+              r6(col("cnt").cast("double") / col("n")).as("x"))
+      .localCheckpoint() // consumed by every gradient/margin pass
+    // log-loss gradient at prediction relation p(doc_id, p): per-bucket and
+    // bias components, decimal-folded, grid-pinned (t22's grad verbatim,
+    // keyed on the hashed bucket instead of the dictionary-id bucket)
+    def grad(p: DataFrame): (DataFrame, DataFrame) = {
+      val r = p.join(labels.select("doc_id", "y"), Seq("doc_id"))
+        .select(col("doc_id"), (col("p") - col("y")).as("r"))
+      val gb = feats.join(r, Seq("doc_id"))
+        .groupBy(col("bucket")).agg(sum((col("x") * col("r")).cast(DEC)).as("sd"))
+        .crossJoin(broadcast(nRel))
+        .select(col("bucket"), r6(col("sd").cast("double") / col("nn")).as("g"))
+      val g0 = r.agg(sum(col("r").cast(DEC)).as("sd"))
+        .crossJoin(broadcast(nRel))
+        .select(r6(col("sd").cast("double") / col("nn")).as("g0"))
+      (gb, g0)
+    }
+    // margins under the current model — shared by the per-iteration
+    // sigmoid and the final scoring pass
+    def margins(w: DataFrame, bias: DataFrame): DataFrame =
+      feats.join(broadcast(w), Seq("bucket"))
+        .groupBy(col("doc_id")).agg(sum((col("x") * col("w")).cast(DEC)).as("sd"))
+        .crossJoin(broadcast(bias))
+        .select(col("doc_id"), r6(col("sd").cast("double") + col("bias")).as("m"))
+    // iteration 1: w = 0 ⇒ p ≡ 0.5 exactly (no transcendental)
+    val (g1, g01) = grad(labels.select(col("doc_id"), lit(0.5).as("p")))
+    var w = graft.plans.BroadcastContract.boundedCheckpoint(
+      g1.select(col("bucket"), r6(-eta * col("g")).as("w")),
+      "c14 weights: ≤256 hashed buckets by construction")
+    var bias = g01.select(r6(-eta * col("g0")).as("bias"))
+    // iterations 2..QualityGdIters: sigmoid under the current model
+    // (pinned to the grid), gradient, step — each iteration is one
+    // (doc,bucket) agg pass; checkpoints keep the lineage flat
+    for (_ <- 2 to QualityGdIters) {
+      val p = margins(w, bias)
+        .select(col("doc_id"), r6(lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+        .localCheckpoint()
+      val (gi, g0i) = grad(p)
+      w = graft.plans.BroadcastContract.boundedCheckpoint(
+        w.join(gi, Seq("bucket"))
+          .select(col("bucket"), r6(col("w") - eta * col("g")).as("w")),
+        "c14 weights: ≤256 hashed buckets by construction")
+      bias = bias.crossJoin(g0i)
+        .select(r6(col("bias") - eta * col("g0")).as("bias"))
+    }
+    // score = the final MARGIN; si = its 1e-6 grid point
+    val score = margins(w, bias)
+      .select(col("doc_id"), col("m").as("score"))
+      .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+      .localCheckpoint() // consumed by the histogram and the output
+    // exact top-K threshold from the BOUNDED score-grid histogram — the
+    // single-partition window is over the grid, never the docs
+    val hist = score.groupBy(col("si")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("si").desc).rowsBetween(Window.unboundedPreceding, 0)))
+    val kRel = nRel.select(expr("(nn + 1) div 2").as("k"))
+    val tau = cum.crossJoin(broadcast(kRel)).filter(col("cum") >= col("k"))
+      .agg(max(col("si")).as("tau"))
+    score.join(labels.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), (col("y") === 1.0).as("trusted"), col("score"),
+              (col("si") >= col("tau")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: every gradient iteration, the final margin pass, and the
+    * histogram threshold unrolled as MATERIALIZED CTEs — the iteration
+    * chain is GENERATED by the same loop bounds the Spark chain runs
+    * ([[QualityGdIters]]/[[QualityGdEta]]), so trainer and oracle cannot
+    * disagree on the schedule (t22's pattern on t28's feature CTEs,
+    * s4Sql's generated-rounds discipline). */
+  val c14Sql: String = {
+    val R6 = (e: String) => s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+    val eta = QualityGdEta
+    // iteration i ≥ 2: sigmoid under w{i-1}/b{i-1}, gradient, step
+    def iterCtes(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT doc_id, ${R6("1.0 / (1.0 + exp(-m))")} AS p FROM (
+         |    SELECT f.doc_id,
+         |      ${R6(s"sum((f.x * w.w)::DECIMAL(30,20))::DOUBLE + (SELECT bias FROM b${i - 1})")} AS m
+         |    FROM feats f JOIN w${i - 1} w USING (bucket) GROUP BY 1)
+         |), g$i AS MATERIALIZED (
+         |  SELECT f.bucket, ${R6("sum((f.x * (p.p - l.y))::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g
+         |  FROM feats f JOIN p$i p USING (doc_id) JOIN labels l USING (doc_id)
+         |  GROUP BY 1
+         |), gb$i AS MATERIALIZED (
+         |  SELECT ${R6("sum((p.p - l.y)::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g0
+         |  FROM p$i p JOIN labels l USING (doc_id)
+         |), w$i AS MATERIALIZED (
+         |  SELECT w.bucket, ${R6(s"w.w - $eta * g.g")} AS w
+         |  FROM w${i - 1} w JOIN g$i g USING (bucket)
+         |), b$i AS MATERIALIZED (
+         |  SELECT ${R6(s"(SELECT bias FROM b${i - 1}) - $eta * (SELECT g0 FROM gb$i)")} AS bias
+         |)""".stripMargin
+    val iters = (2 to QualityGdIters).map(iterCtes).mkString(",\n")
+    val last = QualityGdIters
+    s"""WITH sp AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS sp FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, unnest(
+       |    list_concat(sp, list_transform(range(2, len(sp) + 1),
+       |                                   i -> sp[i-1] || ' ' || sp[i]))) AS gram
+       |  FROM sp
+       |), db AS MATERIALIZED (
+       |  SELECT doc_id, source, substr(md5(gram), 1, 2) AS bucket,
+       |         count(*)::BIGINT AS cnt
+       |  FROM g GROUP BY 1, 2, 3
+       |), labels AS MATERIALIZED (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n,
+       |    CASE WHEN source IN ('src0', 'src1') THEN 1.0 ELSE 0.0 END AS y
+       |  FROM db GROUP BY doc_id, source
+       |), nrel AS (SELECT count(*)::BIGINT AS nn FROM labels),
+       |feats AS MATERIALIZED (
+       |  SELECT d.doc_id, d.bucket, ${R6("d.cnt::DOUBLE / l.n")} AS x
+       |  FROM db d JOIN labels l USING (doc_id)
+       |), g1 AS (
+       |  SELECT f.bucket, ${R6("sum((f.x * (0.5 - l.y))::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g
+       |  FROM feats f JOIN labels l USING (doc_id) GROUP BY 1
+       |), w1 AS MATERIALIZED (
+       |  SELECT bucket, ${R6(s"-$eta * g")} AS w FROM g1
+       |), b1 AS MATERIALIZED (
+       |  SELECT ${R6(s"-$eta * (sum((0.5 - y)::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel))")} AS bias
+       |  FROM labels
+       |),
+       |$iters,
+       |sc AS MATERIALIZED (
+       |  SELECT f.doc_id,
+       |    ${R6(s"sum((f.x * w.w)::DECIMAL(30,20))::DOUBLE + (SELECT bias FROM b$last)")} AS score
+       |  FROM feats f JOIN w$last w USING (bucket) GROUP BY 1
+       |), si AS MATERIALIZED (
+       |  SELECT doc_id, score, floor(score * 1000000.0 + 0.5)::BIGINT AS si FROM sc
+       |), hist AS (SELECT si, count(*)::BIGINT AS c FROM si GROUP BY 1),
+       |cum AS (
+       |  SELECT si, sum(c) OVER (ORDER BY si DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |  FROM hist
+       |), tau AS (
+       |  SELECT max(si) AS tau FROM cum
+       |  WHERE cum >= (SELECT (nn + 1) // 2 FROM nrel)
+       |)
+       |SELECT s.doc_id, (l.y = 1.0) AS trusted, s.score,
+       |       (s.si >= (SELECT tau FROM tau)) AS keep
+       |FROM si s JOIN labels l USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** C14's MEASURED comparison row — the trained gate vs t2's heuristic
+    * gate (quality ≥ 0.5, c1's exact convention) on the same corpus: keep
+    * counts, keep-set overlap (Jaccard), and each keep-set's TRUSTED-slice
+    * rate against the corpus base rate — the number that says whether the
+    * trained gate actually concentrates target-like documents better than
+    * the arithmetic heuristic. Stated honestly: the classifier is graded
+    * on the signal it trained on (trusted-source membership, FineWeb-Edu's
+    * own eval convention), and its keep budget is ⌈N/2⌉ by construction
+    * while the heuristic keeps whatever clears its fixed threshold — the
+    * rates compare gate QUALITY, the counts state the budgets. One
+    * doc_id-keyed join of two already-computed projections + one global
+    * aggregate; costs nothing beyond its inputs. */
+  def c14_gate_compare(s: SparkSession, dir: String): DataFrame = {
+    val clf = c14_quality_classifier(s, dir)
+      .select(col("doc_id"), col("trusted"), col("keep"))
+    val heur = TextAnalysis.t2_quality_score(s, dir)
+      .select(col("doc_id"), (col("quality") >= 0.5).as("hkeep"))
+    clf.join(heur, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("clf_kept"),
+        sum(when(col("hkeep"), 1L).otherwise(0L)).as("heur_kept"),
+        sum(when(col("keep") && col("hkeep"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("keep") && col("trusted"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("hkeep") && col("trusted"), 1L).otherwise(0L)).as("ht"),
+        sum(when(col("trusted"), 1L).otherwise(0L)).as("nt"))
+      .select(col("n_docs"), col("clf_kept"), col("heur_kept"), col("n_both"),
+        QUtil.round4(col("n_both").cast("double") /
+          (col("clf_kept") + col("heur_kept") - col("n_both"))).as("jaccard"),
+        QUtil.round4(col("ct").cast("double") / col("clf_kept"))
+          .as("clf_trusted_rate"),
+        QUtil.round4(col("ht").cast("double") / col("heur_kept"))
+          .as("heur_trusted_rate"),
+        QUtil.round4(col("nt").cast("double") / col("n_docs"))
+          .as("base_trusted_rate"))
+  }
+
+  /** Oracle: the c14 and t2 oracles verbatim as derived tables (c13's
+    * WITH-inside-derived-table form), one aggregate over the join. */
+  val c14CmpSql: String =
+    s"""SELECT count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN c.keep THEN 1 ELSE 0 END)::BIGINT AS clf_kept,
+       |  sum(CASE WHEN h.quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS heur_kept,
+       |  sum(CASE WHEN c.keep AND h.quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       |  floor(sum(CASE WHEN c.keep AND h.quality >= 0.5 THEN 1 ELSE 0 END)::DOUBLE
+       |    / (sum(CASE WHEN c.keep THEN 1 ELSE 0 END)
+       |       + sum(CASE WHEN h.quality >= 0.5 THEN 1 ELSE 0 END)
+       |       - sum(CASE WHEN c.keep AND h.quality >= 0.5 THEN 1 ELSE 0 END))
+       |    * 10000.0 + 0.5) / 10000.0 AS jaccard,
+       |  floor(sum(CASE WHEN c.keep AND c.trusted THEN 1 ELSE 0 END)::DOUBLE
+       |    / sum(CASE WHEN c.keep THEN 1 ELSE 0 END) * 10000.0 + 0.5) / 10000.0
+       |    AS clf_trusted_rate,
+       |  floor(sum(CASE WHEN h.quality >= 0.5 AND c.trusted THEN 1 ELSE 0 END)::DOUBLE
+       |    / sum(CASE WHEN h.quality >= 0.5 THEN 1 ELSE 0 END) * 10000.0 + 0.5) / 10000.0
+       |    AS heur_trusted_rate,
+       |  floor(sum(CASE WHEN c.trusted THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*) * 10000.0 + 0.5) / 10000.0 AS base_trusted_rate
+       |FROM ($c14Sql) c JOIN (${TextAnalysis.t2Sql}) h ON h.doc_id = c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_gate_compare" -> (c14_gate_compare _),
+    "c14_quality_classifier" -> (c14_quality_classifier _),
     "c13_release_manifest" -> (c13_release_manifest _),
     "c12_split_delta" -> (c12_split_delta _),
     "c11_cluster_split" -> (c11_cluster_split _),
@@ -604,6 +910,8 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c14_gate_compare" -> c14CmpSql,
+    "c14_quality_classifier" -> c14Sql,
     "c13_release_manifest" -> c13Sql,
     "c12_split_delta" -> c12Sql,
     "c11_cluster_split" -> c11Sql,

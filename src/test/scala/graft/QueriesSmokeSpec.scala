@@ -677,6 +677,49 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(man.forall(r => c11(r.getLong(0)) == r.getString(5)))
   }
 
+  test("trained quality gate: exact half-budget threshold, learned signal, funnel slot (c14)") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val gate = graft.queries.Pipeline.c14_quality_classifier(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2),
+                           r.getBoolean(3)))
+    val n = gate.length
+    val k = (n + 1) / 2
+    val kept = gate.filter(_._4)
+    // the keep-set is the SMALLEST score-threshold superset of K docs:
+    // at least K kept, and dropping the lowest kept score tier goes below K
+    assert(kept.length >= k, s"budget: kept ${kept.length} < K=$k")
+    val tau = kept.map(_._3).min
+    assert(kept.count(_._3 > tau) < k,
+      "threshold not minimal: removing the tau tier still covers the budget")
+    // a doc's fate depends only on its score: every kept score strictly
+    // above every dropped score tier boundary
+    assert(gate.filter(!_._4).forall(_._3 < tau),
+      "a dropped doc scored at/above the keep threshold")
+    // the model LEARNED the trusted signature: trusted-slice recall at half
+    // budget far above the 0.5 random baseline (measured 0.90 at sf0.01),
+    // and the keep-set concentrates trusted docs above the base rate
+    val trusted = gate.count(_._2).toDouble
+    val recall = kept.count(_._2) / trusted
+    assert(recall > 0.7, s"trusted recall at half budget = $recall")
+    assert(kept.count(_._2).toDouble / kept.length > trusted / n,
+      "keep-set does not concentrate the trusted slice")
+    // funnel slot: the model gate composes with the release manifest (c13)
+    // as one more doc_id-keyed filter — the DCLM-style "classifier gate
+    // after cleaning": a strict, non-empty subset selection over c13
+    val keepIds = kept.map(_._1).toSet
+    val man = graft.queries.Pipeline.c13_release_manifest(spark, sf01)
+      .collect().map(_.getLong(0))
+    val gated = man.filter(keepIds)
+    assert(gated.nonEmpty && gated.length < man.length,
+      s"model gate over c13: ${gated.length} of ${man.length}")
+    // and the measured comparison row agrees with the gate relation
+    val cmp = graft.queries.Pipeline.c14_gate_compare(spark, sf01).collect()(0)
+    assert(cmp.getLong(1) == kept.length)
+    assert(cmp.getDouble(5) > cmp.getDouble(7),
+      "clf_trusted_rate must beat the corpus base rate")
+  }
+
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
     val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
       .collect().map(_.toSeq).toSet
