@@ -1799,6 +1799,24 @@ object Streams {
     * of the STATIC corpus — the "vector search endpoint" shape, where the
     * index is a settled relation and queries are traffic.
     *
+    * ROUTER-GENERATION POSTURE (round-11 verdict #3, resolved round 12):
+    * this operator is **s3's historical twin, not the shipped online
+    * serve** — it routes on the LABEL centroids s24's router audit
+    * RETIRED from serving (trained ≈ 2× label recall at every probe
+    * width), and it stays pinned to that router deliberately, the way
+    * s21/s23 keep grading the retired router as measured history: its
+    * contract is bit-for-bit equality with s3 (shares `s3Sql`), and its
+    * value is the routing/codegen machinery below (`routeExpr`, the
+    * boundedCollect fold, TopKAgg state) that x38 inherits. The engine's
+    * ONE serving-posture online ANN path is [[x38_stream_sq8_serve]],
+    * which serves on the TRAINED coarse router at `servingNprobe` width —
+    * the round-11 router decision, online. A trained-router exact-scan
+    * twin would duplicate x38's semantics (x38 already ranks the probed
+    * trained cells by exact cosine; the int8 codes ride as payload), so
+    * none is shipped. Spec-pinned in `StreamingSpec` ("one serving
+    * generation"): x38 routes on s22's trained cells while x26 ≡ s3,
+    * so the historical leg can never silently re-enter serving.
+    *
     * The three scale decisions:
     *  1. ROUTING is a pure per-row expression: the per-label centroid
     *     table (one row per label, structurally bounded) is materialized

@@ -515,6 +515,47 @@ class StreamingSpec extends SparkSpec {
       "depth-∞ online serve diverged from the d50 batch serve on this corpus")
   }
 
+  test("one serving generation: x26 pinned to s3's retired router, x38 rides the trained one") {
+    // Round-11 verdict #3: the engine must not ship two online ANN serves
+    // with silently different router generations. Resolution (posture, not
+    // a new operator — a trained-router exact-scan twin would duplicate
+    // x38, which already ranks the probed trained cells by exact cosine):
+    // x26 is s3's HISTORICAL twin, deliberately pinned to the label router
+    // s24 retired from serving (the way s21/s23 keep grading it as
+    // measured history); x38 is THE serving-posture online path.
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val S = graft.queries.Similarity
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("q_id").cast("long"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    // the historical contract: x26's served cells ARE s3's label cells
+    val x26Cells = cells(graft.streaming.Streams.x26_stream_ann_topk(spark, dir))
+    assert(x26Cells == cells(S.s3_ivf_topk(spark, dir)),
+      "x26 must stay bit-pinned to s3's label-router serving")
+    // the serving contract: x38's served cells are s22's trained-router
+    // cells (the round-11 decision, online)
+    val x38Cells = cells(graft.streaming.Streams.x38_stream_sq8_serve(spark, dir))
+    assert(x38Cells == cells(S.s22_ivf_sq8(spark, dir)),
+      "x38 must serve s22's trained-router cells")
+    // and the two generations are genuinely different routers: the trained
+    // assignment PARTITIONS the corpus differently than the labels do
+    // (cluster/label ids are different id spaces, so compare the induced
+    // partitions as sets of vec_id sets) — if these coincided, the round-11
+    // router swap would be vacuous and s24's 2× delta impossible
+    val byLabel = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long"), col("label").cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    val byCluster = S.sq8TrainedAssign(spark, dir)
+      .select(col("vec_id").cast("long"), col("cluster").cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(byLabel != byCluster,
+      "trained router partition coincides with the label partition — not a generation change")
+  }
+
   test("x37 counts DISTINCT shared grams under repeats; sketch sizing is c9's knob") {
     import graft.streaming.Streams
     // engineered corpus: the eval doc (id % 100 == 0) REPEATS a shared
