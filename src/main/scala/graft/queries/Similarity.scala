@@ -3624,31 +3624,62 @@ object Similarity {
   }
 
   /** S25: the CELL-COUNT SWEEP — the last unpriced axis of the IVF×SQ8
-    * serve. Width (s21), depth (s23), and router (s24) are each measured;
-    * the cell COUNT k was inherited from the PQ stack (k = 10) without a
-    * row of its own, and k is precisely the axis that changes with corpus
-    * scale (a 100 TB deployment runs k ≈ √N cells, not 10). Three trained
-    * quantizers at literal k ∈ {5, 10, 20} graded at the serving posture
-    * (p = 2, d = 50), each row carrying BOTH sides of the trade: recall@5
-    * against the exact ground truth AND `total_scanned` — the exact
-    * number of int8 candidate scores the probed cells cost across the
-    * query set (the p·N/k scan term measured, not asserted). The
-    * recall-per-scanned-byte frontier is the capacity-planning curve an
-    * index deploy sizes k from.
+    * serve, at PRODUCTION TRAINING DISCIPLINE (the round-11 verdict's
+    * carry-forward on this query's own first cut). Width (s21), depth
+    * (s23), and router (s24) are each measured; the cell COUNT k is the
+    * axis that changes with corpus scale (a 100 TB deployment runs
+    * k ≈ √N cells, not 10). Sweep points: literal k ∈ {5, 10, 20} PLUS
+    * the k = ⌊√N⌋ point itself (N = corpus vector count, derived
+    * identically in both engines as floor of the IEEE-double sqrt, so
+    * the row follows the regime the claim lives in at every SF — 22 at
+    * sf0.01, 44 at sf0.1, 141 on the 20k-vector sf1 slice). Every
+    * quantizer trains on the bounded deterministic sample (`vec_id < m`,
+    * m = `spark.graft.semdedupSample`, default 1024 — c2-ann's faiss
+    * `train()` contract), so per-point training cost is O(m·k),
+    * independent of the corpus; the sample contains every seed because
+    * seeds are `vec_id < k` and k ≤ m in any regime this sweep prices
+    * (when a corpus ever pushed ⌊√N⌋ past m, both engines degenerate
+    * identically to k = m cells — the sample caps the cell count, which
+    * is itself the faiss posture: you grow the training sample with k).
+    * Each row carries BOTH sides of the trade: recall@5 against the
+    * exact ground truth AND `total_scanned` — the exact number of int8
+    * candidate scores the probed cells cost across the query set (the
+    * p·N/k scan term measured, not asserted). The recall-per-scanned-
+    * byte frontier is the capacity-planning curve an index deploy sizes
+    * k from.
     *
-    * Scale contract: training cost is O(N·k) per sweep point (three
-    * bounded passes here; a production sweep trains on a sample, as
-    * c2-ann already demonstrates); everything downstream is the s23/s24
-    * audit shape — k-row broadcasts, cell equi-joins, |Q|·d re-ranks. */
+    * MEASURED sampled-vs-full training delta (sf0.1, where the 1024
+    * sample truncates the 2000-vector corpus; see NOTES_r12.md): the
+    * sampled rows price the same frontier the full-corpus training did
+    * — the delta is the production trade stated with numbers, either
+    * direction an acceptable answer per the round-11 verdict.
+    *
+    * Scale contract: training is O(m·k) per point (corpus-independent);
+    * the per-point ASSIGNMENT pass is the one O(N·k) term left — the
+    * honest audit cost (c2-ann's two-level routed assignment is the
+    * production path that drops it to ~N·√k, priced separately by
+    * c2_assign_audit); everything downstream is the s23/s24 audit shape
+    * — k-row broadcasts, cell equi-joins, |Q|·d re-ranks. The ⌊√N⌋ leg
+    * is guarded against colliding with a literal point (k ∈ {5,10,20}
+    * skips it in BOTH engines, else the report would double-count one
+    * cells key). */
   def s25_cell_sweep(s: SparkSession, dir: String): DataFrame = {
     val ex = exactDecimals(s)
     val (cosines, truth5, top1) = sq8EvalGround(s, dir)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
+    val trainEmb = emb.filter(col("vec_id") < m)
+    val nCorpus = graft.plans.BroadcastContract.boundedCollect(
+      emb.agg(count(lit(1)).as("n")),
+      "s25 corpus count: one-row global aggregate")(0).getLong(0)
+    // floor(IEEE sqrt) on BOTH engines — not isqrt — so the grid point
+    // cannot disagree at perfect-square boundaries
+    val kRoot = math.floor(math.sqrt(nCorpus.toDouble)).toInt
     val qv = sq8Quantized(s, dir)
     val qq = qv.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
     def sweepPoint(k: Int): (DataFrame, DataFrame) = {
-      val cent = trainCoarse(s, dir, ex, k)
+      val cent = trainCoarseOn(trainEmb, ex, k) // sampled training: O(m·k)
       val asg = assignToNearest(emb, cent, ex).select(col("vec_id"), col("cluster"))
       val route = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
@@ -3679,7 +3710,9 @@ object Similarity {
         .select(lit(k).as("cells"), col("total_scanned"))
       (leg, scanned)
     }
-    val points = Seq(5, 10, 20).map(sweepPoint)
+    val ks = if (Seq(5, 10, 20).contains(kRoot)) Seq(5, 10, 20)
+             else Seq(5, 10, 20, kRoot)
+    val points = ks.map(sweepPoint)
     val report = recallReport(points.map(_._1).reduce(_ unionByName _),
                               Seq("cells"), truth5, top1)
     val scans = points.map(_._2).reduce(_ unionByName _)
@@ -3766,63 +3799,83 @@ object Similarity {
   }
 
   /** One k-point CTE chain of the s25 oracle: k-seeded 2-iteration Lloyd
-    * (CTE names suffixed per k so three trainings coexist in one WITH),
-    * corpus assignment, p = 2 routing, and the scored candidate
-    * relation. */
-  private def s25PointCtes(k: Int): String =
-    s"""c0_$k AS (
-      |  SELECT vec_id AS cluster, i, v AS cv FROM e WHERE vec_id < $k
-      |), c1_$k AS (
-      |${assignAndMeanSql(s"c0_$k")}
-      |), c2_$k AS (
-      |${assignAndMeanSql(s"c1_$k")}
-      |), asg_$k AS (
+    * TRAINED ON THE BOUNDED SAMPLE `es25` (CTE names suffixed per point
+    * tag so the trainings coexist in one WITH), full-corpus assignment,
+    * p = 2 routing, and the scored candidate relation. `kExpr` is the
+    * cell count as a SQL expression — a literal for the fixed points,
+    * `(SELECT k FROM kn)` for the data-dependent ⌊√N⌋ point. */
+  private def s25PointCtes(tag: String, kExpr: String): String =
+    s"""c0_$tag AS (
+      |  SELECT vec_id AS cluster, i, v AS cv FROM es25 WHERE vec_id < $kExpr
+      |), c1_$tag AS (
+      |${assignAndMeanSql(s"c0_$tag", "es25")}
+      |), c2_$tag AS (
+      |${assignAndMeanSql(s"c1_$tag", "es25")}
+      |), asg_$tag AS (
       |  SELECT vec_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
       |                 c.cluster) AS rn
-      |    FROM e JOIN c2_$k c USING (i)
+      |    FROM e JOIN c2_$tag c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
       |  WHERE rn = 1
-      |), route_$k AS (
+      |), route_$tag AS (
       |  SELECT vec_id AS q_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
       |                 c.cluster) AS probe
-      |    FROM e JOIN c2_$k c USING (i)
+      |    FROM e JOIN c2_$tag c USING (i)
       |    WHERE e.vec_id % 100 = 0
       |    GROUP BY e.vec_id, c.cluster)
       |  WHERE probe <= 2
-      |), isc_$k AS (
+      |), isc_$tag AS (
       |  SELECT qq.vec_id AS q_id, dd.vec_id AS vec_id,
       |         sum(qq.q * dd.q)::BIGINT AS iscore
       |  FROM qv8 qq
-      |  JOIN route_$k r ON r.q_id = qq.vec_id
-      |  JOIN asg_$k a ON a.cluster = r.cluster
+      |  JOIN route_$tag r ON r.q_id = qq.vec_id
+      |  JOIN asg_$tag a ON a.cluster = r.cluster
       |  JOIN qv8 dd ON dd.vec_id = a.vec_id AND dd.i = qq.i
       |              AND dd.vec_id <> qq.vec_id
       |  GROUP BY 1, 2
       |)""".stripMargin
 
-  /** One k-point top-5 leg of the s25 oracle. */
-  private def s25LegSql(k: Int): String =
+  /** One top-5 leg of the s25 oracle. `guarded` adds the ⌊√N⌋-collision
+    * filter so a corpus whose √N lands on a literal point contributes the
+    * leg exactly once in both engines. */
+  private def s25LegSql(tag: String, cellsExpr: String,
+                        guarded: Boolean = false): String = {
+    val g = if (guarded) s" AND ($cellsExpr) NOT IN (5, 10, 20)" else ""
     s"""SELECT * FROM (
-       |    SELECT $k AS cells, s.q_id, s.vec_id,
+       |    SELECT $cellsExpr AS cells, s.q_id, s.vec_id,
        |      row_number() OVER (PARTITION BY s.q_id ORDER BY c.cosine DESC, s.vec_id) AS rk
        |    FROM (SELECT q_id, vec_id,
        |            row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
-       |          FROM isc_$k) s
+       |          FROM isc_$tag) s
        |    JOIN cosines c ON c.q_id = s.q_id AND c.vec_id = s.vec_id
-       |    WHERE s.q_rank <= 50) WHERE rk <= 5""".stripMargin
+       |    WHERE s.q_rank <= 50) WHERE rk <= 5$g""".stripMargin
+  }
 
   def s25Sql: String = {
     val ks = Seq(5, 10, 20)
-    s"""WITH $elemsSqlCte, $sq8SqlCtes, $sq8AuditCtes,
-      |${ks.map(s25PointCtes).mkString(",\n")},
+    val kn = "(SELECT k FROM kn)"
+    val pointCtes = ks.map(k => s25PointCtes(k.toString, k.toString)) :+
+      s25PointCtes("rootn", kn)
+    val legs = ks.map(k => s25LegSql(k.toString, k.toString)) :+
+      s25LegSql("rootn", kn, guarded = true)
+    val scans = ks.map(k =>
+      s"SELECT $k AS cells, count(*)::BIGINT AS total_scanned FROM isc_$k") :+
+      s"""SELECT * FROM (SELECT $kn AS cells, count(*)::BIGINT AS total_scanned
+         |    FROM isc_rootn) WHERE cells NOT IN (5, 10, 20)""".stripMargin
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, $sq8AuditCtes, es25 AS (
+      |  SELECT * FROM e WHERE vec_id < 1024
+      |), kn AS (
+      |  SELECT floor(sqrt(count(*)))::INTEGER AS k FROM embeddings
+      |),
+      |${pointCtes.mkString(",\n")},
       |sys AS (
-      |  ${ks.map(s25LegSql).mkString("\n  UNION ALL\n  ")}
+      |  ${legs.mkString("\n  UNION ALL\n  ")}
       |), perq AS (
       |  SELECT sy.cells, sy.q_id,
       |    sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits5,
@@ -3846,8 +3899,7 @@ object Similarity {
       |      / 10000.0 AS mrr
       |  FROM perqf GROUP BY 1
       |), scn AS (
-      |  ${ks.map(k => s"SELECT $k AS cells, count(*)::BIGINT AS total_scanned FROM isc_$k")
-              .mkString("\n  UNION ALL\n  ")}
+      |  ${scans.mkString("\n  UNION ALL\n  ")}
       |)
       |SELECT r.cells, r.n_queries, s.total_scanned, r.hits_total,
       |       r.recall_at_5, r.mrr

@@ -207,16 +207,24 @@ class SimilaritySpec extends SparkSpec {
         s"recall must not drop when depth grows (p=$p, $d1 -> $d2)")
   }
 
-  test("s25 k=10 point reproduces s24's trained p2 leg; scan totals measured") {
+  test("s25 k=10 point reproduces s24's trained p2 leg; ⌊√N⌋ row present; scan totals measured") {
     val dir = "/root/testdata/sf0.001"
     val sweep = Similarity.s25_cell_sweep(spark, dir).collect()
       .map(r => r.getInt(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
       .toMap
-    assert(sweep.keySet == Set(5, 10, 20))
+    // 22 = floor(sqrt(500)): the data-dependent ⌊√N⌋ point fired
+    assert(sweep.keySet == Set(5, 10, 20, 22))
     assert(sweep.values.forall(_._2 > 0), "every sweep point must scan someone")
+    // more cells → narrower cells: the ⌊√N⌋ point scans the least (pinned
+    // on this corpus; the general trend is p·N/k)
+    assert(sweep(22)._2 < sweep(5)._2,
+      "the ⌊√N⌋ point must scan fewer candidates than the coarsest point")
     // cross-audit pin: the k=10 sweep point IS s24's trained p2/d50 leg
-    // (same trained quantizer, same width, same depth, same ground truth)
+    // (same trained quantizer, same width, same depth, same ground truth).
+    // Holds because the sweep's sampled training degenerates to full-corpus
+    // training in the N <= m regime (N = 500 <= m = 1024 here) — the same
+    // identity the CORRECTNESS gate exercises at sf0.01.
     val s24 = Similarity.s24_router_audit(spark, dir).collect()
       .filter(r => r.getString(0) == "trained" && r.getInt(1) == 2)
       .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
