@@ -102,6 +102,7 @@ object Bench {
         queries.Graph.clearShared()
         queries.TextAnalysis.clearShared()
         queries.Multimodal.clearShared()
+        queries.Pipeline.clearShared()
         // clearing the caches drops the REFERENCES, but every
         // localCheckpoint's RDD blocks stay in the block manager until GC —
         // across 178 queries × 3 runs the accumulated blocks inflate later

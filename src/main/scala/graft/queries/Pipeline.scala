@@ -894,7 +894,260 @@ object Pipeline {
        |    / count(*) * 10000.0 + 0.5) / 10000.0 AS base_trusted_rate
        |FROM ($c14Sql) c JOIN (${TextAnalysis.t2Sql}) h ON h.doc_id = c.doc_id""".stripMargin
 
+  /** The c11/c6 split hash as a reusable column: md5-salted first hex
+    * char bucketed 'train'(≤ b) / 'val'(≤ d) / 'test'. */
+  private def splitOf(anchor: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hx = substring(md5(concat(lit("split:"), anchor.cast("string"))), 1, 1)
+    when(hx <= "b", "train").when(hx <= "d", "val").otherwise("test")
+  }
+
+  /** The SETTLED half of the c15 release increment, staged per session —
+    * the two relations a production release pipeline keeps warm between
+    * increments (d13's settled-band-table / m9's settled-index
+    * discipline): the settled corpus's duplicate-CLUSTER table and its
+    * shipped RELEASE MANIFEST (c13's relation computed over the settled
+    * corpus only, against the FROZEN eval suite). Settled = the d12/d13
+    * convention (`doc_id % 10 ≠ 0`); the settled cluster table derives
+    * from the SHARED staged pair relation filtered to settled×settled
+    * pairs — valid because MinHash banding is per-document, so the
+    * settled subset's banded candidates are exactly the full pair table's
+    * both-ends-settled rows. `Bench.clearShared` drops the cache so timed
+    * runs pay the honest cold cost. */
+  private val c15Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** Drop the staged settled index (bench isolation). */
+  def clearShared(): Unit = c15Cache.clear()
+
+  private[graft] def c15SettledIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    QUtil.cachedPerSession(c15Cache, s, dir) {
+      val sPairs = Dedup.d3Pairs(s, dir)
+        .filter(col("jaccard") >= 0.5 &&
+                col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
+        .select(col("doc_a"), col("doc_b"))
+      val sClusters = Dedup.minLabelComponents(sPairs)
+        .select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+        .localCheckpoint()
+      val keepers = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(sClusters, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      val lang = TextAnalysis.t3_lang_id(s, dir)
+        .select(col("doc_id"), col("predicted"))
+      val quality = TextAnalysis.t2_quality_score(s, dir)
+        .select(col("doc_id"), col("quality"))
+      // frozen eval artifact: contamination graded against the FULL eval
+      // suite (t14's n ≥ 2 contract) — the eval set does not grow with the
+      // crawl, so settled and combined manifests share one gram table
+      val contaminated = TextAnalysis.t14_contamination(s, dir)
+        .filter(col("n_shared") >= 2)
+        .select(col("train_doc").as("doc_id")).distinct()
+      val m0 = keepers
+        .join(lang, Seq("doc_id")).join(quality, Seq("doc_id"))
+        .filter(col("predicted") === "en" && col("quality") >= 0.5 &&
+                col("doc_id") % 100 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("predicted").as("lang"), col("quality"),
+                col("n_tokens"), splitOf(col("doc_id")).as("split"))
+        .localCheckpoint()
+      (sClusters, m0)
+    }
+
+  /** C15: the RELEASE-MANIFEST INCREMENT — the settled-vs-delta shape
+    * (text d12/d13, postings t30, vectors s18/x34, media m9) applied to
+    * the release relation itself, closing the c-family's increment story
+    * (round-11 verdict item 4): a production release pipeline does not
+    * recompute c13 from scratch when a crawl increment arrives — it folds
+    * the increment into the shipped manifest and publishes the DELTA
+    * LEDGER: one row per manifest CHANGE.
+    *
+    *   - `add`: a delta document that enters the manifest — it is the
+    *     representative of its merged duplicate component (or unclustered)
+    *     and passes every c13 gate (t3 'en', t2 quality ≥ 0.5, not an
+    *     eval doc, not contaminated against the frozen eval grams);
+    *   - `retire`: a SETTLED manifest row displaced by the increment — a
+    *     delta doc with a smaller id joined its cluster (or bridged it to
+    *     a lower-anchored cluster), so the settled doc is no longer its
+    *     component's representative. The row carries c12's machinery:
+    *     `split_prev` (where the content was released), `split_new`
+    *     (where its merged anchor now lives), and `frozen_eval_leak` —
+    *     the one transition (test → train) that invalidates frozen eval
+    *     history;
+    *   - `tok_delta`: ±n_tokens, the per-row token-budget consequence
+    *     ([[c15_budget_delta]] is the per-split rollup).
+    *
+    * MOVED rows cannot exist in the manifest diff — every manifest row is
+    * its own anchor (c1 keeps representatives only), so a surviving row's
+    * split never changes and the fold identity is exact:
+    * `M0 − retires + adds = M1` (spec-pinned against
+    * [[c13_release_manifest]] on the real tables).
+    *
+    * Scale shape (the O(delta + affected) contract, spec-pinned): the
+    * settled manifest and cluster table are STAGED artifacts
+    * ([[c15SettledIndex]]) — settled×settled work never re-runs. The
+    * fold touches (a) delta-incident verified pairs (the banded probe of
+    * the settled LSH index — expressed as the both-ends filter on the
+    * shared staged pair relation, plan-identical because banding is
+    * per-document), (b) the members of settled clusters ADJACENT to a
+    * delta doc (one cluster-keyed equi-join whose build side is
+    * delta-bounded), and (c) min-label components over that merged
+    * subgraph only — unaffected settled docs never enter any join. Gates
+    * on delta docs are per-doc projections behind a pushed `% 10`
+    * filter. Nothing recomputes with corpus size; everything scales with
+    * the increment and the clusters it touches. */
+  def c15_manifest_increment(s: SparkSession, dir: String): DataFrame = {
+    val (sClusters, m0) = c15SettledIndex(s, dir)
+    val deltaPairs = Dedup.d3Pairs(s, dir)
+      .filter(col("jaccard") >= 0.5 &&
+              (col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0))
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // the delta probe result — consumed twice below
+    val endpoints = deltaPairs.select(col("doc_a").as("doc_id"))
+      .unionByName(deltaPairs.select(col("doc_b").as("doc_id")))
+      .filter(col("doc_id") % 10 =!= 0).distinct()
+    val affected = endpoints.join(sClusters, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    // star edges: member → settled anchor, affected clusters only —
+    // connectivity-equivalent to the settled pair set within them
+    val starEdges = sClusters.join(affected, Seq("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val merged = Dedup.minLabelComponents(deltaPairs.unionByName(starEdges))
+      .select(col("n").as("doc_id"), col("lbl").as("anchor"))
+    val deltaDocs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val lang = TextAnalysis.t3_lang_id(s, dir)
+      .select(col("doc_id"), col("predicted"))
+    val quality = TextAnalysis.t2_quality_score(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val contaminated = TextAnalysis.t14_contamination(s, dir)
+      .filter(col("n_shared") >= 2)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val adds = deltaDocs
+      .join(merged, Seq("doc_id"), "left")
+      .filter(col("anchor").isNull || col("anchor") === col("doc_id"))
+      .join(lang, Seq("doc_id")).join(quality, Seq("doc_id"))
+      .filter(col("predicted") === "en" && col("quality") >= 0.5 &&
+              col("doc_id") % 100 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("add").as("action"),
+              col("predicted").as("lang"), col("quality"), col("n_tokens"),
+              col("doc_id").as("anchor"),
+              lit(null).cast("string").as("split_prev"),
+              splitOf(col("doc_id")).as("split_new"),
+              lit(false).as("frozen_eval_leak"),
+              col("n_tokens").as("tok_delta"))
+    val retires = m0.join(merged, Seq("doc_id"))
+      .filter(col("anchor") =!= col("doc_id"))
+      .select(col("doc_id"), lit("retire").as("action"), col("lang"),
+              col("quality"), col("n_tokens"), col("anchor"),
+              col("split").as("split_prev"),
+              splitOf(col("anchor")).as("split_new"),
+              (col("split") === "test" && splitOf(col("anchor")) === "train")
+                .as("frozen_eval_leak"),
+              (-col("n_tokens")).as("tok_delta"))
+    adds.unionByName(retires).orderBy("doc_id")
+  }
+
+  /** Oracle: the honest full-recompute diff — the COMBINED manifest is
+    * c13's oracle verbatim, the SETTLED manifest is the same stage chain
+    * over settled docs (settled components via the d8-shape recursive
+    * reachability restricted to both-ends-settled pairs; gates and the
+    * contamination table reused VERBATIM against the frozen full eval
+    * suite), retires carry c11's combined split. The Spark side computes
+    * the same relation incrementally; the driver's hash equality IS the
+    * proof the O(delta) fold equals the batch diff. */
+  val c15Sql: String = {
+    val splitCase = (k: String) =>
+      s"""CASE WHEN substring(md5('split:' || $k::VARCHAR), 1, 1) <= 'b' THEN 'train'
+         |         WHEN substring(md5('split:' || $k::VARCHAR), 1, 1) <= 'd' THEN 'val'
+         |         ELSE 'test' END""".stripMargin
+    s"""WITH m1 AS MATERIALIZED (
+       |$c13Sql
+       |), scomp AS (
+       |  WITH RECURSIVE sprs AS (
+       |${Dedup.d3SqlBody}
+       |  ), sed AS (
+       |    SELECT doc_a AS u, doc_b AS v FROM sprs
+       |    WHERE jaccard >= 0.5 AND doc_a % 10 <> 0 AND doc_b % 10 <> 0
+       |    UNION
+       |    SELECT doc_b, doc_a FROM sprs
+       |    WHERE jaccard >= 0.5 AND doc_a % 10 <> 0 AND doc_b % 10 <> 0
+       |  ), sreach(src, node) AS (
+       |    SELECT u, u FROM sed
+       |    UNION
+       |    SELECT r.src, e.v FROM sreach r JOIN sed e ON r.node = e.u
+       |  )
+       |  SELECT src AS doc_id, min(node) AS cluster_id FROM sreach GROUP BY 1
+       |), q AS (
+       |${TextAnalysis.t2Sql}
+       |), p AS (
+       |${TextAnalysis.t3Sql}
+       |), cont AS (
+       |${TextAnalysis.t14Sql}
+       |), m0 AS MATERIALIZED (
+       |  SELECT d.doc_id, p.predicted AS lang, q.quality,
+       |         len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+       |         ${splitCase("d.doc_id")} AS split
+       |  FROM documents d
+       |  LEFT JOIN scomp sc ON sc.doc_id = d.doc_id
+       |  JOIN p ON p.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  WHERE d.doc_id % 10 <> 0
+       |    AND (sc.doc_id IS NULL OR sc.cluster_id = d.doc_id)
+       |    AND p.predicted = 'en' AND q.quality >= 0.5
+       |    AND d.doc_id % 100 <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM cont
+       |                    WHERE cont.train_doc = d.doc_id AND cont.n_shared >= 2)
+       |), sp11 AS MATERIALIZED (
+       |$c11Sql
+       |)
+       |SELECT m1.doc_id, 'add' AS action, m1.lang, m1.quality, m1.n_tokens,
+       |       m1.anchor, NULL AS split_prev, m1.split AS split_new,
+       |       false AS frozen_eval_leak, m1.n_tokens AS tok_delta
+       |FROM m1
+       |WHERE NOT EXISTS (SELECT 1 FROM m0 WHERE m0.doc_id = m1.doc_id)
+       |UNION ALL
+       |SELECT m0.doc_id, 'retire' AS action, m0.lang, m0.quality, m0.n_tokens,
+       |       s.anchor, m0.split AS split_prev, s.split AS split_new,
+       |       (m0.split = 'test' AND s.split = 'train') AS frozen_eval_leak,
+       |       -m0.n_tokens AS tok_delta
+       |FROM m0 JOIN sp11 s ON s.doc_id = m0.doc_id
+       |WHERE NOT EXISTS (SELECT 1 FROM m1 WHERE m1.doc_id = m0.doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** C15's per-split TOKEN-BUDGET rollup — the number a release review
+    * reads first: how many training/val/test tokens did this increment
+    * add or remove (adds charge `split_new`, retires refund
+    * `split_prev` — where the content was previously counted). Bounded
+    * by the 3-row split inventory at any scale; costs one aggregate over
+    * the ledger. The per-split identity `Σ m1 − Σ m0 = tok_delta` is
+    * spec-pinned. */
+  def c15_budget_delta(s: SparkSession, dir: String): DataFrame =
+    c15_manifest_increment(s, dir)
+      .withColumn("split", when(col("action") === "add", col("split_new"))
+                             .otherwise(col("split_prev")))
+      .groupBy(col("split"))
+      .agg(sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_add"),
+           sum(when(col("action") === "retire", 1L).otherwise(0L)).as("n_retire"),
+           sum(col("tok_delta")).as("tok_delta"))
+      .orderBy("split")
+
+  /** Oracle: one aggregate over the c15 oracle as a derived table. */
+  val c15BudgetSql: String =
+    s"""SELECT CASE WHEN action = 'add' THEN split_new ELSE split_prev END AS split,
+       |  sum(CASE WHEN action = 'add' THEN 1 ELSE 0 END)::BIGINT AS n_add,
+       |  sum(CASE WHEN action = 'retire' THEN 1 ELSE 0 END)::BIGINT AS n_retire,
+       |  sum(tok_delta)::BIGINT AS tok_delta
+       |FROM (
+       |$c15Sql
+       |) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_manifest_increment" -> (c15_manifest_increment _),
+    "c15_budget_delta" -> (c15_budget_delta _),
     "c14_gate_compare" -> (c14_gate_compare _),
     "c14_quality_classifier" -> (c14_quality_classifier _),
     "c13_release_manifest" -> (c13_release_manifest _),
@@ -910,6 +1163,8 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c15_manifest_increment" -> c15Sql,
+    "c15_budget_delta" -> c15BudgetSql,
     "c14_gate_compare" -> c14CmpSql,
     "c14_quality_classifier" -> c14Sql,
     "c13_release_manifest" -> c13Sql,

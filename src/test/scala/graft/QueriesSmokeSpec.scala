@@ -720,6 +720,55 @@ class QueriesSmokeSpec extends SparkSpec {
       "clf_trusted_rate must beat the corpus base rate")
   }
 
+  test("manifest increment: fold identity M0 - retires + adds = M1, settled never recompute (c15)") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val led = graft.queries.Pipeline.c15_manifest_increment(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+                           r.getDouble(3), r.getLong(4), r.getLong(5),
+                           Option(r.getString(6)), r.getString(7),
+                           r.getBoolean(8), r.getLong(9)))
+    assert(led.nonEmpty)
+    // the action partition IS the settled/delta convention: adds are delta
+    // arrivals, retires are settled manifest rows — nothing else can change
+    assert(led.forall { case (id, "add", _, _, _, _, _, _, _, _) => id % 10 == 0
+                        case (id, "retire", _, _, _, _, _, _, _, _) => id % 10 != 0
+                        case _ => false })
+    // adds self-anchor with no prior split; retires carry a STRICTLY lower
+    // merged anchor (the only way a settled rep is displaced) and a real
+    // prior split; the leak flag is exactly c12's test->train transition
+    assert(led.filter(_._2 == "add").forall(r =>
+      r._6 == r._1 && r._7.isEmpty && !r._9 && r._10 == r._5))
+    assert(led.filter(_._2 == "retire").forall(r =>
+      r._6 < r._1 && r._7.nonEmpty && r._10 == -r._5))
+    assert(led.forall(r => r._9 == (r._7.contains("test") && r._8 == "train")))
+    // THE fold identity: applying the ledger to the STAGED settled manifest
+    // reproduces the batch-recomputed combined manifest c13 exactly
+    val (_, m0df) = graft.queries.Pipeline.c15SettledIndex(spark, sf01)
+    val m0 = m0df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+                                  r.getLong(3), r.getString(4)))).toMap
+    val retires = led.filter(_._2 == "retire").map(_._1).toSet
+    assert(retires.subsetOf(m0.keySet), "a retire must come from the settled manifest")
+    val folded = (m0 -- retires) ++
+      led.filter(_._2 == "add").map(r => r._1 -> ((r._3, r._4, r._5, r._8)))
+    val m1 = graft.queries.Pipeline.c13_release_manifest(spark, sf01)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+                                            r.getLong(3), r.getString(5)))).toMap
+    assert(folded == m1, "M0 - retires + adds must equal the batch manifest")
+    // per-split token budget: the rollup equals the m1-vs-m0 token diff
+    val bud = graft.queries.Pipeline.c15_budget_delta(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    def tokBySplit(m: Map[Long, (String, Double, Long, String)]) =
+      m.values.groupBy(_._4).map { case (sp, vs) => sp -> vs.map(_._3).sum }
+    val t1map = tokBySplit(m1); val t0map = tokBySplit(m0)
+    for (sp <- t1map.keySet ++ t0map.keySet) {
+      val d = t1map.getOrElse(sp, 0L) - t0map.getOrElse(sp, 0L)
+      assert(bud.getOrElse(sp, 0L) == d,
+        s"split $sp: budget ${bud.get(sp)} must equal manifest token diff $d")
+    }
+  }
+
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
     val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
       .collect().map(_.toSeq).toSet
