@@ -896,7 +896,7 @@ object Pipeline {
 
   /** The c11/c6 split hash as a reusable column: md5-salted first hex
     * char bucketed 'train'(≤ b) / 'val'(≤ d) / 'test'. */
-  private def splitOf(anchor: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def splitOf(anchor: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hx = substring(md5(concat(lit("split:"), anchor.cast("string"))), 1, 1)
     when(hx <= "b", "train").when(hx <= "d", "val").otherwise("test")
   }

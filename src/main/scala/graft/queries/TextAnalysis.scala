@@ -60,19 +60,28 @@ object TextAnalysis {
     val n = size(toks).cast("double")
     val stopwords = array(lit("a"), lit("the"), lit("of"), lit("and"))
     val nStop = size(filter(toks, t => array_contains(stopwords, t))).cast("double")
-    val uniq = size(array_distinct(toks)).cast("double") / n
     val meanLen = (length(col("text")) - (size(toks) - 1)).cast("double") / n
-    val lenScore = least(n / lit(60.0), lit(1.0))
-    val score = least(greatest(
-      lit(0.4) * lenScore + lit(0.4) * uniq + lit(0.2) * (lit(1.0) - nStop / n),
-      lit(0.0)), lit(1.0))
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         round4(nStop / n).as("stop_ratio"),
         round4(meanLen).as("mean_tok_len"),
-        round4(score).as("quality"))
+        qualityExpr.as("quality"))
       .orderBy("doc_id")
+  }
+
+  /** t2's blended 0-1 quality as ONE per-row expression over `text` (the
+    * 4-dp grid value t2 emits) — factored so the x39 ingest-time admission
+    * gate computes the IDENTICAL op sequence on arriving rows. */
+  private[graft] def qualityExpr: Column = {
+    val n = size(toks).cast("double")
+    val stopwords = array(lit("a"), lit("the"), lit("of"), lit("and"))
+    val nStop = size(filter(toks, t => array_contains(stopwords, t))).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val lenScore = least(n / lit(60.0), lit(1.0))
+    round4(least(greatest(
+      lit(0.4) * lenScore + lit(0.4) * uniq + lit(0.2) * (lit(1.0) - nStop / n),
+      lit(0.0)), lit(1.0)))
   }
 
   val t2Sql: String =
@@ -100,18 +109,27 @@ object TextAnalysis {
   def t3_lang_id(s: SparkSession, dir: String): DataFrame = {
     val n = size(toks).cast("double")
     val enMarkers = array(lit("a"), lit("the"), lit("of"), lit("and"), lit("in"))
-    val deMarkers = array(lit("der"), lit("die"), lit("das"), lit("und"), lit("ist"))
     val enScore = size(filter(toks, t => array_contains(enMarkers, t))).cast("double") / n
-    val deScore = size(filter(toks, t => array_contains(deMarkers, t))).cast("double") / n
     Tables.documents(s, dir)
       .select(
         col("doc_id"), col("lang"),
         round4(enScore).as("en_score"),
-        when(enScore < lit(0.01) && deScore < lit(0.01), lit("unk"))
-          .when(deScore > enScore, lit("de"))
-          .otherwise(lit("en")).as("predicted"))
+        predictedExpr.as("predicted"))
       .withColumn("correct", (col("predicted") === col("lang")).cast("boolean"))
       .orderBy("doc_id")
+  }
+
+  /** t3's marker-profile language verdict as ONE per-row expression over
+    * `text` — factored for x39 (same reason as [[qualityExpr]]). */
+  private[graft] def predictedExpr: Column = {
+    val n = size(toks).cast("double")
+    val enMarkers = array(lit("a"), lit("the"), lit("of"), lit("and"), lit("in"))
+    val deMarkers = array(lit("der"), lit("die"), lit("das"), lit("und"), lit("ist"))
+    val enScore = size(filter(toks, t => array_contains(enMarkers, t))).cast("double") / n
+    val deScore = size(filter(toks, t => array_contains(deMarkers, t))).cast("double") / n
+    when(enScore < lit(0.01) && deScore < lit(0.01), lit("unk"))
+      .when(deScore > enScore, lit("de"))
+      .otherwise(lit("en"))
   }
 
   val t3Sql: String =

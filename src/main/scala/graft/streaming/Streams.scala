@@ -1989,6 +1989,171 @@ object Streams {
       .orderBy("q_id", "rank")
   }
 
+  case class GateIn(doc_id: Long, tag: String, other: Long,
+                     predicted: String, quality: Double, n_tokens: Long)
+  case class GateOut(doc_id: Long, verdict: String, dup_of: Option[Long],
+                      lang: String, quality: Double, n_tokens: Long)
+
+  /** X39: the RELEASE ADMISSION GATE ONLINE — c15's 'add' decision at
+    * ingest time: each arriving delta document gets its admission verdict
+    * against the FROZEN settled release artifacts within its trigger, the
+    * deployment shape of "decide at the door, compact at night" (vs
+    * c15's nightly batch fold). One verdict row per arriving doc,
+    * attributed to the FIRST tier that blocks it (c7's funnel-attribution
+    * discipline): `dup_settled` (an exact-digest partner already in the
+    * settled corpus — d12's content-key tier, with the partner id) →
+    * `eval_doc` → `not_english` → `low_quality` → `contaminated` (x37's
+    * bloom-pruned frozen-eval-gram machinery, t14's n ≥ 2 contract) →
+    * `admit`, with the admitted doc's split assigned at the door (c11's
+    * anchor hash — a just-admitted doc self-anchors by construction).
+    *
+    * Composition under the established streaming disciplines:
+    *  1. quality, language, token count, and the content digest are PURE
+    *     per-row expressions on the arriving row (t2/t3's exact factored
+    *     op sequences — `qualityExpr`/`predictedExpr`);
+    *  2. the two probes are stream-static equi-joins against frozen
+    *     settled artifacts that are never broadcast: the settled digest
+    *     index (digest → min settled doc_id) and the eval gram index
+    *     behind x37's bloom literal;
+    *  3. the verdict is ONE in-trigger gather (x37's discipline: every
+    *     probe row derives from the doc's single arriving row, so a doc
+    *     never spans triggers; group state declared, never written).
+    *
+    * Delegation contract (x30/x33/x36's pattern, stated not hidden): the
+    * NEAR-dup tier is not decided online — MinHash banding needs the
+    * corpus-derived shingle dictionary plus a per-doc signature reduction
+    * BEFORE the candidate join, a second stateful stage feeding a third —
+    * so a delta doc whose only blocker is a near-duplicate is admitted
+    * here and the nightly c15 fold finalizes it (and all retires). The
+    * oracle is the admission relation with exactly that tier absent on
+    * both sides; the two-sided delegation gap vs c15's adds is
+    * spec-pinned (every c15 add missing here has a settled digest
+    * partner; every admit missing from c15 is a merged-component
+    * non-representative). */
+  def x39_stream_release_admission(s: SparkSession, dir: String): DataFrame = {
+    val out = x39Out(s, dir).toDF()
+      .withColumn("split", when(col("verdict") === "admit",
+        graft.queries.Pipeline.splitOf(col("doc_id"))))
+    runToMemory(out, OutputMode.Append(), s"x39_mem_${System.nanoTime()}")
+      .orderBy("doc_id")
+  }
+
+  /** x39's pre-sink pipeline — factored so `StreamingSpec` can assert the
+    * structural contract (exactly one state operator) on the running
+    * query. */
+  private[graft] def x39Out(s: SparkSession, dir: String): Dataset[GateOut] =
+    x39Gate(s, dir)(docsStream(s, dir))
+
+  private[graft] def x39Gate(s: SparkSession, dir: String)(
+      docsIn: DataFrame): Dataset[GateOut] = {
+    import s.implicits._
+    graft.functions.BloomBridge.register(s)
+    val N = 3
+    // frozen settled artifacts — static sides, equi-joined, never broadcast
+    val digS = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+      .groupBy(md5(substring(col("text"), 1, 64)).as("h"))
+      .agg(min(col("doc_id")).as("base_id"))
+    val ev = graft.queries.TextAnalysis.docGramsStr(s, dir, N)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("gram"), col("doc_id").as("eval_doc"))
+      .distinct()
+    val sketch = decontamSketch(s, ev)
+    val withStats = docsIn.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"),
+        graft.queries.TextAnalysis.qualityExpr.as("quality"),
+        graft.queries.TextAnalysis.predictedExpr.as("predicted"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(substring(col("text"), 1, 64)).as("h"))
+    // leg 1 — 'self': guarantees a verdict row even with zero probe hits
+    val self = withStats.select(col("doc_id"), lit("self").as("tag"),
+      lit(-1L).as("other"), col("predicted"), col("quality"), col("n_tokens"))
+    // leg 2 — 'dup': the settled exact-digest probe (≤ 1 row per doc)
+    val dup = withStats.select(col("doc_id"), col("h"))
+      .join(digS, Seq("h"))
+      .select(col("doc_id"), lit("dup").as("tag"), col("base_id").as("other"),
+        lit("").as("predicted"), lit(0.0).as("quality"), lit(0L).as("n_tokens"))
+    // leg 3 — 'cont': x37's bloom-pruned gram probe + exact verify
+    val gramsExpr = expr(
+      s"transform(sequence(1, size(split(text, ' ')) - ${N - 1}), " +
+      s"i -> concat_ws(' ', slice(split(text, ' '), i, $N)))")
+    val cont = withStats
+      .filter(col("doc_id") % 100 =!= 0)
+      .filter(size(split(col("text"), " ")) >= N)
+      .select(col("doc_id"), explode(array_distinct(gramsExpr)).as("gram"))
+      .filter(call_function("might_contain", lit(sketch), xxhash64(col("gram"))))
+      .join(ev, Seq("gram"))
+      .select(col("doc_id"), lit("cont").as("tag"), col("eval_doc").as("other"),
+        lit("").as("predicted"), lit(0.0).as("quality"), lit(0L).as("n_tokens"))
+    val probes = self.unionByName(dup).unionByName(cont).as[GateIn]
+    probes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, GateOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, it: Iterator[GateIn], _: GroupState[Long]) =>
+          val rows = it.toSeq
+          val st = rows.find(_.tag == "self").get
+          val dupOf = rows.filter(_.tag == "dup").map(_.other).sorted.headOption
+          // the train side is distinct per (doc, gram) by array_distinct
+          // AND the static side is distinct per (gram, eval_doc), so row
+          // counts per eval doc ARE t14's count(DISTINCT gram) — x37's
+          // exact argument
+          val contaminated = rows.filter(_.tag == "cont")
+            .groupBy(_.other).exists(_._2.size >= 2)
+          val verdict =
+            if (dupOf.nonEmpty) "dup_settled"
+            else if (id % 100 == 0) "eval_doc"
+            else if (st.predicted != "en") "not_english"
+            else if (st.quality < 0.5) "low_quality"
+            else if (contaminated) "contaminated"
+            else "admit"
+          Iterator.single(GateOut(id, verdict,
+            if (verdict == "dup_settled") dupOf else None,
+            st.predicted, st.quality, st.n_tokens))
+      }
+  }
+
+  /** x39's oracle: the same admission relation batch-side — per-doc gates
+    * from the t2/t3/t14 oracles verbatim, the settled digest tier as a
+    * LEFT JOIN, verdicts in the gate's precedence order, split assigned
+    * only on admit. The near-dup tier is absent on BOTH sides (the stated
+    * delegation to c15's fold). */
+  val x39Sql: String =
+    s"""WITH q AS (
+       |${graft.queries.TextAnalysis.t2Sql}
+       |), p AS (
+       |${graft.queries.TextAnalysis.t3Sql}
+       |), cont AS (
+       |${graft.queries.TextAnalysis.t14Sql}
+       |), digb AS (
+       |  SELECT md5(substring(text, 1, 64)) AS h, min(doc_id) AS base_id
+       |  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+       |), d AS (
+       |  SELECT doc_id, md5(substring(text, 1, 64)) AS h,
+       |         len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents WHERE doc_id % 10 = 0
+       |), v AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN b.base_id IS NOT NULL THEN 'dup_settled'
+       |         WHEN d.doc_id % 100 = 0 THEN 'eval_doc'
+       |         WHEN p.predicted <> 'en' THEN 'not_english'
+       |         WHEN q.quality < 0.5 THEN 'low_quality'
+       |         WHEN EXISTS (SELECT 1 FROM cont
+       |                      WHERE cont.train_doc = d.doc_id AND cont.n_shared >= 2)
+       |           THEN 'contaminated'
+       |         ELSE 'admit' END AS verdict,
+       |    b.base_id AS dup_of, p.predicted AS lang, q.quality, d.n_tokens
+       |  FROM d
+       |  JOIN p ON p.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  LEFT JOIN digb b ON b.h = d.h
+       |)
+       |SELECT doc_id, verdict, dup_of, lang, quality, n_tokens,
+       |  CASE WHEN verdict = 'admit' THEN
+       |    CASE WHEN substring(md5('split:' || doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+       |         WHEN substring(md5('split:' || doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+       |         ELSE 'test' END
+       |  END AS split
+       |FROM v ORDER BY doc_id""".stripMargin
+
   /** X34: ONLINE INDEX INGEST — the streaming half of s18's incremental
     * vector index: delta embeddings ARRIVE as traffic and each is routed
     * and PQ-encoded against the FROZEN settled index entirely as per-row
@@ -2635,6 +2800,7 @@ object Streams {
     "x27_stream_perplexity"    -> (x27_stream_perplexity _),
     "x26_stream_ann_topk"      -> (x26_stream_ann_topk _),
     "x38_stream_sq8_serve"     -> (x38_stream_sq8_serve _),
+    "x39_stream_release_admission" -> (x39_stream_release_admission _),
     "x25_stream_chunk_dedup"   -> (x25_stream_chunk_dedup _),
     "x22_stream_incr_dedup"    -> (x22_stream_incr_dedup _),
     "x21_tws_admission"        -> (x21_tws_admission _),
@@ -2684,6 +2850,7 @@ object Streams {
     "x38_stream_sq8_serve"     -> graft.queries.Similarity.s22SqlAt(
       graft.queries.Similarity.Sq8DepthUnbounded,
       graft.queries.Similarity.ServingNprobeDefault),
+    "x39_stream_release_admission" -> x39Sql,
     "x25_stream_chunk_dedup"   -> x25Sql,
     "x24_stream_chunking"      -> graft.queries.TextAnalysis.t23Sql,
     "x20_stream_packing"       -> x20Sql,

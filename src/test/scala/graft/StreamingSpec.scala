@@ -488,6 +488,51 @@ class StreamingSpec extends SparkSpec {
     assert(online == batch, "x37 must replay to t14's exact relation")
   }
 
+  test("online release admission: ONE state operator; two-sided delegation gap vs c15 pinned (x39)") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.streaming.Streams
+    val name = s"x39_struct_${System.nanoTime()}"
+    val q = Streams.x39Out(spark, dir).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // structure: stats are per-row expressions, both probes stream-static
+    // equi-joins — the per-doc verdict gather is the ONLY stateful operator
+    val ops = q.recentProgress.flatMap(_.stateOperators.map(_.operatorName)).distinct
+    assert(ops.toSeq == Seq("flatMapGroupsWithState"),
+      s"expected exactly the verdict-gather FMGWS operator: ${ops.mkString(",")}")
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // exactly one verdict per arriving delta doc
+    val deltaDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(out.length.toLong == deltaDocs)
+    val admits = out.filter(_._2 == "admit").map(_._1).toSet
+    // the delegation contract, checked from BOTH sides against c15's fold:
+    val adds = graft.queries.Pipeline.c15_manifest_increment(spark, dir)
+      .filter(col("action") === "add")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1. a c15 add the gate rejected can only be blocked by the EXACT-digest
+    //    tier (the tier x39 gates earlier than c15's near-dup components)
+    val dig = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val settledDigs = dig.collect { case (id, h) if id % 10 != 0 => h }.toSet
+    for (id <- adds -- admits)
+      assert(settledDigs(dig(id)),
+        s"c15 add $id rejected online without a settled digest partner")
+    // 2. an online admit c15 refuses can only be a near-dup non-representative
+    //    (the tier x39 delegates to the nightly fold)
+    val cluster = graft.queries.Dedup.d8_dup_clusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- admits -- adds)
+      assert(cluster.get(id).exists(_ != id),
+        s"online admit $id missing from c15 adds without a near-dup blocker")
+  }
+
   test("online SQ8 serve equals the batch depth-∞ serve; frozen-artifact routing (x38)") {
     val dir = "/root/testdata/sf0.001"
     import graft.streaming.Streams
