@@ -665,6 +665,33 @@ object Pipeline {
     * Emits (doc_id, trusted, score, keep) — the per-doc gate artifact a
     * filtering job ships. */
   def c14_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val (labels, score, _, _, tau) = c14Model(s, dir)
+    score.join(labels.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), (col("y") === 1.0).as("trusted"), col("score"),
+              (col("si") >= col("tau")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** The c14 TRAINING CHAIN staged per session — hashed-gram labels, the
+    * scored corpus, the trained (w, bias), and the half-budget threshold
+    * τ: ONE model shared by the batch gate ([[c14_quality_classifier]]/
+    * [[c14_gate_compare]]) and x40's online scorer, the frozen-artifact
+    * rule every online twin follows (x27's LM, x34's codebooks, x38's
+    * centroids — train offline, serve at the door). `Bench.clearShared`
+    * drops it so timed runs pay the honest training cost. Returns
+    * (labels(doc_id, n, y), score(doc_id, score, si), w(bucket, w),
+    * bias(bias), tau(tau)). */
+  private val c14Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]()
+
+  private[graft] def c14Model(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    QUtil.cachedPerSession(c14Cache, s, dir) { c14ModelUncached(s, dir) }
+
+  private def c14ModelUncached(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val DEC = "decimal(30,20)"
     val r6 = QUtil.round6 _
@@ -747,11 +774,7 @@ object Pipeline {
     val kRel = nRel.select(expr("(nn + 1) div 2").as("k"))
     val tau = cum.crossJoin(broadcast(kRel)).filter(col("cum") >= col("k"))
       .agg(max(col("si")).as("tau"))
-    score.join(labels.select(col("doc_id"), col("y")), Seq("doc_id"))
-      .crossJoin(broadcast(tau))
-      .select(col("doc_id"), (col("y") === 1.0).as("trusted"), col("score"),
-              (col("si") >= col("tau")).as("keep"))
-      .orderBy("doc_id")
+    (labels, score, w, bias, tau)
   }
 
   /** Oracle: every gradient iteration, the final margin pass, and the
@@ -916,8 +939,8 @@ object Pipeline {
   private val c15Cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
-  /** Drop the staged settled index (bench isolation). */
-  def clearShared(): Unit = c15Cache.clear()
+  /** Drop the staged settled index and the c14 model (bench isolation). */
+  def clearShared(): Unit = { c15Cache.clear(); c14Cache.clear() }
 
   private[graft] def c15SettledIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     QUtil.cachedPerSession(c15Cache, s, dir) {

@@ -2111,6 +2111,89 @@ object Streams {
       }
   }
 
+  case class QgIn(doc_id: Long, trusted: Boolean, bucket: String,
+                  w: Option[Double])
+  case class QgOut(doc_id: Long, trusted: Boolean, score: Double,
+                   keep: Boolean)
+
+  /** X40: c14's TRAINED QUALITY GATE ONLINE — the DCLM / FineWeb-Edu
+    * deployment shape of this round's lead batch operator: the classifier
+    * is TRAINED OFFLINE (c14's exact chain, staged per session via
+    * [[graft.queries.Pipeline.c14Model]] — ONE model, both paths) and
+    * arriving documents are scored and gated AS THEY LAND, completing the
+    * train-offline/serve-at-the-door pairs (t26→x27, s22→x38, c9→x37).
+    *
+    * Composition under the established disciplines:
+    *  1. the ≤ 257-row weight relation is a stream-static equi-join on
+    *     the hashed bucket key (LEFT outer: an unweighted bucket's grams
+    *     still count toward the doc's gram total n, contributing zero
+    *     margin — exactly the batch INNER margin join + full-count
+    *     labels.n semantics); bias and τ are 1-row frozen artifacts
+    *     folded via the sanctioned `boundedCollect`;
+    *  2. the per-doc margin is ONE in-trigger gather (x27's discipline:
+    *     every gram row derives from the doc's single arriving row;
+    *     group state declared, never written).
+    *
+    * EXACTNESS of the in-gather mirror (why online scores are bit-equal
+    * to batch): every operand sits on the 1e-6 grid (x = round6(cnt/n)
+    * replays the identical IEEE op sequence; w is grid-pinned by
+    * training), so the product double's shortest decimal representation
+    * has < 20 fractional digits and the DECIMAL(30,20) cast never
+    * rounds — `BigDecimal(x*w).setScale(20)` IS Spark's
+    * `Decimal(double).toPrecision` on these magnitudes (both go through
+    * the canonical shortest-string conversion), decimal addition is
+    * exact in any order, and the final `toDouble + bias` + round6 is the
+    * batch margin op-for-op. Shares c14's oracle (final-value
+    * fidelity). */
+  def x40_stream_quality_gate(s: SparkSession, dir: String): DataFrame =
+    runToMemory(x40Out(s, dir).toDF(), OutputMode.Append(),
+        s"x40_mem_${System.nanoTime()}")
+      .orderBy("doc_id")
+
+  private[graft] def x40Out(s: SparkSession, dir: String): Dataset[QgOut] =
+    x40Gate(s, dir)(docsStream(s, dir))
+
+  private[graft] def x40Gate(s: SparkSession, dir: String)(
+      docsIn: DataFrame): Dataset[QgOut] = {
+    import s.implicits._
+    val (_, _, w, bias, tau) = graft.queries.Pipeline.c14Model(s, dir)
+    val biasV = graft.plans.BroadcastContract.boundedCollect(bias,
+      "c14 bias: one row by aggregation").head.getDouble(0)
+    val tauV = graft.plans.BroadcastContract.boundedCollect(tau,
+      "c14 tau: one row over the bounded score grid").head.getLong(0)
+    val tk = split(col("text"), " ")
+    val grams = docsIn
+      .select(col("doc_id"), col("source"), tk.as("tk"), size(tk).as("nt"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("tk"),
+          when(col("nt") >= 2,
+            expr("transform(sequence(1, nt - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+            .otherwise(typedlit(Seq.empty[String])))).as("gram"))
+      .withColumn("bucket", substring(md5(col("gram").cast("binary")), 1, 2))
+      .join(w, Seq("bucket"), "left_outer") // stream-static; never broadcast-hinted
+      .select(col("doc_id"),
+              col("source").isin("src0", "src1").as("trusted"),
+              col("bucket"), col("w")).as[QgIn]
+    grams.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, QgOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, it: Iterator[QgIn], _: GroupState[Long]) =>
+          val rows = it.toSeq
+          val n = rows.size.toDouble // = labels.n: EVERY gram counts
+          val sd = rows.filter(_.w.isDefined).groupBy(_.bucket).toSeq
+            .map { case (_, rs) =>
+              // x = round6(cnt/n), the batch feature op-for-op; the
+              // decimal product mirror never rounds (scaladoc argument)
+              val x = math.floor(rs.size / n * 1000000.0 + 0.5) / 1000000.0
+              BigDecimal(x * rs.head.w.get).setScale(20,
+                BigDecimal.RoundingMode.HALF_EVEN)
+            }.sum
+          val m = math.floor((sd.toDouble + biasV) * 1000000.0 + 0.5) / 1000000.0
+          val si = math.floor(m * 1000000.0 + 0.5).toLong
+          Iterator.single(QgOut(id, rows.head.trusted, m, si >= tauV))
+      }
+  }
+
   /** x39's oracle: the same admission relation batch-side — per-doc gates
     * from the t2/t3/t14 oracles verbatim, the settled digest tier as a
     * LEFT JOIN, verdicts in the gate's precedence order, split assigned
@@ -2801,6 +2884,7 @@ object Streams {
     "x26_stream_ann_topk"      -> (x26_stream_ann_topk _),
     "x38_stream_sq8_serve"     -> (x38_stream_sq8_serve _),
     "x39_stream_release_admission" -> (x39_stream_release_admission _),
+    "x40_stream_quality_gate"  -> (x40_stream_quality_gate _),
     "x25_stream_chunk_dedup"   -> (x25_stream_chunk_dedup _),
     "x22_stream_incr_dedup"    -> (x22_stream_incr_dedup _),
     "x21_tws_admission"        -> (x21_tws_admission _),
@@ -2851,6 +2935,8 @@ object Streams {
       graft.queries.Similarity.Sq8DepthUnbounded,
       graft.queries.Similarity.ServingNprobeDefault),
     "x39_stream_release_admission" -> x39Sql,
+    // c14's exact relation online — shared oracle (final-value fidelity)
+    "x40_stream_quality_gate"  -> graft.queries.Pipeline.c14Sql,
     "x25_stream_chunk_dedup"   -> x25Sql,
     "x24_stream_chunking"      -> graft.queries.TextAnalysis.t23Sql,
     "x20_stream_packing"       -> x20Sql,

@@ -533,6 +533,29 @@ class StreamingSpec extends SparkSpec {
         s"online admit $id missing from c15 adds without a near-dup blocker")
   }
 
+  test("online quality gate scores bit-equal to the batch classifier; ONE state operator (x40)") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.streaming.Streams
+    val name = s"x40_struct_${System.nanoTime()}"
+    val q = Streams.x40Out(spark, dir).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // structure: weights are a stream-static join, bias/τ frozen literals —
+    // the per-doc margin gather is the ONLY stateful operator
+    val ops = q.recentProgress.flatMap(_.stateOperators.map(_.operatorName)).distinct
+    assert(ops.toSeq == Seq("flatMapGroupsWithState"),
+      s"expected exactly the margin-gather FMGWS operator: ${ops.mkString(",")}")
+    // final-value fidelity: identical rows to the batch trained gate —
+    // the in-gather decimal mirror must be bit-exact, not approximately so
+    val online = spark.table(name).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.queries.Pipeline.c14_quality_classifier(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(online == batch, "x40 must replay to c14's exact relation")
+  }
+
   test("online SQ8 serve equals the batch depth-∞ serve; frozen-artifact routing (x38)") {
     val dir = "/root/testdata/sf0.001"
     import graft.streaming.Streams
