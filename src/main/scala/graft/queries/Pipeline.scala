@@ -638,14 +638,18 @@ object Pipeline {
     *     every doc's probability pins to the same 6-dp point and the
     *     gate degenerates to keep-all — the η sweep caught this);
     *   - the gate: keep the top half of the score distribution (budget
-    *     K = ⌈N/2⌉) — selected WITHOUT a global doc sort: 6-dp-pinned
-    *     scores live on a bounded integer grid, so the exact rank
-    *     threshold τ falls out of a bounded score HISTOGRAM (group by
-    *     grid point, one cumulative sum over the bounded relation, τ =
-    *     max grid point whose from-top cumulative count reaches K) — the
-    *     t6 decile trick applied to quantile selection. Ties keep: the
-    *     keep-set is the smallest score-threshold superset of K docs, a
-    *     doc's fate depends only on its score.
+    *     K = ⌈N/2⌉) — selected WITHOUT a global doc sort and WITHOUT a
+    *     corpus-bound window: the 6-dp grid histogram (group by grid
+    *     point) is coarsened by the STRUCTURALLY bounded monotone key
+    *     ⌊100·σ(margin)⌋ ∈ [0,100]; the only unpartitioned window runs
+    *     over that ≤101-row coarse relation, and the per-grid-point
+    *     cumulative is partitioned by the single bucket where the K-th
+    *     rank crosses — t6's two-level decile shape applied to exact
+    *     quantile selection (the grid itself is corpus-bound in the
+    *     worst case, which the plan-audit spec rightly flags for a
+    *     single global window). Ties keep: the keep-set is the smallest
+    *     score-threshold superset of K docs, a doc's fate depends only
+    *     on its score.
     *
     * Scale shape: per training iteration ONE (doc,bucket)-keyed agg joined
     * against a ≤257-row broadcast weight relation — gradients are map-side
@@ -766,13 +770,33 @@ object Pipeline {
       .select(col("doc_id"), col("m").as("score"))
       .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
       .localCheckpoint() // consumed by the histogram and the output
-    // exact top-K threshold from the BOUNDED score-grid histogram — the
-    // single-partition window is over the grid, never the docs
+    // exact top-K threshold τ by TWO-LEVEL selection (t6's decile shape):
+    // the score grid is only practically small — in the worst case it has
+    // one point per doc, so a global window over it is corpus-bound. The
+    // sigmoid of the margin gives a STRUCTURALLY bounded monotone coarse
+    // key (bkt = ⌊100·σ(si/1e6)⌋ ∈ [0,100]); the one unpartitioned window
+    // runs over the ≤101-row coarse relation, the per-grid-point pass is
+    // PARTITIONED by the single crossing bucket, and τ is identical to
+    // the single-window form (the crossing grid point lives in the
+    // crossing bucket). The oracle keeps the plain one-window spelling —
+    // same τ, different plan.
     val hist = score.groupBy(col("si")).agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum", sum(col("c")).over(
-      Window.orderBy(col("si").desc).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("bkt",
+        floor(lit(100.0) / (lit(1.0) + exp(-col("si").cast("double") / lit(1000000.0))))
+          .cast("long"))
     val kRel = nRel.select(expr("(nn + 1) div 2").as("k"))
-    val tau = cum.crossJoin(broadcast(kRel)).filter(col("cum") >= col("k"))
+    val coarse = hist.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+      .withColumn("above", coalesce(sum(col("bc")).over(
+        Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bSel = coarse.crossJoin(broadcast(kRel))
+      .filter(col("above") < col("k") && col("above") + col("bc") >= col("k"))
+      .select(col("bkt"), col("above"), col("k"))
+    val tau = hist.join(broadcast(bSel), Seq("bkt"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("si").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("above") + col("cum") >= col("k"))
       .agg(max(col("si")).as("tau"))
     (labels, score, w, bias, tau)
   }
