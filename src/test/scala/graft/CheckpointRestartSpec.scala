@@ -440,12 +440,11 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(batchResult(out) == expectedCodes)
   }
 
-  test("contamination gate killed mid-replay emits each verdict exactly once (x37)") {
-    // L6 on the INGEST GATE: x37's only state is the in-trigger gather
-    // (never written), so its restart contract is pure source-offset
-    // resume — a kill between micro-batches must neither re-emit verdicts
-    // for already-committed training docs nor skip pending ones. The
-    // union of committed batches must equal t14's batch relation exactly.
+  /** The 4-chunk documents source shared by the ingest-gate restart tests
+    * (x37, x40): the docs table split into four parquet files so
+    * maxFilesPerTrigger=1 yields four micro-batches to kill between.
+    * Built once, guarded by the last chunk's presence. */
+  private def chunkedDocs4(): java.nio.file.Path = {
     val srcDir = Paths.get("/tmp/graft_stream",
       dir.replaceAll("[^A-Za-z0-9.]", "_"), "docs_chunked_4")
     val doneMarker = srcDir.resolve("3_chunk.parquet")
@@ -467,6 +466,16 @@ class CheckpointRestartSpec extends SparkSpec {
           .forEach(p => Files.deleteIfExists(p))
       }
     }
+    srcDir
+  }
+
+  test("contamination gate killed mid-replay emits each verdict exactly once (x37)") {
+    // L6 on the INGEST GATE: x37's only state is the in-trigger gather
+    // (never written), so its restart contract is pure source-offset
+    // resume — a kill between micro-batches must neither re-emit verdicts
+    // for already-committed training docs nor skip pending ones. The
+    // union of committed batches must equal t14's batch relation exactly.
+    val srcDir = chunkedDocs4()
     val base = Files.createTempDirectory("graft_x37_ckpt_").toString
     val (ckpt, out) = (s"$base/ckpt", s"$base/out")
     val expectedPairs: Set[Seq[Any]] =
@@ -496,6 +505,44 @@ class CheckpointRestartSpec extends SparkSpec {
     val q2 = startGate(availableNow = true)
     q2.awaitTermination()
     assert(batchResult(out) == expectedPairs)
+  }
+
+  test("trained quality gate killed mid-replay emits each verdict exactly once (x40)") {
+    // L6 on the MODEL GATE: like x37, x40's only state is the in-trigger
+    // margin gather (never written) — restart is pure source-offset
+    // resume against the frozen (w, bias, τ) artifacts, which are
+    // re-staged deterministically on the restarted session. The union of
+    // committed batches must equal c14's batch relation exactly.
+    val srcDir = chunkedDocs4()
+    val base = Files.createTempDirectory("graft_x40_ckpt_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val expectedRows: Set[Seq[Any]] =
+      queries.Pipeline.c14_quality_classifier(spark, dir)
+        .collect().map(_.toSeq).toSet
+    def startGate(availableNow: Boolean) = {
+      val schema = spark.read.parquet(srcDir.resolve("0_chunk.parquet").toString).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      Streams.x40Gate(spark, dir)(src).toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    val q1 = startGate(availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    val q2 = startGate(availableNow = true)
+    q2.awaitTermination()
+    assert(batchResult(out) == expectedRows)
   }
 
   test("global signature killed mid-replay resumes the exact decimal sums (x35)") {
