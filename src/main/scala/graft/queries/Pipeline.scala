@@ -1192,7 +1192,35 @@ object Pipeline {
        |$c15Sql
        |) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** C16: the GATED release manifest — the c-family's funnel completed as
+    * one shippable relation: c13's release manifest (deduplicated,
+    * language/quality-gated, decontaminated, leak-free-split) further
+    * gated by c14's TRAINED classifier keep-set — the DCLM / FineWeb-Edu
+    * funnel slot that c14's spec pinned, now code. Each surviving row
+    * carries the manifest columns plus the model score (the column a
+    * curriculum sampler orders by). One doc_id equi-join of two
+    * already-oracled relations — co-partitioned on the spine, costing
+    * nothing beyond its inputs at any scale; the trained gate's budget is
+    * ⌈N/2⌉ over the WHOLE corpus (c14's contract), so the kept manifest
+    * fraction is a measured outcome, not a parameter. */
+  def c16_gated_manifest(s: SparkSession, dir: String): DataFrame =
+    c13_release_manifest(s, dir)
+      .join(c14_quality_classifier(s, dir)
+              .filter(col("keep")).select(col("doc_id"), col("score")),
+            Seq("doc_id"))
+      .orderBy("doc_id")
+
+  /** Oracle: the c13 and c14 oracles verbatim as derived tables, joined
+    * on the doc spine with the keep gate applied. */
+  val c16Sql: String =
+    s"""SELECT m.doc_id, m.lang, m.quality, m.n_tokens, m.anchor, m.split,
+       |       g.score
+       |FROM ($c13Sql) m
+       |JOIN ($c14Sql) g ON g.doc_id = m.doc_id AND g.keep
+       |ORDER BY m.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_gated_manifest" -> (c16_gated_manifest _),
     "c15_manifest_increment" -> (c15_manifest_increment _),
     "c15_budget_delta" -> (c15_budget_delta _),
     "c14_gate_compare" -> (c14_gate_compare _),
@@ -1210,6 +1238,7 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c16_gated_manifest" -> c16Sql,
     "c15_manifest_increment" -> c15Sql,
     "c15_budget_delta" -> c15BudgetSql,
     "c14_gate_compare" -> c14CmpSql,

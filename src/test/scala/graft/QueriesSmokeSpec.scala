@@ -713,6 +713,15 @@ class QueriesSmokeSpec extends SparkSpec {
     val gated = man.filter(keepIds)
     assert(gated.nonEmpty && gated.length < man.length,
       s"model gate over c13: ${gated.length} of ${man.length}")
+    // ...and c16 ships exactly that composition as a relation: the gated
+    // manifest's doc set IS c13 ∩ c14-keep, with the model score carried
+    val c16 = graft.queries.Pipeline.c16_gated_manifest(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(c16.keySet == gated.toSet,
+      "c16 must be exactly the keep-gated manifest")
+    val scores = gate.map(g => g._1 -> g._3).toMap
+    assert(c16.forall { case (id, sc) => scores(id) == sc },
+      "c16 must carry the classifier's score per kept doc")
     // and the measured comparison row agrees with the gate relation
     val cmp = graft.queries.Pipeline.c14_gate_compare(spark, sf01).collect()(0)
     assert(cmp.getLong(1) == kept.length)
