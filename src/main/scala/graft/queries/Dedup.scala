@@ -746,7 +746,11 @@ object Dedup {
     * classified `dup_of_base` (its content hash exists in the base, with
     * the canonical base doc), `dup_in_delta` (first seen inside this
     * delta), or `unique`, plus the canonical `dup_of` pointer — exactly
-    * the drop-list an incremental ingest publishes.
+    * the drop-list an incremental ingest publishes. The content key is
+    * d1's family-wide PREFIX digest `md5(text[1..64])` — a deliberate
+    * convention where it gates admission: two docs sharing a 64-char
+    * prefix but diverging later hash equal here, and full-text equality
+    * is the near-dup machinery's job (d3's shingled Jaccard).
     *
     * Scale shape — the whole point of the query: the base side collapses
     * to its (hash, min doc_id) fingerprint aggregate BEFORE the join

@@ -694,21 +694,34 @@ object Pipeline {
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
     QUtil.cachedPerSession(c14Cache, s, dir) { c14ModelUncached(s, dir) }
 
-  private def c14ModelUncached(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val DEC = "decimal(30,20)"
-    val r6 = QUtil.round6 _
-    val eta = lit(QualityGdEta.toDouble)
+  /** C14's featurization, factored so the batch trainer and x40's online
+    * gate run the IDENTICAL op sequence (the t2/t3 `qualityExpr`/
+    * `predictedExpr` discipline applied to the gram pipeline — a future
+    * featurization change lands in both paths at once instead of
+    * desynchronizing them until the shared oracle trips): each document
+    * explodes into its unigram+bigram stream and every gram keys to its
+    * 256-way hashed bucket (first 2 hex chars of md5 — t28's space).
+    * Emits one row per gram OCCURRENCE: (doc_id, source, bucket). */
+  private[graft] def hashedGramBuckets(docs: DataFrame): DataFrame = {
     val tk = split(col("text"), " ")
-    val grams = Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("source"), tk.as("tk"), size(tk).as("nt"))
       .select(col("doc_id"), col("source"),
         explode(concat(col("tk"),
           when(col("nt") >= 2,
             expr("transform(sequence(1, nt - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
             .otherwise(typedlit(Seq.empty[String])))).as("gram"))
-      .withColumn("bucket", substring(md5(col("gram").cast("binary")), 1, 2))
+      .select(col("doc_id"), col("source"),
+              substring(md5(col("gram").cast("binary")), 1, 2).as("bucket"))
+  }
+
+  private def c14ModelUncached(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val DEC = "decimal(30,20)"
+    val r6 = QUtil.round6 _
+    val eta = lit(QualityGdEta.toDouble)
+    val grams = hashedGramBuckets(Tables.documents(s, dir))
     val db = grams.groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // feeds labels, features — one gram pass total
@@ -779,7 +792,15 @@ object Pipeline {
     // PARTITIONED by the single crossing bucket, and τ is identical to
     // the single-window form (the crossing grid point lives in the
     // crossing bucket). The oracle keeps the plain one-window spelling —
-    // same τ, different plan.
+    // same τ, different plan. Worst-case honesty: if margins concentrate
+    // into ONE sigmoid bucket (exactly the η ≥ 128 saturation regime the
+    // sweep recorded), the crossing bucket holds the whole grid and the
+    // partitionBy("bkt") pass degrades to a single corpus-bound-grid
+    // partition — the decomposition bounds the TYPICAL case, not the
+    // adversarial one; a hard bound would coarsen again on more sigmoid
+    // digits inside the crossing bucket (not done: the trained margins
+    // this gate ships are non-degenerate by the η sweep's own selection,
+    // and the skew case is the degenerate model we rejected).
     val hist = score.groupBy(col("si")).agg(count(lit(1)).as("c"))
       .withColumn("bkt",
         floor(lit(100.0) / (lit(1.0) + exp(-col("si").cast("double") / lit(1000000.0))))
@@ -1219,7 +1240,143 @@ object Pipeline {
        |JOIN ($c14Sql) g ON g.doc_id = m.doc_id AND g.keep
        |ORDER BY m.doc_id""".stripMargin
 
+  /** C17: the CURRICULUM — deterministic TRAINING-ORDER materialization
+    * over [[c16_gated_manifest]], the one standard stage between "manifest
+    * shipped" and "training run starts" (FineWeb-Edu / DoReMi-style staged
+    * training): the gated manifest's TRAIN split is stratified into 10
+    * stages by classifier-score decile and each stage is internally
+    * shuffled by a deterministic hash, emitting
+    * `(doc_id, stage, rank_in_stage, n_tokens, score)` — the exact read
+    * order a data loader consumes. Stage index ASCENDS with score, so a
+    * run that consumes stages in order anneals onto the highest-scoring
+    * decile last (the midtraining-anneal convention); within a stage the
+    * order is c5's portable LCG hash of doc_id (a curriculum must not
+    * replay crawl order — doc_id correlates with fetch time — and must
+    * not use rand(), or reruns and the oracle diverge).
+    *
+    * NO GLOBAL SORT at any step (the t6/c14 two-level discipline, both
+    * ranks):
+    *   - the score-decile rank: the 1e-6 score grid is coarsened by the
+    *     STRUCTURALLY bounded monotone key ⌊100·σ(si/1e6)⌋ ∈ [0,100];
+    *     per-bucket counts prefix-sum over that ≤101-row relation (the
+    *     only unpartitioned window), and the per-doc rank is off +
+    *     row_number PARTITIONED by bucket — global (si, doc_id) order
+    *     exactly, because the coarse key is a monotone function of si
+    *     (c14's τ-selection argument, reused for full ranking);
+    *   - the within-stage rank: the LCG hash h ∈ [0, 2³¹) is coarsened by
+    *     its top 8 bits (⌊h/2²³⌋ ∈ [0,256) — monotone in h, so within-
+    *     stage (h, doc_id) order exactly); per-(stage, bucket) counts
+    *     prefix-sum over the bounded ≤10×256-row relation (window
+    *     partitioned by stage), and the per-doc rank is off + row_number
+    *     PARTITIONED by (stage, bucket).
+    * The oracle keeps the plain one-window spellings — same ranks,
+    * different plan; the driver's hash equality is the decomposition
+    * proof (the c14 precedent).
+    *
+    * Scale shape: c16's inputs are the only corpus passes; everything
+    * added here is two bounded-relation prefix sums, two partitioned
+    * windows, and one bounded broadcast join each — nothing new grows
+    * with the corpus. The per-stage token budgets PARTITION the gated
+    * manifest's train-split token budget exactly (Σ stage tokens = c16
+    * train tokens, ranks contiguous 1..n per stage) — spec-pinned, the
+    * budget-identity discipline c15 established. */
+  def c17_curriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = c16_gated_manifest(s, dir)
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+      .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+      .withColumn("sbkt",
+        floor(lit(100.0) / (lit(1.0) + exp(-col("si").cast("double") / lit(1000000.0))))
+          .cast("long"))
+      .withColumn("h", pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+                            lit(2147483648L)))
+    // level 1: exact global score rank via the bounded sigmoid buckets
+    val sOff = m.groupBy(col("sbkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("sbkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("sbkt"), col("off"))
+    val total = m.agg(count(lit(1)).as("n"))
+    val staged = m.join(broadcast(sOff), Seq("sbkt"))
+      .withColumn("rnk", col("off") + row_number().over(
+        Window.partitionBy(col("sbkt")).orderBy(col("si"), col("doc_id"))).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("stage", expr("((rnk - 1) * 10) div n"))
+      .select(col("doc_id"), col("stage"), col("h"), col("n_tokens"), col("score"))
+    // level 2: within-stage rank in deterministic-shuffle order via the
+    // bounded (stage × 256) hash buckets
+    val hb = staged.withColumn("hbkt", floor(col("h") / lit(8388608L)).cast("long"))
+    val hOff = hb.groupBy(col("stage"), col("hbkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col("stage")).orderBy(col("hbkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stage"), col("hbkt"), col("off"))
+    hb.join(broadcast(hOff), Seq("stage", "hbkt"))
+      .withColumn("rank_in_stage", col("off") + row_number().over(
+        Window.partitionBy(col("stage"), col("hbkt"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("stage"), col("rank_in_stage"),
+              col("n_tokens"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: c16's oracle as a derived table; both ranks in the plain
+    * one-window spelling (global ORDER BY (si, doc_id); per-stage ORDER
+    * BY (h, doc_id)) — same relation, corpus-bound plan (the c14
+    * precedent: hash equality proves the two-level decomposition). */
+  val c17Sql: String =
+    s"""WITH cm AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens, score,
+       |         floor(score * 1000000.0 + 0.5)::BIGINT AS si,
+       |         ((doc_id * 1103515245 + 12345) % 2147483648 + 2147483648)
+       |           % 2147483648 AS h
+       |  FROM ($c16Sql) WHERE split = 'train'
+       |), r AS (
+       |  SELECT *, row_number() OVER (ORDER BY si, doc_id) AS rnk,
+       |         count(*) OVER () AS n
+       |  FROM cm
+       |), st AS (
+       |  SELECT doc_id, n_tokens, score, h,
+       |         (((rnk - 1) * 10) // n)::BIGINT AS stage
+       |  FROM r
+       |)
+       |SELECT doc_id, stage,
+       |  row_number() OVER (PARTITION BY stage ORDER BY h, doc_id)::BIGINT
+       |    AS rank_in_stage,
+       |  n_tokens, score
+       |FROM st ORDER BY doc_id""".stripMargin
+
+  /** C17's per-stage TOKEN-BUDGET rollup — the curriculum's schedule
+    * card: docs, tokens, and mean classifier score per stage (what a
+    * training plan allocates optimizer steps against). Bounded by the
+    * 10-row stage inventory at any scale; one aggregate over the
+    * curriculum. The partition identity (Σ stage_tokens = c16 train
+    * tokens) is spec-pinned. */
+  def c17_stage_budget(s: SparkSession, dir: String): DataFrame =
+    c17_curriculum(s, dir)
+      .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("stage_tokens"),
+           QUtil.round4(sum(col("si")).cast("double") / 1000000.0 / count(lit(1)))
+             .as("mean_score"))
+      .orderBy("stage")
+
+  /** Oracle: one aggregate over the c17 oracle as a derived table, the
+    * same exact-BIGINT micro-grid mean. */
+  val c17BudgetSql: String =
+    s"""SELECT stage, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS stage_tokens,
+       |  floor(sum(floor(score * 1000000.0 + 0.5)::BIGINT)::DOUBLE / 1000000.0
+       |        / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_score
+       |FROM (
+       |$c17Sql
+       |) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_curriculum" -> (c17_curriculum _),
+    "c17_stage_budget" -> (c17_stage_budget _),
     "c16_gated_manifest" -> (c16_gated_manifest _),
     "c15_manifest_increment" -> (c15_manifest_increment _),
     "c15_budget_delta" -> (c15_budget_delta _),
@@ -1238,6 +1395,8 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c17_curriculum" -> c17Sql,
+    "c17_stage_budget" -> c17BudgetSql,
     "c16_gated_manifest" -> c16Sql,
     "c15_manifest_increment" -> c15Sql,
     "c15_budget_delta" -> c15BudgetSql,

@@ -35,6 +35,19 @@ object Similarity {
   private val D = 64 // embedding dimensionality (TESTDATA.md)
   private val DEC = "decimal(30,20)"
 
+  /** Default bound of the deterministic training sample (`vec_id < m`,
+    * c2-ann's faiss `train()` contract). Single-sourced into BOTH the
+    * `spark.graft.semdedupSample` conf default and every oracle CTE that
+    * spells the sample (`es` / `es25`), so the two engines cannot diverge
+    * silently when this number changes (the QualityGdIters/QualityGdEta
+    * discipline). Overriding the conf at runtime is a production-shape
+    * experiment that TRADES ORACLE HASH-EQUALITY, exactly like
+    * `semdedupK` — the oracle always runs at this default. */
+  private[graft] val SemdedupSampleDefault = 1024
+
+  private def semdedupSample(s: SparkSession): Int =
+    s.conf.get("spark.graft.semdedupSample", SemdedupSampleDefault.toString).toInt
+
   /** Production-precision switch: exact-decimal folds (default) make every
     * dot product bit-identical across engines and execution orders — the
     * determinism the DuckDB oracle hashes against — at ~a few× the cost of
@@ -1230,7 +1243,7 @@ object Similarity {
     val ex = exactDecimals(s)
     graft.functions.DotProduct.register(s) // stage-1 prefilter is always native
     val k = s.conf.get("spark.graft.semdedupK", "10").toInt
-    val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
+    val m = semdedupSample(s)
     val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
     val p = s.conf.get("spark.graft.semdedupRouteProbes", "1").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -1311,7 +1324,7 @@ object Similarity {
   def c2_assign_audit(s: SparkSession, dir: String): DataFrame = {
     val ex = exactDecimals(s)
     val k = s.conf.get("spark.graft.semdedupK", "10").toInt
-    val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
+    val m = semdedupSample(s)
     val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
     val p = s.conf.get("spark.graft.semdedupRouteProbes", "1").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -1343,7 +1356,7 @@ object Similarity {
   private val annRouteCtesSql: String = {
     val sampleTrainCtes =
       s"""es AS (
-         |  SELECT * FROM e WHERE vec_id < 1024
+         |  SELECT * FROM e WHERE vec_id < $SemdedupSampleDefault
          |), c0 AS (
          |  SELECT vec_id AS cluster, i, v AS cv FROM es WHERE vec_id < 10
          |), c1 AS (
@@ -1462,7 +1475,7 @@ object Similarity {
     val ex = exactDecimals(s)
     graft.functions.DotProduct.register(s) // semdedupPrune's native prefilter
     val k = s.conf.get("spark.graft.semdedupK", "10").toInt
-    val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
+    val m = semdedupSample(s)
     val g = s.conf.get("spark.graft.semdedupRouteCells", "4").toInt
     val p = s.conf.get("spark.graft.semdedupRouteProbes", "1").toInt
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -3667,7 +3680,7 @@ object Similarity {
     val ex = exactDecimals(s)
     val (cosines, truth5, top1) = sq8EvalGround(s, dir)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val m = s.conf.get("spark.graft.semdedupSample", "1024").toInt
+    val m = semdedupSample(s)
     val trainEmb = emb.filter(col("vec_id") < m)
     val nCorpus = graft.plans.BroadcastContract.boundedCollect(
       emb.agg(count(lit(1)).as("n")),
@@ -3869,7 +3882,7 @@ object Similarity {
       s"""SELECT * FROM (SELECT $kn AS cells, count(*)::BIGINT AS total_scanned
          |    FROM isc_rootn) WHERE cells NOT IN (5, 10, 20)""".stripMargin
     s"""WITH $elemsSqlCte, $sq8SqlCtes, $sq8AuditCtes, es25 AS (
-      |  SELECT * FROM e WHERE vec_id < 1024
+      |  SELECT * FROM e WHERE vec_id < $SemdedupSampleDefault
       |), kn AS (
       |  SELECT floor(sqrt(count(*)))::INTEGER AS k FROM embeddings
       |),

@@ -1466,7 +1466,9 @@ object Streams {
     * hash — O(1) state per distinct hash, the same admission discipline as
     * x19. Batch d12 rebuilds the classification corpus-wide; this extends
     * it per document with no re-scan — identical final rows, shared
-    * oracle. */
+    * oracle. The content key is d1's family-wide PREFIX digest
+    * `md5(text[1..64])` (a deliberate admission convention — full-text
+    * equality is the near-dup machinery's job; see d12's scaladoc). */
   def x22_stream_incr_dedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val baseMin = Tables.documents(s, dir)
@@ -2001,7 +2003,11 @@ object Streams {
     * c15's nightly batch fold). One verdict row per arriving doc,
     * attributed to the FIRST tier that blocks it (c7's funnel-attribution
     * discipline): `dup_settled` (an exact-digest partner already in the
-    * settled corpus — d12's content-key tier, with the partner id) →
+    * settled corpus — d12's content-key tier, with the partner id; the
+    * key is d1's family-wide PREFIX digest `md5(text[1..64])`, a
+    * deliberate convention — full-text equality is the near-dup tier's
+    * job, which is exactly the tier this gate delegates to the nightly
+    * fold) →
     * `eval_doc` → `not_english` → `low_quality` → `contaminated` (x37's
     * bloom-pruned frozen-eval-gram machinery, t14's n ≥ 2 contract) →
     * `admit`, with the admitted doc's split assigned at the door (c11's
@@ -2137,13 +2143,16 @@ object Streams {
     * EXACTNESS of the in-gather mirror (why online scores are bit-equal
     * to batch): every operand sits on the 1e-6 grid (x = round6(cnt/n)
     * replays the identical IEEE op sequence; w is grid-pinned by
-    * training), so the product double's shortest decimal representation
-    * has < 20 fractional digits and the DECIMAL(30,20) cast never
-    * rounds — `BigDecimal(x*w).setScale(20)` IS Spark's
-    * `Decimal(double).toPrecision` on these magnitudes (both go through
-    * the canonical shortest-string conversion), decimal addition is
-    * exact in any order, and the final `toDouble + bias` + round6 is the
-    * batch margin op-for-op. Shares c14's oracle (final-value
+    * training), both sides convert the product double through the
+    * canonical shortest-string representation, and the mirror rounds to
+    * scale 20 with HALF_UP — `Decimal(double).toPrecision`'s own default
+    * mode — so the mirror equals Spark's DECIMAL(30,20) cast even when
+    * rounding is REACHED (x·w near 1e-12 can carry a shortest
+    * representation with > 20 fractional digits, so "the cast never
+    * rounds" is a typical-case observation, not a guarantee — the mode
+    * match is what makes the contract unconditional); decimal addition
+    * is exact in any order, and the final `toDouble + bias` + round6 is
+    * the batch margin op-for-op. Shares c14's oracle (final-value
     * fidelity). */
   def x40_stream_quality_gate(s: SparkSession, dir: String): DataFrame =
     runToMemory(x40Out(s, dir).toDF(), OutputMode.Append(),
@@ -2161,15 +2170,9 @@ object Streams {
       "c14 bias: one row by aggregation").head.getDouble(0)
     val tauV = graft.plans.BroadcastContract.boundedCollect(tau,
       "c14 tau: one row over the bounded score grid").head.getLong(0)
-    val tk = split(col("text"), " ")
-    val grams = docsIn
-      .select(col("doc_id"), col("source"), tk.as("tk"), size(tk).as("nt"))
-      .select(col("doc_id"), col("source"),
-        explode(concat(col("tk"),
-          when(col("nt") >= 2,
-            expr("transform(sequence(1, nt - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
-            .otherwise(typedlit(Seq.empty[String])))).as("gram"))
-      .withColumn("bucket", substring(md5(col("gram").cast("binary")), 1, 2))
+    // c14's featurization VERBATIM — the shared helper, not a re-spelling
+    // (the t2/t3 factoring discipline: one op sequence, two deployments)
+    val grams = graft.queries.Pipeline.hashedGramBuckets(docsIn)
       .join(w, Seq("bucket"), "left_outer") // stream-static; never broadcast-hinted
       .select(col("doc_id"),
               col("source").isin("src0", "src1").as("trusted"),
@@ -2185,8 +2188,11 @@ object Streams {
               // x = round6(cnt/n), the batch feature op-for-op; the
               // decimal product mirror never rounds (scaladoc argument)
               val x = math.floor(rs.size / n * 1000000.0 + 0.5) / 1000000.0
+              // HALF_UP = Spark's Decimal.toPrecision default, so the
+              // mirror matches the batch cast even in the rare case the
+              // rounding is REACHED (see the scaladoc's exactness note)
               BigDecimal(x * rs.head.w.get).setScale(20,
-                BigDecimal.RoundingMode.HALF_EVEN)
+                BigDecimal.RoundingMode.HALF_UP)
             }.sum
           val m = math.floor((sd.toDouble + biasV) * 1000000.0 + 0.5) / 1000000.0
           val si = math.floor(m * 1000000.0 + 0.5).toLong

@@ -778,6 +778,57 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("curriculum: stage budgets partition the gated train budget, deterministic order (c17)") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val cur = graft.queries.Pipeline.c17_curriculum(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getDouble(4)))
+    assert(cur.nonEmpty)
+    // the curriculum covers EXACTLY the gated manifest's train split —
+    // every train doc gets a slot, no val/test doc leaks into the order
+    val train = graft.queries.Pipeline.c16_gated_manifest(spark, sf01)
+      .filter(col("split") === "train")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(6)))
+    assert(cur.map(_._1).toSet == train.map(_._1).toSet,
+      "curriculum rows must be exactly the c16 train split")
+    // THE budget identity (c15's discipline): the per-stage token budgets
+    // PARTITION the gated manifest's train-split token budget exactly
+    val bud = graft.queries.Pipeline.c17_stage_budget(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bud.map(_._3).sum == train.map(_._2).sum,
+      "sum of stage token budgets must equal the c16 train token budget")
+    assert(bud.map(_._2).sum == train.length.toLong)
+    // per-stage budget rows agree with the per-doc relation
+    val byStage = cur.groupBy(_._2)
+    assert(bud.toSet == byStage.map { case (st, rs) =>
+      (st, rs.length.toLong, rs.map(_._4).sum) }.toSet)
+    // ranks are contiguous 1..n per stage — a loader streams each stage
+    // as a dense sequence, no gaps to special-case
+    for ((st, rs) <- byStage)
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong),
+        s"stage $st ranks not contiguous")
+    // stages are balanced deciles (sizes differ by at most 1) and ASCEND
+    // with score: consuming stages in order anneals onto the top decile
+    assert(byStage.values.map(_.length).max -
+           byStage.values.map(_.length).min <= 1)
+    val stages = byStage.keys.toSeq.sorted
+    assert(stages == (0L until stages.length.toLong),
+      "stage ids must be dense from 0")
+    for (Seq(a, b) <- stages.sliding(2))
+      assert(byStage(a).map(_._5).max <= byStage(b).map(_._5).min,
+        s"stage $a must not out-score stage $b")
+    // within a stage the order is the deterministic LCG shuffle — rank
+    // ascends with (h, doc_id), h = c5's portable hash, NOT with doc_id
+    // (crawl order) and NOT with score
+    def h(id: Long) = ((id * 1103515245L + 12345L) % 2147483648L
+                        + 2147483648L) % 2147483648L
+    for ((st, rs) <- byStage)
+      assert(rs.sortBy(_._3).map(r => (h(r._1), r._1)).toSeq ==
+             rs.map(r => (h(r._1), r._1)).sortBy(identity).toSeq,
+        s"stage $st not in LCG-shuffle order")
+  }
+
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
     val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
       .collect().map(_.toSeq).toSet
