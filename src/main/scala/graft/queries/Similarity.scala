@@ -3735,6 +3735,204 @@ object Similarity {
       .orderBy("cells")
   }
 
+  /** S25-ROUTED: the cell sweep ON THE PRODUCTION ASSIGNMENT PATH — the
+    * round-12 verdict's named carry-forward closed: [[s25_cell_sweep]]'s
+    * per-point corpus assignment is the exhaustive O(N·k) exact-decimal
+    * pass (the declared audit cost, ~200 s of the sf1 cold sweep at
+    * k = 141); this twin runs the IDENTICAL sweep — same sampled
+    * training, same points {5, 10, 20, ⌊√N⌋}, same p = 2 exact query
+    * routing, same int8 scan and re-rank — with the one O(N·k) term
+    * replaced by c2-ann's two-level routed assignment ([[annAssign]],
+    * g = max(2, ⌊√k⌋) pilots, 1 probe — c2_prune_audit's measured
+    * posture): per-vector work k → g + k/g ≈ 2√k, the cost curve a
+    * 100 TB index build actually pays. A SEPARATE suffixed query so
+    * s25's oracle legs stay byte-stable (the verdict's instruction);
+    * diffing this report against s25's same-cells rows IS the
+    * exact-vs-routed assignment recall delta — the last
+    * asserted-not-measured number in the ANN family, now a query.
+    * Query-side routing stays exact (|Q|·k, not corpus-scaled — the
+    * audit isolates the ASSIGNMENT approximation). Oracle mirrors the
+    * two-level route per point (c2-ann's chain, parameterized), so the
+    * routed assignment is hash-checked, not trusted. */
+  def s25_routed_sweep(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val (cosines, truth5, top1) = sq8EvalGround(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val m = semdedupSample(s)
+    val trainEmb = emb.filter(col("vec_id") < m)
+    val nCorpus = graft.plans.BroadcastContract.boundedCollect(
+      emb.agg(count(lit(1)).as("n")),
+      "s25 corpus count: one-row global aggregate")(0).getLong(0)
+    val kRoot = math.floor(math.sqrt(nCorpus.toDouble)).toInt
+    val qv = sq8Quantized(s, dir)
+    val qq = qv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
+    def sweepPoint(k: Int): (DataFrame, DataFrame) = {
+      val cent = trainCoarseOn(trainEmb, ex, k) // sampled training: O(m·k)
+      val g = math.max(2, math.floor(math.sqrt(k.toDouble)).toInt)
+      // the one difference vs s25: ~N·2√k routed assignment, not N·k
+      val asg = annAssign(emb, cent, ex, g, 1)
+        .select(col("vec_id"), col("cell").as("cluster"))
+      val route = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", sqDist(col("qemb"), col("cemb"), ex))
+        .withColumn("probe", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cluster"))))
+        .filter(col("probe") <= 2) // the serving width, literal
+        .select(col("q_id"), col("cluster"))
+      val scored = qv.join(asg, Seq("vec_id"))
+        .join(broadcast(route), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qq), Seq("q_id"))
+        .withColumn("iscore", call_function("dot_i8", col("qvec"), col("qq")))
+        .select(col("q_id"), col("vec_id"), col("iscore"))
+        .localCheckpoint()
+      val leg = scored
+        .withColumn("q_rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
+        .filter(col("q_rank") <= 50)
+        .join(cosines, Seq("q_id", "vec_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rk"), lit(k).as("cells"))
+      val scanned = scored.groupBy()
+        .agg(count(lit(1)).as("total_scanned"))
+        .select(lit(k).as("cells"), col("total_scanned"))
+      (leg, scanned)
+    }
+    val ks = if (Seq(5, 10, 20).contains(kRoot)) Seq(5, 10, 20)
+             else Seq(5, 10, 20, kRoot)
+    val points = ks.map(sweepPoint)
+    val report = recallReport(points.map(_._1).reduce(_ unionByName _),
+                              Seq("cells"), truth5, top1)
+    val scans = points.map(_._2).reduce(_ unionByName _)
+    report.join(scans, Seq("cells"))
+      .select(col("cells"), col("n_queries"), col("total_scanned"),
+              col("hits_total"), col("recall_at_5"), col("mrr"))
+      .orderBy("cells")
+  }
+
+  /** One k-point CTE chain of the s25-routed oracle: the s25 sampled
+    * training verbatim, then c2-ann's two-level route (g pilots, 1
+    * probe) in place of the exhaustive assignment; exact p = 2 query
+    * routing and the scored relation unchanged. `gExpr` is the pilot
+    * count as a SQL expression. */
+  private def s25RoutedPointCtes(tag: String, kExpr: String,
+                                 gExpr: String): String =
+    s"""c0_$tag AS (
+      |  SELECT vec_id AS cluster, i, v AS cv FROM es25 WHERE vec_id < $kExpr
+      |), c1_$tag AS (
+      |${assignAndMeanSql(s"c0_$tag", "es25")}
+      |), c2_$tag AS (
+      |${assignAndMeanSql(s"c1_$tag", "es25")}
+      |), pil_$tag AS (
+      |  SELECT cluster AS pcell, i, cv AS pv FROM c2_$tag WHERE cluster < $gExpr
+      |), cidx_$tag AS (
+      |  SELECT pcell, cluster FROM (
+      |    SELECT c.cluster, p.pcell,
+      |      row_number() OVER (PARTITION BY c.cluster
+      |        ORDER BY sum(((c.cv - p.pv) * (c.cv - p.pv))::DECIMAL(30,20))::DOUBLE,
+      |                 p.pcell) AS rn
+      |    FROM c2_$tag c JOIN pil_$tag p USING (i)
+      |    GROUP BY c.cluster, p.pcell)
+      |  WHERE rn = 1
+      |), v2p_$tag AS (
+      |  SELECT vec_id, pcell FROM (
+      |    SELECT e.vec_id, p.pcell,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - p.pv) * (e.v - p.pv))::DECIMAL(30,20))::DOUBLE,
+      |                 p.pcell) AS rn
+      |    FROM e JOIN pil_$tag p USING (i)
+      |    GROUP BY e.vec_id, p.pcell)
+      |  WHERE rn = 1
+      |), asg_$tag AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS rn
+      |    FROM e
+      |    JOIN v2p_$tag v ON v.vec_id = e.vec_id
+      |    JOIN cidx_$tag x ON x.pcell = v.pcell
+      |    JOIN c2_$tag c ON c.cluster = x.cluster AND c.i = e.i
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE rn = 1
+      |), route_$tag AS (
+      |  SELECT vec_id AS q_id, cluster FROM (
+      |    SELECT e.vec_id, c.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |                 c.cluster) AS probe
+      |    FROM e JOIN c2_$tag c USING (i)
+      |    WHERE e.vec_id % 100 = 0
+      |    GROUP BY e.vec_id, c.cluster)
+      |  WHERE probe <= 2
+      |), isc_$tag AS (
+      |  SELECT qq.vec_id AS q_id, dd.vec_id AS vec_id,
+      |         sum(qq.q * dd.q)::BIGINT AS iscore
+      |  FROM qv8 qq
+      |  JOIN route_$tag r ON r.q_id = qq.vec_id
+      |  JOIN asg_$tag a ON a.cluster = r.cluster
+      |  JOIN qv8 dd ON dd.vec_id = a.vec_id AND dd.i = qq.i
+      |              AND dd.vec_id <> qq.vec_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  def s25RoutedSql: String = {
+    val ks = Seq(5, 10, 20)
+    val kn = "(SELECT k FROM kn)"
+    val gn = "(SELECT greatest(2, floor(sqrt(k)))::INTEGER FROM kn)"
+    def gOf(k: Int) = math.max(2, math.floor(math.sqrt(k.toDouble)).toInt)
+    val pointCtes = ks.map(k =>
+        s25RoutedPointCtes(s"r$k", k.toString, gOf(k).toString)) :+
+      s25RoutedPointCtes("rrootn", kn, gn)
+    val legs = ks.map(k => s25LegSql(s"r$k", k.toString)) :+
+      s25LegSql("rrootn", kn, guarded = true)
+    val scans = ks.map(k =>
+      s"SELECT $k AS cells, count(*)::BIGINT AS total_scanned FROM isc_r$k") :+
+      s"""SELECT * FROM (SELECT $kn AS cells, count(*)::BIGINT AS total_scanned
+         |    FROM isc_rrootn) WHERE cells NOT IN (5, 10, 20)""".stripMargin
+    s"""WITH $elemsSqlCte, $sq8SqlCtes, $sq8AuditCtes, es25 AS (
+      |  SELECT * FROM e WHERE vec_id < $SemdedupSampleDefault
+      |), kn AS (
+      |  SELECT floor(sqrt(count(*)))::INTEGER AS k FROM embeddings
+      |),
+      |${pointCtes.mkString(",\n")},
+      |sys AS (
+      |  ${legs.mkString("\n  UNION ALL\n  ")}
+      |), perq AS (
+      |  SELECT sy.cells, sy.q_id,
+      |    sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits5,
+      |    max(CASE WHEN sy.vec_id = o.top1
+      |        THEN floor(1000000.0 / sy.rk + 0.5)::BIGINT END) AS rr_micro
+      |  FROM sys sy
+      |  LEFT JOIN truth5 t ON t.q_id = sy.q_id AND t.vec_id = sy.vec_id
+      |  JOIN top1 o ON o.q_id = sy.q_id
+      |  GROUP BY 1, 2
+      |), legk AS (SELECT DISTINCT cells FROM sys
+      |), perqf AS (
+      |  SELECT g.cells, coalesce(p.hits5, 0)::BIGINT AS hits5, p.rr_micro
+      |  FROM (SELECT l.cells, t.q_id FROM legk l, top1 t) g
+      |  LEFT JOIN perq p ON p.cells = g.cells AND p.q_id = g.q_id
+      |), rep AS (
+      |  SELECT cells, count(*)::BIGINT AS n_queries,
+      |    sum(hits5)::BIGINT AS hits_total,
+      |    floor(sum(hits5)::DOUBLE / (count(*) * 5.0) * 10000.0 + 0.5) / 10000.0
+      |      AS recall_at_5,
+      |    floor(sum(coalesce(rr_micro, 0))::DOUBLE / count(*) / 1000000.0 * 10000.0 + 0.5)
+      |      / 10000.0 AS mrr
+      |  FROM perqf GROUP BY 1
+      |), sc AS (
+      |  ${scans.mkString("\n  UNION ALL\n  ")}
+      |)
+      |SELECT r.cells, r.n_queries, sc.total_scanned, r.hits_total,
+      |       r.recall_at_5, r.mrr
+      |FROM rep r JOIN sc USING (cells)
+      |ORDER BY r.cells""".stripMargin
+  }
+
   /** One router-audit leg of the s24 oracle: `src` = isc22 (label router)
     * or isc24 (trained router). */
   private def s24LegSql(src: String, router: String, p: Int): String =
@@ -4180,6 +4378,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s25_cell_sweep" -> (s25_cell_sweep _),
+    "s25_routed_sweep" -> (s25_routed_sweep _),
     "s24_router_audit" -> (s24_router_audit _),
     "s23_sq8_grid" -> (s23_sq8_grid _),
     "s22_ivf_sq8" -> (s22_ivf_sq8 _),
@@ -4214,6 +4413,7 @@ object Similarity {
 
   lazy val oracles: Map[String, String] = Map(
     "s25_cell_sweep" -> s25Sql,
+    "s25_routed_sweep" -> s25RoutedSql,
     "s24_router_audit" -> s24Sql,
     "s23_sq8_grid" -> s23Sql,
     "s22_ivf_sq8" -> s22Sql,
