@@ -125,7 +125,17 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
     }
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
+    // the streaming x-block runs FIRST (round-12 verdict, bench hygiene):
+    // in a 200+-query single-JVM sweep the block runs last alphabetically,
+    // where accumulated block-manager/heap pressure inflated x11–x17 by
+    // 2–4× in rounds 11/12 — with the window-normalized flags moving
+    // DISJOINTLY between runs and none reproducing isolated. Fronting the
+    // block times it in the same clean-JVM state its isolated re-runs
+    // use, so in-sweep streaming numbers are judgeable from the artifact
+    // alone; batch queries are insensitive to the swap (their inputs are
+    // re-read parquet, their caches cleared per run either way).
+    val timings = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (if (name.startsWith("x")) 0 else 1, name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var good = (1 to nRuns).flatMap(_ => timedRun(name, fn))

@@ -1286,21 +1286,21 @@ object Pipeline {
       .filter(col("split") === "train")
       .select(col("doc_id"), col("n_tokens"), col("score"))
       .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
-      .withColumn("sbkt",
+      .withColumn("bkt",
         floor(lit(100.0) / (lit(1.0) + exp(-col("si").cast("double") / lit(1000000.0))))
           .cast("long"))
       .withColumn("h", pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
                             lit(2147483648L)))
     // level 1: exact global score rank via the bounded sigmoid buckets
-    val sOff = m.groupBy(col("sbkt")).agg(count(lit(1)).as("bn"))
+    val sOff = m.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum(col("bn")).over(
-        Window.orderBy(col("sbkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("sbkt"), col("off"))
+      .select(col("bkt"), col("off"))
     val total = m.agg(count(lit(1)).as("n"))
-    val staged = m.join(broadcast(sOff), Seq("sbkt"))
+    val staged = m.join(broadcast(sOff), Seq("bkt"))
       .withColumn("rnk", col("off") + row_number().over(
-        Window.partitionBy(col("sbkt")).orderBy(col("si"), col("doc_id"))).cast("long"))
+        Window.partitionBy(col("bkt")).orderBy(col("si"), col("doc_id"))).cast("long"))
       .crossJoin(broadcast(total))
       .withColumn("stage", expr("((rnk - 1) * 10) div n"))
       .select(col("doc_id"), col("stage"), col("h"), col("n_tokens"), col("score"))
@@ -1374,7 +1374,90 @@ object Pipeline {
        |$c17Sql
        |) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** C18: the curriculum SHARD MANIFEST — t19's concat-and-chunk packing
+    * applied in TRAINING ORDER, the terminal artifact of the release
+    * funnel: [[c17_curriculum]]'s per-stage sequence laid end to end and
+    * cut into fixed L = 128-token shards, emitting per (stage, shard) the
+    * token fill, document count, and document-start count (where the
+    * attention masks / EOD tokens go) — the shard map a trainer's data
+    * loader reads stage by stage. Shards never cross stages: the anneal
+    * boundary is a shard boundary by construction, so a stage can be
+    * re-consumed or re-weighted without re-packing its neighbors. (x20 is
+    * the ONLINE placement machinery of this shape — per-key running-offset
+    * state at ingest; c18 is the batch manifest in curriculum order.)
+    *
+    * The load-bearing primitive is the per-doc token offset within its
+    * stage — an exact prefix sum in rank order. No corpus-bound window
+    * (t19's decomposition, keyed by the curriculum's own dense ranks):
+    * running sums WITHIN ⌈rank/256⌉ buckets (windows partitioned by
+    * (stage, bucket)), per-bucket totals prefix-summed in a window
+    * partitioned by stage over the n/256-row bucket relation
+    * ([[TextAnalysis.packBucketWidth]] — the declared scaling knob), the
+    * bounded offset relation broadcast back. One shuffle for the final
+    * per-shard aggregation; output is shard-manifest-sized, not
+    * corpus-sized. Spec pins the per-stage fill identity: shard fills sum
+    * to [[c17_stage_budget]]'s stage tokens, every non-terminal shard
+    * full. */
+  def c18_shard_manifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 128L
+    val W = TextAnalysis.packBucketWidth
+    val cur = c17_curriculum(s, dir)
+      .select(col("doc_id"), col("stage"), col("rank_in_stage"), col("n_tokens"))
+      .withColumn("rbkt", expr(s"(rank_in_stage - 1) div $W"))
+    val inBkt = Window.partitionBy(col("stage"), col("rbkt"))
+      .orderBy(col("rank_in_stage"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktOff = Window.partitionBy(col("stage")).orderBy(col("rbkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cur.groupBy(col("stage"), col("rbkt"))
+      .agg(sum(col("n_tokens")).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(bktOff), lit(0L)))
+      .select(col("stage"), col("rbkt"), col("boff"))
+    val totals = cur.groupBy(col("stage")).agg(sum(col("n_tokens")).as("total"))
+    cur.withColumn("brun", coalesce(sum(col("n_tokens")).over(inBkt), lit(0L)))
+      .join(broadcast(offsets), Seq("stage", "rbkt"))
+      .withColumn("off", col("boff") + col("brun"))
+      .select(col("stage"), col("off"), col("n_tokens"),
+              explode(sequence(expr(s"off div $L"),
+                               expr(s"(off + n_tokens - 1) div $L"))).as("shard"))
+      .groupBy(col("stage"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(expr(s"off div $L") === col("shard"), 1L)
+             .otherwise(0L)).as("n_starts"))
+      .join(broadcast(totals), Seq("stage"))
+      .select(col("stage"), col("shard"),
+              least(lit(L), col("total") - col("shard") * L).as("n_tokens"),
+              col("n_docs"), col("n_starts"))
+      .orderBy("stage", "shard")
+  }
+
+  /** Oracle: the c17 oracle as a derived table, the offset in t19's plain
+    * one-window spelling (partitioned by stage), the same chunk
+    * explosion. */
+  val c18Sql: String =
+    s"""WITH cur AS MATERIALIZED (
+       |$c17Sql
+       |), o AS (
+       |  SELECT doc_id, stage, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY stage ORDER BY rank_in_stage
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+       |  FROM cur
+       |), t AS (SELECT stage, sum(n_tokens)::BIGINT AS total FROM cur GROUP BY 1),
+       |ch AS (
+       |  SELECT stage, off, n_tokens,
+       |    unnest(range(off // 128, (off + n_tokens - 1) // 128 + 1)) AS shard
+       |  FROM o
+       |)
+       |SELECT ch.stage, shard::BIGINT AS shard,
+       |  least(128, t.total - shard * 128)::BIGINT AS n_tokens,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN off // 128 = shard THEN 1 ELSE 0 END)::BIGINT AS n_starts
+       |FROM ch JOIN t USING (stage)
+       |GROUP BY ch.stage, shard, t.total ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_shard_manifest" -> (c18_shard_manifest _),
     "c17_curriculum" -> (c17_curriculum _),
     "c17_stage_budget" -> (c17_stage_budget _),
     "c16_gated_manifest" -> (c16_gated_manifest _),
@@ -1395,6 +1478,7 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c18_shard_manifest" -> c18Sql,
     "c17_curriculum" -> c17Sql,
     "c17_stage_budget" -> c17BudgetSql,
     "c16_gated_manifest" -> c16Sql,

@@ -829,6 +829,35 @@ class QueriesSmokeSpec extends SparkSpec {
         s"stage $st not in LCG-shuffle order")
   }
 
+  test("shard manifest: per-stage fills sum to the stage budget, dense shards (c18)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val man = graft.queries.Pipeline.c18_shard_manifest(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getLong(4)))
+    assert(man.nonEmpty)
+    val bud = graft.queries.Pipeline.c17_stage_budget(spark, sf01)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val byStage = man.groupBy(_._1)
+    // every curriculum stage gets a shard sequence, no phantom stages
+    assert(byStage.keySet == bud.keySet)
+    for ((st, shards) <- byStage) {
+      // shard ids are dense from 0 — a loader streams them as files
+      assert(shards.map(_._2).sorted.toSeq == (0L until shards.length.toLong),
+        s"stage $st shards not dense")
+      // THE fill identity: shard fills partition the stage token budget
+      // (c17's budget rows), so nothing is dropped or double-packed
+      assert(shards.map(_._3).sum == bud(st)._2,
+        s"stage $st shard fills do not sum to the stage budget")
+      // concat packing: every non-terminal shard is exactly full
+      val last = shards.map(_._2).max
+      assert(shards.filter(_._2 < last).forall(_._3 == 128L),
+        s"stage $st has a short non-terminal shard")
+      // each doc starts in exactly one shard
+      assert(shards.map(_._5).sum == bud(st)._1,
+        s"stage $st doc starts do not sum to the stage doc count")
+    }
+  }
+
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
     val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
       .collect().map(_.toSeq).toSet
