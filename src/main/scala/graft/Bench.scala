@@ -72,6 +72,21 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
+    // ... and the STREAMING machinery: with the x-block fronted (see the
+    // sort key below), the first timed query would otherwise pay the
+    // one-time streaming costs — micro-batch execution codegen, the HDFS
+    // state-store provider, and the RocksDB provider's JNI load — that
+    // the old alphabetical order buried mid-sweep (first observed when
+    // fronting moved x10 from 4.2 s to 20.3 s: all of it first-query
+    // init, none of it x10). One cheap FMGWS query + one cheap
+    // TWS/RocksDB query cover both provider stacks; failures are
+    // non-fatal (a warmup must never kill the sweep).
+    try {
+      graft.streaming.Streams.x19_stream_admission(spark, sfDir).count()
+      graft.streaming.Streams.x21_tws_admission(spark, sfDir).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming warmup failed: ${e.getMessage}")
+    }
     // MACHINE-WINDOW CALIBRATION: a fixed, deterministic, CPU-bound job —
     // SF-independent, no I/O after codegen — timed 3×, min reported as
     // "calib" in the artifact. Motivation (round 9): two full benches of
