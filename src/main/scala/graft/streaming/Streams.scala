@@ -2200,6 +2200,168 @@ object Streams {
       }
   }
 
+  case class PlaceIn(doc_id: Long, stage: Long, n_tok: Long, base: Long)
+  case class PlaceOut(doc_id: Long, stage: Long, off: Long, shard: Long)
+
+  /** X41: SHARD PLACEMENT AT THE DOOR — c18's ingest-side twin, completing
+    * the release funnel's online chain (x39 admits, x40 keeps, x41 PLACES):
+    * each arriving document that clears the frozen per-row gates is
+    * appended to its curriculum stage's shard tail the moment it lands,
+    * emitting (doc_id, stage, off, shard) — the provisional placement a
+    * streaming loader feed consumes between nightly rebuilds.
+    *
+    * Three frozen artifacts, all release-shipped and all structurally
+    * bounded (x34's fold-to-literal rule):
+    *  1. c14's model — but unlike x40's stateful in-trigger gather, the
+    *     margin here is a PURE PER-ROW EXPRESSION: the ≤ 256-entry weight
+    *     relation folds into a literal map and the per-doc per-bucket sum
+    *     runs inside `aggregate()` over the gram array with a
+    *     DECIMAL(30,20) accumulator — bit-equal to the batch fold (same
+    *     product set: distinct weighted buckets; each product double→
+    *     decimal through the canonical conversion; decimal addition exact
+    *     in any order; intermediate re-casts to (30,20) lossless at these
+    *     magnitudes), and legal as an expression precisely BECAUSE the
+    *     weight space is hash-bounded. This keeps the query at ONE
+    *     stateful operator — a second gather before the offset state would
+    *     chain two FMGWS stages, which structured streaming forbids;
+    *  2. the shipped curriculum's stage boundaries — stage s's minimum
+    *     score grid point, a ≤ 10-row artifact of [[graft.queries.Pipeline
+    *     .c17_curriculum]]; the arriving doc takes the HIGHEST stage whose
+    *     boundary its score clears (c17's stages ascend with score, so the
+    *     boundary array is monotone). Boundary TIES are the one stated
+    *     divergence from batch: c17 splits an si-tie group across stages
+    *     by exact rank, which no door decision can know — the threshold
+    *     rule is the shipped serving contract and the oracle applies the
+    *     SAME rule, so the relation is self-consistent;
+    *  3. the shipped stage TAILS — per-stage settled token totals
+    *     ([[graft.queries.Pipeline.c17_stage_budget]]'s rollup), the base
+    *     each stage's running offset continues from (append-at-tail).
+    *
+    * The one stateful operator is x20's per-stage running token offset
+    * (O(1) `ValueState` per stage, ≤ 10 keys, in-batch doc_id sort for
+    * replay determinism). Gates applied at the door are the PER-ROW frozen
+    * ones — c14 keep (si ≥ τ) and the train split hash; the manifest tiers
+    * (dedup, decontamination, language, quality) are x39's job upstream,
+    * and the nightly c17/c18 rebuild finalizes the within-stage LCG
+    * shuffle that provisional arrival order cannot reproduce — both
+    * delegations stated here and encoded identically in the oracle (the
+    * x30→x33 discipline). Docs with no weighted bucket are absent on both
+    * sides (the batch margin join's inner semantics, mirrored). */
+  def x41_stream_shard_placement(s: SparkSession, dir: String): DataFrame =
+    runToMemory(x41Out(s, dir).toDF(), OutputMode.Append(),
+        s"x41_mem_${System.nanoTime()}")
+      .orderBy("doc_id")
+
+  private[graft] def x41Out(s: SparkSession, dir: String): Dataset[PlaceOut] = {
+    import s.implicits._
+    val (_, _, w, bias, tau) = graft.queries.Pipeline.c14Model(s, dir)
+    val wMap = graft.plans.BroadcastContract.boundedCollect(w,
+        "c14 weights: <= 256 hashed buckets by construction")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val biasV = graft.plans.BroadcastContract.boundedCollect(bias,
+      "c14 bias: one row by aggregation").head.getDouble(0)
+    val tauV = graft.plans.BroadcastContract.boundedCollect(tau,
+      "c14 tau: one row over the bounded score grid").head.getLong(0)
+    // the shipped curriculum's boundaries and tails: stage → (min si, tokens)
+    val curAgg = graft.plans.BroadcastContract.boundedCollect(
+      graft.queries.Pipeline.c17_curriculum(s, dir)
+        .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+        .groupBy(col("stage"))
+        .agg(min(col("si")).as("m"), sum(col("n_tokens")).as("tot")),
+      "c17 stage inventory: <= 10 rows by construction")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val bounds = curAgg.map(_._2)
+    val tots = curAgg.map(_._3)
+    val in = docsStream(s, dir)
+      .withColumn("wmap", typedlit(wMap))
+      .withColumn("bnd", typedlit(bounds))
+      .withColumn("tots", typedlit(tots))
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("grams", expr(
+        """concat(tk, CASE WHEN size(tk) >= 2
+          |  THEN transform(sequence(1, size(tk) - 1),
+          |                 i -> concat(tk[i-1], ' ', tk[i]))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin))
+      .withColumn("bks", expr(
+        "transform(grams, g -> substring(md5(cast(g as binary)), 1, 2))"))
+      .withColumn("wdb", expr(
+        "filter(array_distinct(bks), b -> map_contains_key(wmap, b))"))
+      .filter(expr("size(wdb) > 0")) // the batch margin join's inner semantics
+      // the batch fold op-for-op: per weighted bucket, round6(cnt/n)·w cast
+      // to DECIMAL(30,20), summed exactly; then ::double + bias, round6
+      .withColumn("mdec", expr(
+        """aggregate(wdb, CAST(0 AS DECIMAL(30,20)),
+          |  (acc, b) -> CAST(acc + CAST(
+          |    floor(CAST(size(filter(bks, x -> x = b)) AS DOUBLE)
+          |          / CAST(size(bks) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+          |    * element_at(wmap, b) AS DECIMAL(30,20)) AS DECIMAL(30,20)))""".stripMargin))
+      .withColumn("si", expr(
+        s"CAST(floor((floor((CAST(mdec AS DOUBLE) + $biasV) * 1000000.0 + 0.5)"
+          + " / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)"))
+      .filter(col("si") >= lit(tauV) &&
+              graft.queries.Pipeline.splitOf(col("doc_id")) === "train")
+      .withColumn("stage", expr(
+        "CAST(greatest(size(filter(bnd, m -> m <= si)) - 1, 0) AS BIGINT)"))
+      .withColumn("base", expr("element_at(tots, CAST(stage + 1 AS INT))"))
+      .select(col("doc_id"), col("stage"),
+              size(col("tk")).cast("long").as("n_tok"), col("base"))
+      .as[PlaceIn]
+    val out = in.groupByKey(_.stage)
+      .flatMapGroupsWithState[Long, PlaceOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[PlaceIn], state: GroupState[Long]) =>
+          var run = state.getOption.getOrElse(0L)
+          val outs = it.toSeq.sortBy(_.doc_id).map { d =>
+            val off = d.base + run
+            run += d.n_tok
+            PlaceOut(d.doc_id, d.stage, off, off / 128L)
+          }
+          state.update(run)
+          outs.iterator
+      }
+    out
+  }
+
+  /** x41's oracle: the c14 and c17 oracles as derived tables — the scored
+    * corpus gated by the same frozen keep/train rules, the same
+    * highest-cleared-boundary stage rule, and the per-stage running
+    * offset in arrival (doc_id) order continuing from the shipped stage
+    * totals. */
+  val x41Sql: String = {
+    val splitCase =
+      """CASE WHEN substring(md5('split:' || sc.doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+        |     WHEN substring(md5('split:' || sc.doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+        |     ELSE 'test' END""".stripMargin
+    s"""WITH cur AS MATERIALIZED (
+       |${graft.queries.Pipeline.c17Sql}
+       |), bounds AS (
+       |  SELECT stage, min(floor(score * 1000000.0 + 0.5)::BIGINT) AS m,
+       |         sum(n_tokens)::BIGINT AS tot
+       |  FROM cur GROUP BY 1
+       |), sc AS (
+       |  SELECT c.doc_id, floor(c.score * 1000000.0 + 0.5)::BIGINT AS si,
+       |         len(string_split(d.text, ' '))::BIGINT AS n_tok
+       |  FROM (
+       |${graft.queries.Pipeline.c14Sql}
+       |  ) c JOIN documents d ON d.doc_id = c.doc_id
+       |  WHERE c.keep
+       |), st AS (
+       |  SELECT doc_id, n_tok,
+       |    greatest((SELECT count(*) FROM bounds b WHERE b.m <= sc.si) - 1, 0)::BIGINT
+       |      AS stage
+       |  FROM sc
+       |  WHERE $splitCase = 'train'
+       |), o AS (
+       |  SELECT doc_id, stage, n_tok,
+       |    ((SELECT tot FROM bounds b WHERE b.stage = st.stage)
+       |     + coalesce(sum(n_tok) OVER (PARTITION BY stage ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS off
+       |  FROM st
+       |)
+       |SELECT doc_id, stage, off, (off // 128)::BIGINT AS shard
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   /** x39's oracle: the same admission relation batch-side — per-doc gates
     * from the t2/t3/t14 oracles verbatim, the settled digest tier as a
     * LEFT JOIN, verdicts in the gate's precedence order, split assigned
@@ -2879,6 +3041,7 @@ object Streams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x41_stream_shard_placement" -> (x41_stream_shard_placement _),
     "x32_tws_drift"            -> (x32_tws_drift _),
     "x31_stream_drift"         -> (x31_stream_drift _),
     "x30_stream_funnel"        -> (x30_stream_funnel _),
@@ -2923,6 +3086,7 @@ object Streams {
   /** Streaming queries replay to the same final values as their batch twins,
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
+    "x41_stream_shard_placement" -> x41Sql,
     "x32_tws_drift"            -> graft.queries.TextAnalysis.t29Sql, // same converged reading
     "x31_stream_drift"         -> graft.queries.TextAnalysis.t29Sql, // converged reading = batch
     "x30_stream_funnel"        -> graft.queries.Relational.q21Sql, // same final counters

@@ -556,6 +556,57 @@ class StreamingSpec extends SparkSpec {
     assert(online == batch, "x40 must replay to c14's exact relation")
   }
 
+  test("online shard placement: ONE state operator; stage rule + tail continuation pinned (x41)") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.streaming.Streams
+    val name = s"x41_struct_${System.nanoTime()}"
+    val q = Streams.x41Out(spark, dir).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // structure: scoring, stage, and tail base are all per-row expressions
+    // over frozen literals — the per-stage running offset is the ONLY
+    // stateful operator
+    val ops = q.recentProgress.flatMap(_.stateOperators.map(_.operatorName)).distinct
+    assert(ops.toSeq == Seq("flatMapGroupsWithState"),
+      s"expected exactly the running-offset FMGWS operator: ${ops.mkString(",")}")
+    val out = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // the shipped curriculum: per-doc stage, per-stage boundaries + tails
+    val cur = graft.queries.Pipeline.c17_curriculum(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        math.floor(r.getDouble(4) * 1000000.0 + 0.5).toLong))
+    val minSi = cur.groupBy(_._2).view.mapValues(_.map(_._4).min).toMap
+    val tails = cur.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // stage rule: a doc ALSO in the shipped curriculum must agree with its
+    // batch stage unless its score sits exactly on a boundary tie (the one
+    // stated divergence — c17 splits si-ties by rank, the door cannot)
+    val batchStage = cur.map(d => d._1 -> d._2).toMap
+    val batchSi = cur.map(d => d._1 -> d._4).toMap
+    for ((id, st, _, _) <- out if batchStage.contains(id)) {
+      val boundaryTie = minSi.exists { case (_, m) => m == batchSi(id) }
+      assert(st == batchStage(id) || boundaryTie,
+        s"doc $id placed in stage $st vs batch ${batchStage(id)} off-boundary")
+    }
+    // tail continuation: within each stage, offsets start at the shipped
+    // stage total and advance contiguously by token count in doc_id order
+    val ntok = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((st, rows) <- out.groupBy(_._2)) {
+      val ordered = rows.sortBy(_._1)
+      var expect = tails.getOrElse(st, 0L)
+      for ((id, _, off, shard) <- ordered) {
+        assert(off == expect, s"stage $st doc $id off $off != expected $expect")
+        assert(shard == off / 128L)
+        expect += ntok(id)
+      }
+    }
+  }
+
   test("online SQ8 serve equals the batch depth-∞ serve; frozen-artifact routing (x38)") {
     val dir = "/root/testdata/sf0.001"
     import graft.streaming.Streams
