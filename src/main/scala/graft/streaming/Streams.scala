@@ -2213,17 +2213,21 @@ object Streams {
     * Three frozen artifacts, all release-shipped and all structurally
     * bounded (x34's fold-to-literal rule):
     *  1. c14's model — but unlike x40's stateful in-trigger gather, the
-    *     margin here is a PURE PER-ROW EXPRESSION: the ≤ 256-entry weight
-    *     relation folds into a literal map and the per-doc per-bucket sum
-    *     runs inside `aggregate()` over the gram array with a
-    *     DECIMAL(30,20) accumulator — bit-equal to the batch fold (same
-    *     product set: distinct weighted buckets; each product double→
-    *     decimal through the canonical conversion; decimal addition exact
-    *     in any order; intermediate re-casts to (30,20) lossless at these
-    *     magnitudes), and legal as an expression precisely BECAUSE the
-    *     weight space is hash-bounded. This keeps the query at ONE
-    *     stateful operator — a second gather before the offset state would
-    *     chain two FMGWS stages, which structured streaming forbids;
+    *     margin here is computed PER ROW with no state: the ≤ 256-entry
+    *     weight relation folds into the closure of a stateless typed map
+    *     (x36's class) that re-runs x40's decimal mirror op-for-op —
+    *     same product set (distinct weighted buckets, x = round6(cnt/n)),
+    *     each product double→DECIMAL(30,20) with HALF_UP (Spark's
+    *     toPrecision mode), BigDecimal addition exact in any order, then
+    *     round6(·+bias) — so online scores are bit-equal to the batch
+    *     fold by the x40 argument verbatim. Legal to fold BECAUSE the
+    *     weight space is hash-bounded, and necessary to keep the query at
+    *     ONE stateful operator — a second margin gather before the offset
+    *     state would chain two FMGWS stages, which structured streaming
+    *     forbids. (A nested higher-order-function spelling was tried and
+    *     rejected: `aggregate()` over distinct buckets re-inlines the
+    *     md5 gram transform per bucket — measured O(256·n) md5 calls per
+    *     doc, 500+ s at sf0.1 for a 24 s relation);
     *  2. the shipped curriculum's stage boundaries — stage s's minimum
     *     score grid point, a ≤ 10-row artifact of [[graft.queries.Pipeline
     *     .c17_curriculum]]; the arriving doc takes the HIGHEST stage whose
@@ -2252,7 +2256,14 @@ object Streams {
         s"x41_mem_${System.nanoTime()}")
       .orderBy("doc_id")
 
-  private[graft] def x41Out(s: SparkSession, dir: String): Dataset[PlaceOut] = {
+  private[graft] def x41Out(s: SparkSession, dir: String): Dataset[PlaceOut] =
+    x41Place(s, dir)(docsStream(s, dir))
+
+  /** x41's pipeline over any docs relation — factored so
+    * `CheckpointRestartSpec` can drive it from a chunked checkpointed
+    * source and prove the per-stage offset state resumes exactly. */
+  private[graft] def x41Place(s: SparkSession, dir: String)(
+      docsIn: DataFrame): Dataset[PlaceOut] = {
     import s.implicits._
     val (_, _, w, bias, tau) = graft.queries.Pipeline.c14Model(s, dir)
     val wMap = graft.plans.BroadcastContract.boundedCollect(w,
@@ -2272,40 +2283,50 @@ object Streams {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val bounds = curAgg.map(_._2)
     val tots = curAgg.map(_._3)
-    val in = docsStream(s, dir)
-      .withColumn("wmap", typedlit(wMap))
-      .withColumn("bnd", typedlit(bounds))
-      .withColumn("tots", typedlit(tots))
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("grams", expr(
-        """concat(tk, CASE WHEN size(tk) >= 2
-          |  THEN transform(sequence(1, size(tk) - 1),
-          |                 i -> concat(tk[i-1], ' ', tk[i]))
-          |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin))
-      .withColumn("bks", expr(
-        "transform(grams, g -> substring(md5(cast(g as binary)), 1, 2))"))
-      .withColumn("wdb", expr(
-        "filter(array_distinct(bks), b -> map_contains_key(wmap, b))"))
-      .filter(expr("size(wdb) > 0")) // the batch margin join's inner semantics
-      // the batch fold op-for-op: per weighted bucket, round6(cnt/n)·w cast
-      // to DECIMAL(30,20), summed exactly; then ::double + bias, round6
-      .withColumn("mdec", expr(
-        """aggregate(wdb, CAST(0 AS DECIMAL(30,20)),
-          |  (acc, b) -> CAST(acc + CAST(
-          |    floor(CAST(size(filter(bks, x -> x = b)) AS DOUBLE)
-          |          / CAST(size(bks) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-          |    * element_at(wmap, b) AS DECIMAL(30,20)) AS DECIMAL(30,20)))""".stripMargin))
-      .withColumn("si", expr(
-        s"CAST(floor((floor((CAST(mdec AS DOUBLE) + $biasV) * 1000000.0 + 0.5)"
-          + " / 1000000.0) * 1000000.0 + 0.5) AS BIGINT)"))
-      .filter(col("si") >= lit(tauV) &&
-              graft.queries.Pipeline.splitOf(col("doc_id")) === "train")
-      .withColumn("stage", expr(
-        "CAST(greatest(size(filter(bnd, m -> m <= si)) - 1, 0) AS BIGINT)"))
-      .withColumn("base", expr("element_at(tots, CAST(stage + 1 AS INT))"))
-      .select(col("doc_id"), col("stage"),
-              size(col("tk")).cast("long").as("n_tok"), col("base"))
-      .as[PlaceIn]
+    // scoring + stage + tail base as ONE STATELESS TYPED MAP over the
+    // arriving row (x36's class — no state store, no shuffle, O(|grams|)
+    // per doc). Deliberately NOT spelled as nested higher-order-function
+    // expressions: the per-bucket count inside `aggregate()` re-inlines
+    // the md5 gram transform per distinct bucket (CollapseProject), which
+    // measured O(256·n) md5 calls per document — 500+ s at sf0.1 for a
+    // 24 s relation. The in-closure mirror is x40's proven decimal
+    // argument op-for-op (HALF_UP products on the 1e-6 grid, exact
+    // BigDecimal addition in any order, final round6(…+bias)); the
+    // train-split gate stays a per-row expression below the scan.
+    val train = docsIn
+      .filter(graft.queries.Pipeline.splitOf(col("doc_id")) === "train")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val in: Dataset[PlaceIn] = train.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1) // Spark split keeps trailing empties
+      val grams: Seq[String] =
+        if (tk.length >= 2)
+          tk.toSeq ++ tk.sliding(2).map(a => a(0) + " " + a(1)).toSeq
+        else tk.toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new scala.collection.mutable.HashMap[String, Int]()
+      grams.foreach { g =>
+        md.reset()
+        val b = f"${md.digest(g.getBytes("UTF-8"))(0) & 0xff}%02x"
+        counts.update(b, counts.getOrElse(b, 0) + 1)
+      }
+      val n = grams.size.toDouble
+      val weighted = counts.iterator
+        .flatMap { case (b, c) => wMap.get(b).map(wv => (c, wv)) }.toSeq
+      if (weighted.isEmpty) None // the batch margin join's inner semantics
+      else {
+        val sd = weighted.map { case (c, wv) =>
+          val x = math.floor(c / n * 1000000.0 + 0.5) / 1000000.0
+          BigDecimal(x * wv).setScale(20, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        val m = math.floor((sd.toDouble + biasV) * 1000000.0 + 0.5) / 1000000.0
+        val si = math.floor(m * 1000000.0 + 0.5).toLong
+        if (si < tauV) None // the frozen keep gate
+        else {
+          val stage = math.max(bounds.count(_ <= si) - 1, 0).toLong
+          Some(PlaceIn(id, stage, tk.length.toLong, tots(stage.toInt)))
+        }
+      }
+    }
     val out = in.groupByKey(_.stage)
       .flatMapGroupsWithState[Long, PlaceOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -545,6 +545,49 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(batchResult(out) == expectedRows)
   }
 
+  test("shard placement killed mid-replay resumes the exact stage offsets (x41)") {
+    // L6 on the PLACEMENT state — unlike x37/x40, x41's state genuinely
+    // CROSSES triggers (the per-stage running token offset), so a lost or
+    // double-counted offset after restart shifts EVERY subsequent
+    // placement in that stage. The union of committed batches after a
+    // mid-replay kill must equal an uninterrupted run of the identical
+    // chunked source byte-for-byte (same frozen artifacts re-staged
+    // deterministically on both paths).
+    val srcDir = chunkedDocs4()
+    val base = Files.createTempDirectory("graft_x41_ckpt_").toString
+    def startPlace(ckpt: String, out: String, availableNow: Boolean) = {
+      val schema = spark.read.parquet(srcDir.resolve("0_chunk.parquet").toString).schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      Streams.x41Place(spark, dir)(src).toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch_$id")
+        }
+        .trigger(if (availableNow) Trigger.AvailableNow()
+                 else Trigger.ProcessingTime(500))
+        .start()
+    }
+    // the uninterrupted reference run: own checkpoint, one AvailableNow pass
+    val ref = startPlace(s"$base/ckpt_ref", s"$base/out_ref", availableNow = true)
+    ref.awaitTermination()
+    val expected = batchResult(s"$base/out_ref")
+    assert(expected.nonEmpty)
+    // the killed run: progress at least two micro-batches, kill, resume
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val q1 = startPlace(ckpt, out, availableNow = false)
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive && committedBatches(out).size < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(committedBatches(out).size >= 2, "no progress before kill")
+    q1.stop(); q1.awaitTermination()
+    val q2 = startPlace(ckpt, out, availableNow = true)
+    q2.awaitTermination()
+    assert(batchResult(out) == expected)
+  }
+
   test("global signature killed mid-replay resumes the exact decimal sums (x35)") {
     // L6 on the x35 state shape — the string-encoded exact decimal sums
     // plus the per-user shift-register map: a flag decision in a
