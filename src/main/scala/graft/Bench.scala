@@ -81,10 +81,13 @@ object Bench {
     // init, none of it x10). One cheap FMGWS query + one cheap
     // TWS/RocksDB query cover both provider stacks; failures are
     // non-fatal (a warmup must never kill the sweep).
+    // NonFatal only: a fatal JVM error (OOM, LinkageError) here means the
+    // JVM is corrupted — exactly the state this warmup exists to keep out
+    // of the timed sweep — so it must abort the run, not be swallowed
     try {
       graft.streaming.Streams.x19_stream_admission(spark, sfDir).count()
       graft.streaming.Streams.x21_tws_admission(spark, sfDir).count()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] streaming warmup failed: ${e.getMessage}")
     }
     // MACHINE-WINDOW CALIBRATION: a fixed, deterministic, CPU-bound job —

@@ -2200,6 +2200,19 @@ object Streams {
       }
   }
 
+  /** Thread-hoisted MD5 for the per-row ingest scorers: MessageDigest is
+    * stateful (not shareable across threads) but digest(bytes) resets it,
+    * so one instance per executor thread serves every row it processes —
+    * the per-document instantiation was the measured allocation cost on
+    * x41's hot path (ADVICE r13). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** byte → 2-hex-char bucket key, precomputed (one String per row beats a
+    * format call per GRAM on the ingest path). */
+  private val hexByte: Array[String] = Array.tabulate(256)(i => f"$i%02x")
+
   case class PlaceIn(doc_id: Long, stage: Long, n_tok: Long, base: Long)
   case class PlaceOut(doc_id: Long, stage: Long, off: Long, shard: Long)
 
@@ -2250,7 +2263,17 @@ object Streams {
     * shuffle that provisional arrival order cannot reproduce — both
     * delegations stated here and encoded identically in the oracle (the
     * x30→x33 discipline). Docs with no weighted bucket are absent on both
-    * sides (the batch margin join's inner semantics, mirrored). */
+    * sides (the batch margin join's inner semantics, mirrored).
+    *
+    * Ordering contract (x20's bounded-trigger note, restated for the hash
+    * gate): the oracle prefix-sums offsets in GLOBAL doc_id order while
+    * the state handler sorts only WITHIN a trigger — oracle equality
+    * therefore also relies on `docsStream`'s one-file-per-trigger
+    * convention delivering the whole test table in ONE micro-batch (the
+    * table is a single symlinked parquet file). A multi-file documents
+    * table would interleave triggers in file order: offsets would still
+    * be exactly-once and contiguous per stage (the restart spec's
+    * contract), but assigned in arrival order, as a real door's are. */
   def x41_stream_shard_placement(s: SparkSession, dir: String): DataFrame =
     runToMemory(x41Out(s, dir).toDF(), OutputMode.Append(),
         s"x41_mem_${System.nanoTime()}")
@@ -2273,7 +2296,14 @@ object Streams {
       "c14 bias: one row by aggregation").head.getDouble(0)
     val tauV = graft.plans.BroadcastContract.boundedCollect(tau,
       "c14 tau: one row over the bounded score grid").head.getLong(0)
-    // the shipped curriculum's boundaries and tails: stage → (min si, tokens)
+    // the shipped curriculum's boundaries and tails: stage → (min si, tokens).
+    // Rows are keyed by their RAW stage id, not array position (ADVICE r13):
+    // on a degenerate curriculum with fewer than 10 train docs the stage ids
+    // are non-dense (e.g. {0,3,6}), and a count-derived positional label
+    // would return a real tail where the oracle's by-id lookup misses — the
+    // highest-cleared-boundary scan below and the oracle's max(stage) rule
+    // agree in every regime. An EMPTY curriculum has no placement contract
+    // at all; fail loudly instead of AIOOBE.
     val curAgg = graft.plans.BroadcastContract.boundedCollect(
       graft.queries.Pipeline.c17_curriculum(s, dir)
         .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
@@ -2281,8 +2311,8 @@ object Streams {
         .agg(min(col("si")).as("m"), sum(col("n_tokens")).as("tot")),
       "c17 stage inventory: <= 10 rows by construction")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    val bounds = curAgg.map(_._2)
-    val tots = curAgg.map(_._3)
+    require(curAgg.nonEmpty,
+      "x41 requires a nonempty shipped curriculum artifact (c17 is empty)")
     // scoring + stage + tail base as ONE STATELESS TYPED MAP over the
     // arriving row (x36's class — no state store, no shuffle, O(|grams|)
     // per doc). Deliberately NOT spelled as nested higher-order-function
@@ -2298,18 +2328,22 @@ object Streams {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     val in: Dataset[PlaceIn] = train.flatMap { case (id, text) =>
       val tk = text.split(" ", -1) // Spark split keeps trailing empties
-      val grams: Seq[String] =
-        if (tk.length >= 2)
-          tk.toSeq ++ tk.sliding(2).map(a => a(0) + " " + a(1)).toSeq
-        else tk.toSeq
-      val md = java.security.MessageDigest.getInstance("MD5")
+      // grams fold STRAIGHT into the bucket counts — no materialized
+      // unigram++bigram Seq — through one thread-hoisted digest (ADVICE
+      // r13: the per-doc MessageDigest + concatenated gram Seq retained
+      // ~2x the token count in objects per doc on the hot ingest path)
+      val md = md5Local.get()
       val counts = new scala.collection.mutable.HashMap[String, Int]()
-      grams.foreach { g =>
-        md.reset()
-        val b = f"${md.digest(g.getBytes("UTF-8"))(0) & 0xff}%02x"
+      def add(g: String): Unit = {
+        val b = hexByte(md.digest(g.getBytes("UTF-8"))(0) & 0xff)
         counts.update(b, counts.getOrElse(b, 0) + 1)
       }
-      val n = grams.size.toDouble
+      var i = 0
+      while (i < tk.length) { add(tk(i)); i += 1 } // unigrams
+      i = 1
+      while (i < tk.length) { add(tk(i - 1) + " " + tk(i)); i += 1 } // bigrams
+      // gram count = len + max(len-1, 0) — identical to the batch explode
+      val n = (if (tk.length >= 2) 2 * tk.length - 1 else tk.length).toDouble
       val weighted = counts.iterator
         .flatMap { case (b, c) => wMap.get(b).map(wv => (c, wv)) }.toSeq
       if (weighted.isEmpty) None // the batch margin join's inner semantics
@@ -2322,8 +2356,14 @@ object Streams {
         val si = math.floor(m * 1000000.0 + 0.5).toLong
         if (si < tauV) None // the frozen keep gate
         else {
-          val stage = math.max(bounds.count(_ <= si) - 1, 0).toLong
-          Some(PlaceIn(id, stage, tk.length.toLong, tots(stage.toInt)))
+          // highest stage whose boundary the score clears, by RAW stage id
+          // (non-dense-safe: mirrors the oracle's max(b.stage) rule); below
+          // every boundary → the lowest shipped stage
+          var idx = -1
+          var j = 0
+          while (j < curAgg.length) { if (curAgg(j)._2 <= si) idx = j; j += 1 }
+          val (stage, _, base) = curAgg(if (idx >= 0) idx else 0)
+          Some(PlaceIn(id, stage, tk.length.toLong, base))
         }
       }
     }
@@ -2368,8 +2408,8 @@ object Streams {
        |  WHERE c.keep
        |), st AS (
        |  SELECT doc_id, n_tok,
-       |    greatest((SELECT count(*) FROM bounds b WHERE b.m <= sc.si) - 1, 0)::BIGINT
-       |      AS stage
+       |    coalesce((SELECT max(b.stage) FROM bounds b WHERE b.m <= sc.si),
+       |             (SELECT min(b2.stage) FROM bounds b2))::BIGINT AS stage
        |  FROM sc
        |  WHERE $splitCase = 'train'
        |), o AS (
