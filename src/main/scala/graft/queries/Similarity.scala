@@ -3676,7 +3676,21 @@ object Similarity {
     * is guarded against colliding with a literal point (k ∈ {5,10,20}
     * skips it in BOTH engines, else the report would double-count one
     * cells key). */
-  def s25_cell_sweep(s: SparkSession, dir: String): DataFrame = {
+  def s25_cell_sweep(s: SparkSession, dir: String): DataFrame =
+    s25SweepReport(s, dir) { (emb, cent, ex, _) =>
+      assignToNearest(emb, cent, ex).select(col("vec_id"), col("cluster"))
+    }
+
+  /** The ONE s25 sweep body, shared by [[s25_cell_sweep]] and
+    * [[s25_routed_sweep]] — the twins differ ONLY in the corpus
+    * `assign` step (exact O(N·k) argmin vs c2-ann's two-level route), so
+    * a future change to the scan/re-rank chain lands in both or neither
+    * (r13 verdict: the verbatim-duplicated bodies were the drift class
+    * c14's featurization factoring just closed; the separate-QUERY
+    * decision stands — only the ORACLE was byte-stability-bound).
+    * `assign(emb, centroids, ex, k)` must return (vec_id, cluster). */
+  private def s25SweepReport(s: SparkSession, dir: String)(
+      assign: (DataFrame, DataFrame, Boolean, Int) => DataFrame): DataFrame = {
     val ex = exactDecimals(s)
     val (cosines, truth5, top1) = sq8EvalGround(s, dir)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -3693,7 +3707,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
     def sweepPoint(k: Int): (DataFrame, DataFrame) = {
       val cent = trainCoarseOn(trainEmb, ex, k) // sampled training: O(m·k)
-      val asg = assignToNearest(emb, cent, ex).select(col("vec_id"), col("cluster"))
+      val asg = assign(emb, cent, ex, k)
       val route = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
         .crossJoin(broadcast(cent))
@@ -3754,65 +3768,13 @@ object Similarity {
     * audit isolates the ASSIGNMENT approximation). Oracle mirrors the
     * two-level route per point (c2-ann's chain, parameterized), so the
     * routed assignment is hash-checked, not trusted. */
-  def s25_routed_sweep(s: SparkSession, dir: String): DataFrame = {
-    val ex = exactDecimals(s)
-    val (cosines, truth5, top1) = sq8EvalGround(s, dir)
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val m = semdedupSample(s)
-    val trainEmb = emb.filter(col("vec_id") < m)
-    val nCorpus = graft.plans.BroadcastContract.boundedCollect(
-      emb.agg(count(lit(1)).as("n")),
-      "s25 corpus count: one-row global aggregate")(0).getLong(0)
-    val kRoot = math.floor(math.sqrt(nCorpus.toDouble)).toInt
-    val qv = sq8Quantized(s, dir)
-    val qq = qv.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("qvec").as("qq"))
-    def sweepPoint(k: Int): (DataFrame, DataFrame) = {
-      val cent = trainCoarseOn(trainEmb, ex, k) // sampled training: O(m·k)
-      val g = math.max(2, math.floor(math.sqrt(k.toDouble)).toInt)
+  def s25_routed_sweep(s: SparkSession, dir: String): DataFrame =
+    s25SweepReport(s, dir) { (emb, cent, ex, k) =>
       // the one difference vs s25: ~N·2√k routed assignment, not N·k
-      val asg = annAssign(emb, cent, ex, g, 1)
+      val g = math.max(2, math.floor(math.sqrt(k.toDouble)).toInt)
+      annAssign(emb, cent, ex, g, 1)
         .select(col("vec_id"), col("cell").as("cluster"))
-      val route = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
-        .crossJoin(broadcast(cent))
-        .withColumn("dist", sqDist(col("qemb"), col("cemb"), ex))
-        .withColumn("probe", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cluster"))))
-        .filter(col("probe") <= 2) // the serving width, literal
-        .select(col("q_id"), col("cluster"))
-      val scored = qv.join(asg, Seq("vec_id"))
-        .join(broadcast(route), Seq("cluster"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .join(broadcast(qq), Seq("q_id"))
-        .withColumn("iscore", call_function("dot_i8", col("qvec"), col("qq")))
-        .select(col("q_id"), col("vec_id"), col("iscore"))
-        .localCheckpoint()
-      val leg = scored
-        .withColumn("q_rank", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("iscore").desc, col("vec_id"))).cast("long"))
-        .filter(col("q_rank") <= 50)
-        .join(cosines, Seq("q_id", "vec_id"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id"), col("rk"), lit(k).as("cells"))
-      val scanned = scored.groupBy()
-        .agg(count(lit(1)).as("total_scanned"))
-        .select(lit(k).as("cells"), col("total_scanned"))
-      (leg, scanned)
     }
-    val ks = if (Seq(5, 10, 20).contains(kRoot)) Seq(5, 10, 20)
-             else Seq(5, 10, 20, kRoot)
-    val points = ks.map(sweepPoint)
-    val report = recallReport(points.map(_._1).reduce(_ unionByName _),
-                              Seq("cells"), truth5, top1)
-    val scans = points.map(_._2).reduce(_ unionByName _)
-    report.join(scans, Seq("cells"))
-      .select(col("cells"), col("n_queries"), col("total_scanned"),
-              col("hits_total"), col("recall_at_5"), col("mrr"))
-      .orderBy("cells")
-  }
 
   /** One k-point CTE chain of the s25-routed oracle: the s25 sampled
     * training verbatim, then c2-ann's two-level route (g pilots, 1
