@@ -1304,21 +1304,35 @@ object Pipeline {
       .crossJoin(broadcast(total))
       .withColumn("stage", expr("((rnk - 1) * 10) div n"))
       .select(col("doc_id"), col("stage"), col("h"), col("n_tokens"), col("score"))
-    // level 2: within-stage rank in deterministic-shuffle order via the
-    // bounded (stage × 256) hash buckets
-    val hb = staged.withColumn("hbkt", floor(col("h") / lit(8388608L)).cast("long"))
-    val hOff = hb.groupBy(col("stage"), col("hbkt")).agg(count(lit(1)).as("bn"))
-      .withColumn("off", coalesce(sum(col("bn")).over(
-        Window.partitionBy(col("stage")).orderBy(col("hbkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("stage"), col("hbkt"), col("off"))
-    hb.join(broadcast(hOff), Seq("stage", "hbkt"))
-      .withColumn("rank_in_stage", col("off") + row_number().over(
-        Window.partitionBy(col("stage"), col("hbkt"))
-          .orderBy(col("h"), col("doc_id"))).cast("long"))
+    rankWithinStage(staged)
       .select(col("doc_id"), col("stage"), col("rank_in_stage"),
               col("n_tokens"), col("score"))
       .orderBy("doc_id")
+  }
+
+  /** C17's level-2 within-stage rank, factored (one code path for the
+    * curriculum and c19's affected-stage re-rank — the s25/c14 one-body
+    * discipline): rank in deterministic-shuffle order via the bounded
+    * (stage × 256) top-8-bit hash buckets — the LCG hash h ∈ [0, 2³¹) is
+    * coarsened by ⌊h/2²³⌋ (monotone in h, so within-stage (h, doc_id)
+    * order exactly); per-(stage, bucket) counts prefix-sum in a window
+    * PARTITIONED by stage over the bounded ≤|stages|×256-row relation,
+    * and the per-doc rank is off + row_number PARTITIONED by
+    * (stage, bucket). Input must carry (doc_id, stage, h); emits the
+    * input columns (minus h's bucket scaffolding) plus `rank_in_stage`. */
+  private[graft] def rankWithinStage(staged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hb = staged.withColumn("hbkt", floor(col("h") / lit(8388608L)).cast("long"))
+    val hOff = hb.groupBy(col("stage"), col("hbkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col("stage")).orderBy(col("hbkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stage"), col("hbkt"), col("boff"))
+    hb.join(broadcast(hOff), Seq("stage", "hbkt"))
+      .withColumn("rank_in_stage", col("boff") + row_number().over(
+        Window.partitionBy(col("stage"), col("hbkt"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .drop("hbkt", "boff")
   }
 
   /** Oracle: c16's oracle as a derived table; both ranks in the plain
@@ -1398,12 +1412,25 @@ object Pipeline {
     * corpus-sized. Spec pins the per-stage fill identity: shard fills sum
     * to [[c17_stage_budget]]'s stage tokens, every non-terminal shard
     * full. */
-  def c18_shard_manifest(s: SparkSession, dir: String): DataFrame = {
+  def c18_shard_manifest(s: SparkSession, dir: String): DataFrame =
+    packShards(c17_curriculum(s, dir)
+      .select(col("doc_id"), col("stage"), col("rank_in_stage"), col("n_tokens")))
+
+  /** C18's packing, factored over ANY curriculum-shaped relation
+    * `(doc_id, stage, rank_in_stage, n_tokens)` — one code path for the
+    * shipped manifest, c19's affected-stage repack, and the
+    * stage-isolation spec (which packs deliberately perturbed curricula
+    * to pin that re-weighting one stage never changes another's rows).
+    * Per-stage independence is BY CONSTRUCTION: every window below is
+    * partitioned by stage, the offset relation is keyed by stage, and the
+    * final aggregation groups by (stage, shard) — no cross-stage term
+    * exists anywhere, which is the re-weight contract c18's scaladoc
+    * states and QueriesSmokeSpec pins. */
+  private[graft] def packShards(curIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 128L
     val W = TextAnalysis.packBucketWidth
-    val cur = c17_curriculum(s, dir)
-      .select(col("doc_id"), col("stage"), col("rank_in_stage"), col("n_tokens"))
+    val cur = curIn
       .withColumn("rbkt", expr(s"(rank_in_stage - 1) div $W"))
     val inBkt = Window.partitionBy(col("stage"), col("rbkt"))
       .orderBy(col("rank_in_stage"))

@@ -858,6 +858,49 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("shard packing isolates stages: perturbing one stage never touches another's rows (c18)") {
+    // The re-weight contract c18's scaladoc states (and c19's repack
+    // relies on), pinned on the real curriculum: stage boundaries are
+    // shard boundaries, so re-packing with one stage's docs DROPPED (a
+    // stage de-weighted) or DUPLICATED (up-weighted) leaves every OTHER
+    // stage's (stage, shard) rows byte-identical — a stage can be
+    // re-weighted without re-packing its neighbors.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val cur = graft.queries.Pipeline.c17_curriculum(spark, sf)
+      .select(col("doc_id"), col("stage"), col("rank_in_stage"), col("n_tokens"))
+      .localCheckpoint()
+    val base = graft.queries.Pipeline.packShards(cur)
+      .collect().map(_.toSeq).groupBy(_(0).asInstanceOf[Long])
+    val stages = base.keySet
+    assert(stages.size >= 2, "isolation needs at least two stages to pin")
+    val victim = stages.min
+    // de-weight: drop the victim stage's docs entirely
+    val dropped = graft.queries.Pipeline.packShards(
+        cur.filter(col("stage") =!= victim))
+      .collect().map(_.toSeq).groupBy(_(0).asInstanceOf[Long])
+    assert(!dropped.contains(victim))
+    for (st <- stages - victim)
+      assert(dropped(st).toSeq == base(st).toSeq,
+        s"dropping stage $victim changed stage $st's shard rows")
+    // up-weight: replay the victim stage's sequence twice (2-epoch
+    // up-weighting — appended AFTER the originals in rank order, the way
+    // a loader replays a stage)
+    val nVictim = cur.filter(col("stage") === victim).count()
+    val replay = cur.filter(col("stage") === victim)
+      .withColumn("rank_in_stage", col("rank_in_stage") + lit(nVictim))
+      .withColumn("doc_id", -col("doc_id")) // distinct ids, same tokens
+    val doubled = graft.queries.Pipeline.packShards(cur.unionByName(replay))
+      .collect().map(_.toSeq).groupBy(_(0).asInstanceOf[Long])
+    for (st <- stages - victim)
+      assert(doubled(st).toSeq == base(st).toSeq,
+        s"duplicating stage $victim changed stage $st's shard rows")
+    // and the victim's own token mass doubled — the perturbation was real
+    val vt = (g: Map[Long, Array[Seq[Any]]]) =>
+      g(victim).map(_(2).asInstanceOf[Long]).sum
+    assert(vt(doubled) == 2 * vt(base))
+  }
+
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
     val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
       .collect().map(_.toSeq).toSet
