@@ -984,8 +984,9 @@ object Pipeline {
   private val c15Cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
-  /** Drop the staged settled index and the c14 model (bench isolation). */
-  def clearShared(): Unit = { c15Cache.clear(); c14Cache.clear() }
+  /** Drop the staged settled index, the c14 model, and the settled
+    * terminal artifacts (bench isolation). */
+  def clearShared(): Unit = { c15Cache.clear(); c14Cache.clear(); c19Cache.clear() }
 
   private[graft] def c15SettledIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     QUtil.cachedPerSession(c15Cache, s, dir) {
@@ -1126,14 +1127,16 @@ object Pipeline {
     * suite), retires carry c11's combined split. The Spark side computes
     * the same relation incrementally; the driver's hash equality IS the
     * proof the O(delta) fold equals the batch diff. */
-  val c15Sql: String = {
+  /** The SETTLED-MANIFEST CTE chain (scomp → q/p/cont → m0), shared
+    * VERBATIM by the c15 and c19 oracles — the settled world both
+    * increments diff against is spelled once, so the two ledgers cannot
+    * disagree on what "shipped" means. */
+  private val settledManifestCtes: String = {
     val splitCase = (k: String) =>
       s"""CASE WHEN substring(md5('split:' || $k::VARCHAR), 1, 1) <= 'b' THEN 'train'
          |         WHEN substring(md5('split:' || $k::VARCHAR), 1, 1) <= 'd' THEN 'val'
          |         ELSE 'test' END""".stripMargin
-    s"""WITH m1 AS MATERIALIZED (
-       |$c13Sql
-       |), scomp AS (
+    s"""scomp AS (
        |  WITH RECURSIVE sprs AS (
        |${Dedup.d3SqlBody}
        |  ), sed AS (
@@ -1168,7 +1171,13 @@ object Pipeline {
        |    AND d.doc_id % 100 <> 0
        |    AND NOT EXISTS (SELECT 1 FROM cont
        |                    WHERE cont.train_doc = d.doc_id AND cont.n_shared >= 2)
-       |), sp11 AS MATERIALIZED (
+       |)""".stripMargin
+  }
+
+  val c15Sql: String =
+    s"""WITH m1 AS MATERIALIZED (
+       |$c13Sql
+       |), $settledManifestCtes, sp11 AS MATERIALIZED (
        |$c11Sql
        |)
        |SELECT m1.doc_id, 'add' AS action, m1.lang, m1.quality, m1.n_tokens,
@@ -1184,7 +1193,6 @@ object Pipeline {
        |FROM m0 JOIN sp11 s ON s.doc_id = m0.doc_id
        |WHERE NOT EXISTS (SELECT 1 FROM m1 WHERE m1.doc_id = m0.doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** C15's per-split TOKEN-BUDGET rollup — the number a release review
     * reads first: how many training/val/test tokens did this increment
@@ -1280,11 +1288,20 @@ object Pipeline {
     * manifest's train-split token budget exactly (Σ stage tokens = c16
     * train tokens, ranks contiguous 1..n per stage) — spec-pinned, the
     * budget-identity discipline c15 established. */
-  def c17_curriculum(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = c16_gated_manifest(s, dir)
+  def c17_curriculum(s: SparkSession, dir: String): DataFrame =
+    curriculumOver(c16_gated_manifest(s, dir)
       .filter(col("split") === "train")
-      .select(col("doc_id"), col("n_tokens"), col("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score")))
+
+  /** C17's staging + ranking over ANY gated train universe
+    * `(doc_id, n_tokens, score)` — one code path for the shipped
+    * curriculum and c19's settled-world curriculum (the packShards
+    * discipline). Emits (doc_id, stage, rank_in_stage, n_tokens, score)
+    * in the two-level no-global-sort decomposition c17's scaladoc
+    * derives. */
+  private[graft] def curriculumOver(universe: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = universe
       .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
       .withColumn("bkt",
         floor(lit(100.0) / (lit(1.0) + exp(-col("si").cast("double") / lit(1000000.0))))
@@ -1483,7 +1500,349 @@ object Pipeline {
        |FROM ch JOIN t USING (stage)
        |GROUP BY ch.stage, shard, t.total ORDER BY 1, 2""".stripMargin
 
+  /** The SETTLED TERMINAL ARTIFACTS staged per session — what a release
+    * pipeline keeps warm between increments at the funnel's END (the
+    * c15SettledIndex discipline extended to c17/c18, closing the one gap
+    * where the settled-vs-delta story stopped — round-13 verdict lead
+    * item): the shipped curriculum over the settled gated train manifest
+    * (frozen c14 model — an increment does NOT retrain the gate; model
+    * refresh is a separate release event, the x39–x41 frozen-artifact
+    * convention), its score-grid histogram, its nine decile-boundary
+    * positions, and its shard manifest. `Bench.clearShared` drops the
+    * cache so timed runs pay the honest cold cost. */
+  private val c19Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+
+  private[graft] def c19Settled(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    QUtil.cachedPerSession(c19Cache, s, dir) {
+      val (_, m0) = c15SettledIndex(s, dir)
+      val (_, score, _, _, tau) = c14Model(s, dir)
+      val u0 = m0.filter(col("split") === "train")
+        .join(score.select(col("doc_id"), col("score"), col("si")), Seq("doc_id"))
+        .crossJoin(broadcast(tau))
+        .filter(col("si") >= col("tau"))
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+      val cur0 = curriculumOver(u0)
+        .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+        .localCheckpoint()
+      val hist0 = cur0.groupBy(col("si")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val b0 = decileBounds(hist0).localCheckpoint()
+      val shards0 = packShards(cur0.select(col("doc_id"), col("stage"),
+          col("rank_in_stage"), col("n_tokens"))).localCheckpoint()
+      (cur0, hist0, b0, shards0)
+    }
+
+  /** The nine DECILE-BOUNDARY POSITIONS of a curriculum universe, located
+    * from its score-grid histogram alone — c14's two-level τ-selection
+    * shape extended from one cut rank to all nine: stage(d) ≥ k iff
+    * rnk(d) ≥ r_k = (k·n + 9) div 10 + 1 (the first rank of stage k under
+    * stage = ((rnk−1)·10) div n), so each boundary is the position of the
+    * doc AT rank r_k in (si, doc_id) order — (k, si_k, c_k) where si_k is
+    * its grid point and c_k its 1-based doc_id-rank within the point.
+    * Two-level: per-sigmoid-bucket counts prefix-summed in the one
+    * unpartitioned window over the ≤101-row coarse relation; the per-grid-
+    * point pass runs only over the ≤9 crossing buckets, PARTITIONED by k.
+    * Boundaries whose rank exceeds the universe (n < 10) are absent —
+    * every consumer treats an absent boundary as an unclearable one, so
+    * the degenerate regime stays total (the ADVICE r13 lesson). */
+  private[graft] def decileBounds(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hb = hist.withColumn("bkt",
+      floor(lit(100.0) / (lit(1.0) + exp(-col("si").cast("double") / lit(1000000.0))))
+        .cast("long"))
+    val nRel = hb.agg(sum(col("c")).as("n"))
+    val kRel = hist.sparkSession.range(1, 10).toDF("k")
+      .crossJoin(broadcast(nRel))
+      .select(col("k"), expr("(k * n + 9) div 10 + 1").as("rk"))
+    val coarse = hb.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+      .withColumn("bbelow", coalesce(sum(col("bc")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val kb = kRel.join(broadcast(coarse),
+        col("bbelow") < col("rk") && col("bbelow") + col("bc") >= col("rk"))
+      .select(col("k"), col("rk"), col("bkt"), col("bbelow"))
+    hb.join(broadcast(kb), Seq("bkt"))
+      .withColumn("cb", col("bbelow") + coalesce(sum(col("c")).over(
+        Window.partitionBy(col("k")).orderBy(col("si"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cb") < col("rk") && col("cb") + col("c") >= col("rk"))
+      .select(col("k"), col("si"), (col("rk") - col("cb")).as("ck"))
+  }
+
+  /** C19: the CURRICULUM INCREMENT — the settled-vs-delta discipline
+    * (d12/d13, t30, s18, m9, c15) carried to the funnel's TERMINAL stage,
+    * where it previously stopped: a manifest increment (c15's adds and
+    * retires) no longer forces a c17 rebuild — the shipped curriculum is
+    * maintained by a DELTA LEDGER of exactly the docs whose STAGE
+    * changed, one row each:
+    *
+    *   - `enter`: a c15 add that lands in the train split and clears the
+    *     FROZEN keep gate (si ≥ τ — the shipped model scores it; an
+    *     increment never retrains, the x39–x41 convention), with its
+    *     stage in the new universe;
+    *   - `leave`: a c15 retire that was in the shipped curriculum, with
+    *     the stage it vacates;
+    *   - `move`: a SETTLED SURVIVOR whose decile changed — not because
+    *     its score moved (frozen model: it cannot) but because the
+    *     decile BOUNDARIES did (the increment shifts every rank).
+    *
+    * The load-bearing decomposition: a survivor's stage is
+    * #{k : (si, grid-rank) ≥ boundary_k}, so stages change ONLY inside
+    * the intervals swept by a moving boundary. The fold therefore never
+    * ranks the corpus: (1) the new score-grid histogram is the staged
+    * settled histogram plus the delta's ±counts — an O(grid + delta)
+    * merge with no corpus pass; (2) the nine new boundary positions come
+    * from [[decileBounds]]' bounded two-level pass over it; (3) the
+    * CANDIDATE set is the survivors whose grid point lies inside some
+    * [old_k, new_k] interval (a ≤9-row broadcast semi-join against the
+    * staged curriculum scan — the touch set IS the boundary shift, plus
+    * the delta itself), and only candidates ∪ enters are ranked within
+    * their grid points (complete at every new-boundary grid point by
+    * construction) and compared against the ≤9-row boundary broadcast.
+    * Settled docs away from every boundary never enter any shuffle.
+    *
+    * Oracle: the honest full-recompute diff — BOTH curricula spelled with
+    * the plain one-window global rank over their full universes, outer-
+    * joined, changed rows only (the c15 precedent: the driver's hash
+    * equality IS the proof that the O(delta + boundary-shift) fold equals
+    * the batch diff, and doubles as the c14/c17 no-global-sort
+    * decomposition proof on a second universe). Emits (doc_id, action,
+    * stage_prev, stage_new, n_tokens, score), ordered by doc_id. */
+  def c19_curriculum_delta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cur0, hist0, b0, _) = c19Settled(s, dir)
+    val (_, score, _, _, tau) = c14Model(s, dir)
+    val ledger = c15_manifest_increment(s, dir)
+      .localCheckpoint() // the O(delta) manifest fold — consumed 3×
+    val enters = ledger
+      .filter(col("action") === "add" && col("split_new") === "train")
+      .select(col("doc_id"), col("n_tokens"))
+      .join(score.select(col("doc_id"), col("score"), col("si")), Seq("doc_id"))
+      .crossJoin(broadcast(tau)).filter(col("si") >= col("tau"))
+      .select(col("doc_id"), col("n_tokens"), col("score"), col("si"))
+    val retireIds = ledger.filter(col("action") === "retire").select(col("doc_id"))
+    val leaves = cur0.join(retireIds, Seq("doc_id"))
+      .select(col("doc_id"), col("stage").as("stage_prev"), col("n_tokens"),
+              col("score"), col("si"))
+    // (1) merged score-grid histogram: staged + delta, no corpus pass
+    val dh = enters.select(col("si"), lit(1L).as("d"))
+      .unionByName(leaves.select(col("si"), lit(-1L).as("d")))
+      .groupBy(col("si")).agg(sum(col("d")).as("d"))
+    val hist1 = hist0.join(dh, Seq("si"), "full_outer")
+      .select(col("si"),
+              (coalesce(col("c"), lit(0L)) + coalesce(col("d"), lit(0L))).as("c"))
+      .filter(col("c") > 0)
+    // (2) the nine new boundary positions — bounded two-level pass
+    val b1 = decileBounds(hist1).localCheckpoint() // ≤9 rows, consumed 2×
+    // (3) candidate intervals: where boundary k moved (a boundary absent
+    // on one side is unclearable there — its interval is one-side-open)
+    val ivals = b0.select(col("k"), col("si").as("si0"))
+      .join(b1.select(col("k"), col("si").as("si1")), Seq("k"), "full_outer")
+      .select(
+        least(coalesce(col("si0"), col("si1")),
+              coalesce(col("si1"), col("si0"))).as("lo"),
+        when(col("si0").isNull || col("si1").isNull, lit(Long.MaxValue))
+          .otherwise(greatest(col("si0"), col("si1"))).as("hi"))
+    val survivors = cur0.join(retireIds, Seq("doc_id"), "left_anti")
+    val cands = survivors.join(broadcast(ivals),
+        col("si") >= col("lo") && col("si") <= col("hi"), "left_semi")
+      .select(col("doc_id"), col("stage").as("stage_prev"), col("n_tokens"),
+              col("score"), col("si"))
+    // rank candidates ∪ enters within their grid points (complete at every
+    // new-boundary grid point: boundary points lie inside their own
+    // interval, enters are all present, leaves are excluded)
+    val pool = cands.unionByName(enters
+        .select(col("doc_id"), lit(null).cast("long").as("stage_prev"),
+                col("n_tokens"), col("score"), col("si")))
+      .withColumn("grid_rank", row_number().over(
+        Window.partitionBy(col("si")).orderBy(col("doc_id"))).cast("long"))
+    // new stage = #{k : (si, grid_rank) ≥ (si_k, c_k)} over the ≤9-row
+    // boundary broadcast; left_outer keeps rows when b1 is empty (a <2-doc
+    // universe has no clearable boundary → everything is stage 0)
+    val newStage = pool.join(
+        broadcast(b1.select(col("si").as("bsi"), col("ck"))),
+        lit(true), "left_outer")
+      .groupBy(col("doc_id"), col("stage_prev"), col("n_tokens"), col("score"))
+      .agg(sum(when(col("si") > col("bsi") ||
+                    (col("si") === col("bsi") && col("grid_rank") >= col("ck")),
+               1L).otherwise(0L)).as("stage_new"))
+    val moves = newStage
+      .filter(col("stage_prev").isNotNull && col("stage_new") =!= col("stage_prev"))
+      .select(col("doc_id"), lit("move").as("action"), col("stage_prev"),
+              col("stage_new"), col("n_tokens"), col("score"))
+    val enterRows = newStage.filter(col("stage_prev").isNull)
+      .select(col("doc_id"), lit("enter").as("action"),
+              lit(null).cast("long").as("stage_prev"), col("stage_new"),
+              col("n_tokens"), col("score"))
+    val leaveRows = leaves
+      .select(col("doc_id"), lit("leave").as("action"), col("stage_prev"),
+              lit(null).cast("long").as("stage_new"), col("n_tokens"),
+              col("score"))
+    enterRows.unionByName(moves).unionByName(leaveRows).orderBy("doc_id")
+  }
+
+  /** C19-SHARDS: the ledger's consequence for the TERMINAL artifact — the
+    * shard-manifest diff, computed by repacking ONLY the stages the
+    * curriculum ledger touched (c18's stage-boundary isolation doing the
+    * job it was designed for — "a stage can be re-weighted without
+    * re-packing neighbors", now load-bearing code, spec-pinned on both
+    * sides): affected stages' new membership (survivors with their final
+    * stage, plus enters) is re-ranked and re-packed through the SAME
+    * [[rankWithinStage]]/[[packShards]] code paths the shipped manifest
+    * used, then diffed against the staged shard rows of those stages.
+    * Unaffected stages never enter any join — but the ORACLE diffs the
+    * full c18@M1 against the full c18@M0, so the driver's hash equality
+    * PROVES the isolation contract (had any untouched stage's rows
+    * changed, the oracle would emit them and the gate would trip). Within
+    * an affected stage, shards before the earliest change point cancel in
+    * the diff — only the tails surface. Emits one row per differing
+    * (stage, shard) with both sides' fill/docs/starts. */
+  def c19_shard_delta(s: SparkSession, dir: String): DataFrame = {
+    val (cur0, _, _, shards0) = c19Settled(s, dir)
+    val ledger = c19_curriculum_delta(s, dir)
+      .localCheckpoint() // the O(delta + boundary-shift) ledger, consumed 4×
+    val affected = ledger.select(col("stage_prev").as("stage"))
+      .unionByName(ledger.select(col("stage_new").as("stage")))
+      .filter(col("stage").isNotNull).distinct() // ≤ 2×|stages| rows
+    val leavesIds = ledger.filter(col("action") === "leave").select(col("doc_id"))
+    val movedTo = ledger.filter(col("action") === "move")
+      .select(col("doc_id"), col("stage_new"))
+    val surFinal = cur0.join(leavesIds, Seq("doc_id"), "left_anti")
+      .join(movedTo, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("stage_new"), col("stage")).as("stage"),
+              col("n_tokens"))
+    val enterRows = ledger.filter(col("action") === "enter")
+      .select(col("doc_id"), col("stage_new").as("stage"), col("n_tokens"))
+    val members = surFinal.unionByName(enterRows)
+      .join(broadcast(affected), Seq("stage"), "left_semi")
+      .withColumn("h", pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+                            lit(2147483648L)))
+    val news = packShards(rankWithinStage(members)
+        .select(col("doc_id"), col("stage"), col("rank_in_stage"), col("n_tokens")))
+      .select(col("stage"), col("shard"), col("n_tokens").as("n_tokens_new"),
+              col("n_docs").as("n_docs_new"), col("n_starts").as("n_starts_new"))
+    val olds = shards0.join(broadcast(affected), Seq("stage"), "left_semi")
+      .select(col("stage"), col("shard"), col("n_tokens").as("n_tokens_prev"),
+              col("n_docs").as("n_docs_prev"), col("n_starts").as("n_starts_prev"))
+    news.join(olds, Seq("stage", "shard"), "full_outer")
+      .filter(col("n_tokens_new").isNull || col("n_tokens_prev").isNull ||
+              col("n_tokens_new") =!= col("n_tokens_prev") ||
+              col("n_docs_new") =!= col("n_docs_prev") ||
+              col("n_starts_new") =!= col("n_starts_prev"))
+      .select(col("stage"), col("shard"),
+              when(col("n_tokens_prev").isNull, "new")
+                .when(col("n_tokens_new").isNull, "dropped")
+                .otherwise("changed").as("action"),
+              col("n_tokens_prev"), col("n_docs_prev"), col("n_starts_prev"),
+              col("n_tokens_new"), col("n_docs_new"), col("n_starts_new"))
+      .orderBy("stage", "shard")
+  }
+
+  /** The c19 oracles' shared base: the frozen scored corpus (c14Sql), the
+    * combined manifest (c13Sql), the settled manifest (c15's chain
+    * verbatim), and BOTH curricula in the plain one-window spelling. */
+  private val c19BaseCtes: String =
+    s"""gsc AS MATERIALIZED (
+       |  SELECT doc_id, score, floor(score * 1000000.0 + 0.5)::BIGINT AS si, keep
+       |  FROM ($c14Sql)
+       |), m1 AS MATERIALIZED (
+       |$c13Sql
+       |), $settledManifestCtes,
+       |u1 AS (
+       |  SELECT m1.doc_id, m1.n_tokens, gsc.score, gsc.si,
+       |    ((m1.doc_id * 1103515245 + 12345) % 2147483648 + 2147483648)
+       |      % 2147483648 AS h
+       |  FROM m1 JOIN gsc ON gsc.doc_id = m1.doc_id
+       |  WHERE m1.split = 'train' AND gsc.keep
+       |), u0 AS (
+       |  SELECT m0.doc_id, m0.n_tokens, gsc.score, gsc.si,
+       |    ((m0.doc_id * 1103515245 + 12345) % 2147483648 + 2147483648)
+       |      % 2147483648 AS h
+       |  FROM m0 JOIN gsc ON gsc.doc_id = m0.doc_id
+       |  WHERE m0.split = 'train' AND gsc.keep
+       |), r1 AS (
+       |  SELECT *, row_number() OVER (ORDER BY si, doc_id) AS rnk,
+       |         count(*) OVER () AS n
+       |  FROM u1
+       |), s1 AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens, score, h,
+       |         (((rnk - 1) * 10) // n)::BIGINT AS stage
+       |  FROM r1
+       |), r0 AS (
+       |  SELECT *, row_number() OVER (ORDER BY si, doc_id) AS rnk,
+       |         count(*) OVER () AS n
+       |  FROM u0
+       |), s0 AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens, score, h,
+       |         (((rnk - 1) * 10) // n)::BIGINT AS stage
+       |  FROM r0
+       |)""".stripMargin
+
+  val c19Sql: String =
+    s"""WITH $c19BaseCtes
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |  CASE WHEN b.doc_id IS NULL THEN 'enter'
+       |       WHEN a.doc_id IS NULL THEN 'leave' ELSE 'move' END AS action,
+       |  b.stage AS stage_prev, a.stage AS stage_new,
+       |  coalesce(a.n_tokens, b.n_tokens) AS n_tokens,
+       |  coalesce(a.score, b.score) AS score
+       |FROM s1 a FULL OUTER JOIN s0 b ON a.doc_id = b.doc_id
+       |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.stage <> b.stage
+       |ORDER BY 1""".stripMargin
+
+  /** c18's packing chain over one oracle curriculum (tagged CTE names). */
+  private def c19PackCtes(src: String, tag: String): String =
+    s"""rk$tag AS (
+       |  SELECT doc_id, stage, n_tokens,
+       |    row_number() OVER (PARTITION BY stage ORDER BY h, doc_id) AS rnk
+       |  FROM $src
+       |), o$tag AS (
+       |  SELECT stage, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY stage ORDER BY rnk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+       |  FROM rk$tag
+       |), t$tag AS (SELECT stage, sum(n_tokens)::BIGINT AS total FROM $src GROUP BY 1),
+       |ch$tag AS (
+       |  SELECT stage, off, n_tokens,
+       |    unnest(range(off // 128, (off + n_tokens - 1) // 128 + 1)) AS shard
+       |  FROM o$tag
+       |), sh$tag AS (
+       |  SELECT ch.stage, shard::BIGINT AS shard,
+       |    least(128, t.total - shard * 128)::BIGINT AS n_tokens,
+       |    count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN off // 128 = shard THEN 1 ELSE 0 END)::BIGINT AS n_starts
+       |  FROM ch$tag ch JOIN t$tag t USING (stage)
+       |  GROUP BY ch.stage, shard, t.total
+       |)""".stripMargin
+
+  /** Oracle: the full c18@M1 vs c18@M0 diff — both shard manifests packed
+    * from their full curricula, outer-joined, differing rows only. Hash
+    * equality against the Spark side's affected-stages-only repack IS the
+    * stage-isolation proof. */
+  val c19ShardSql: String =
+    s"""WITH $c19BaseCtes,
+       |${c19PackCtes("s1", "1")},
+       |${c19PackCtes("s0", "0")}
+       |SELECT coalesce(a.stage, b.stage) AS stage,
+       |  coalesce(a.shard, b.shard) AS shard,
+       |  CASE WHEN b.stage IS NULL THEN 'new'
+       |       WHEN a.stage IS NULL THEN 'dropped' ELSE 'changed' END AS action,
+       |  b.n_tokens AS n_tokens_prev, b.n_docs AS n_docs_prev,
+       |  b.n_starts AS n_starts_prev,
+       |  a.n_tokens AS n_tokens_new, a.n_docs AS n_docs_new,
+       |  a.n_starts AS n_starts_new
+       |FROM sh1 a FULL OUTER JOIN sh0 b
+       |  ON a.stage = b.stage AND a.shard = b.shard
+       |WHERE a.stage IS NULL OR b.stage IS NULL
+       |   OR a.n_tokens <> b.n_tokens OR a.n_docs <> b.n_docs
+       |   OR a.n_starts <> b.n_starts
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_curriculum_delta" -> (c19_curriculum_delta _),
+    "c19_shard_delta" -> (c19_shard_delta _),
     "c18_shard_manifest" -> (c18_shard_manifest _),
     "c17_curriculum" -> (c17_curriculum _),
     "c17_stage_budget" -> (c17_stage_budget _),
@@ -1505,6 +1864,8 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c19_curriculum_delta" -> c19Sql,
+    "c19_shard_delta" -> c19ShardSql,
     "c18_shard_manifest" -> c18Sql,
     "c17_curriculum" -> c17Sql,
     "c17_stage_budget" -> c17BudgetSql,

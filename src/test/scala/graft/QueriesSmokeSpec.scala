@@ -901,6 +901,71 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(vt(doubled) == 2 * vt(base))
   }
 
+  test("curriculum increment: ledger-applied = full recompute for both c17 and c18 (c19)") {
+    // The terminal-stage increment contract (c15's fold-identity
+    // discipline): applying c19's delta ledger to the STAGED settled
+    // artifacts reproduces the full-recompute curriculum and shard
+    // manifest exactly — no drift channel between the incremental fold
+    // and the batch rebuild.
+    val dir = "/root/testdata/sf0.001"
+    val P = graft.queries.Pipeline
+    val (cur0, _, _, shards0) = P.c19Settled(spark, dir)
+    val led = P.c19_curriculum_delta(spark, dir).collect()
+    assert(led.nonEmpty)
+    // ledger rows are well-formed and every move is a genuine change
+    for (r <- led) r.getString(1) match {
+      case "enter" => assert(r.isNullAt(2) && !r.isNullAt(3))
+      case "leave" => assert(!r.isNullAt(2) && r.isNullAt(3))
+      case "move"  => assert(!r.isNullAt(2) && !r.isNullAt(3) &&
+                             r.getLong(2) != r.getLong(3),
+        s"move row ${r.getLong(0)} does not change stage")
+      case a => fail(s"unknown action $a")
+    }
+    // LEDGER-APPLIED = FULL RECOMPUTE (c17): patch the settled per-doc
+    // stage map by the ledger, compare with the fresh curriculum
+    val prev = scala.collection.mutable.Map(
+      cur0.select("doc_id", "stage").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq: _*)
+    for (r <- led) r.getString(1) match {
+      case "enter" => assert(!prev.contains(r.getLong(0))); prev(r.getLong(0)) = r.getLong(3)
+      case "leave" => assert(prev.remove(r.getLong(0)).isDefined)
+      case "move"  => assert(prev(r.getLong(0)) == r.getLong(2)); prev(r.getLong(0)) = r.getLong(3)
+    }
+    val fresh = P.c17_curriculum(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prev.toMap == fresh,
+      "ledger-applied settled curriculum diverges from the full recompute")
+    // LEDGER-APPLIED = FULL RECOMPUTE (c18): patch the settled shard map
+    // by the shard delta, compare with the fresh manifest
+    type K = (Long, Long)
+    val sm = scala.collection.mutable.Map(
+      shards0.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toSeq: _*)
+    val sd = P.c19_shard_delta(spark, dir).collect()
+    assert(sd.nonEmpty)
+    for (r <- sd) {
+      val k: K = (r.getLong(0), r.getLong(1))
+      r.getString(2) match {
+        case "new" =>
+          assert(!sm.contains(k))
+          sm(k) = (r.getLong(6), r.getLong(7), r.getLong(8))
+        case "dropped" =>
+          assert(sm.remove(k).contains((r.getLong(3), r.getLong(4), r.getLong(5))))
+        case "changed" =>
+          assert(sm(k) == ((r.getLong(3), r.getLong(4), r.getLong(5))))
+          val nv = (r.getLong(6), r.getLong(7), r.getLong(8))
+          assert(sm(k) != nv, s"changed row $k is not a change")
+          sm(k) = nv
+        case a => fail(s"unknown shard action $a")
+      }
+    }
+    val freshSh = P.c18_shard_manifest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(sm.toMap == freshSh,
+      "ledger-applied settled shard manifest diverges from the full recompute")
+  }
+
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
     val fmgws = graft.streaming.Streams.x31_stream_drift(spark, dir)
       .collect().map(_.toSeq).toSet
