@@ -31,6 +31,40 @@ object Bench {
     s(s.length / 2)
   }
 
+  private def clearAllShared(): Unit = {
+    queries.Similarity.clearShared()
+    queries.Dedup.clearShared()
+    queries.Graph.clearShared()
+    queries.TextAnalysis.clearShared()
+    queries.Multimodal.clearShared()
+    queries.Pipeline.clearShared()
+  }
+
+  /** Recycle the JVM's accumulated execution state BETWEEN the streaming
+    * x-block and the batch sweep (round-13 verdict: fronting the x-block
+    * fixed x11–x17 but RELOCATED the block-manager/heap pressure onto the
+    * first batch queries behind it — c12/c13 read 2.2–2.3× in-sweep with
+    * nothing touching them and recovered fully when judge-isolated). The
+    * batch sweep should start from the same clean-JVM state its isolated
+    * re-runs use: drop every persisted block (cleared caches leave
+    * orphaned localCheckpoint blocks), unload the streaming state-store
+    * providers and their maintenance thread (HDFS provider maps + RocksDB
+    * JNI handles held since the x-block), clear the SQL cache, and force
+    * a full GC so the first batch query is not collecting the x-block's
+    * tenured garbage inside its timing. */
+  private def recycleExecutorState(spark: SparkSession): Unit = {
+    clearAllShared()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.sharedState.cacheManager.clearCache()
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] state-store unload failed: ${e.getMessage}")
+    }
+    System.gc()
+    Thread.sleep(500)
+    System.gc()
+  }
+
   /** Which artifact directories a run may write. A cold SPARK_GRAFT_ONLY
     * subset run is an experiment and must not clobber the committed
     * full-surface map in bench/; full runs and KEEP_SHARED serving runs
@@ -106,6 +140,53 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // STREAMING-BOUND CALIBRATION TWIN (round-13 verdict #3): the
+    // CPU-bound calib provably cannot normalize streaming rows — x17's
+    // A/A test measured byte-identical code at 3.09 s then 4.88 s months
+    // apart at near-equal calib, and judge-isolated x10 read 14.9 s vs
+    // the builder's same-day 7.9 s in equally calm CPU windows. The
+    // drifting quantity is MICRO-BATCH SCHEDULING LATENCY (trigger
+    // planning, state-store commits, sink bookkeeping), orthogonal to
+    // CPU throughput. calib_stream times a fixed, deterministic, no-op
+    // FMGWS query over eight one-row files (maxFilesPerTrigger=1 → eight
+    // micro-batches; compute is nil, so per-trigger scheduling cost is
+    // the whole number) 3×, min reported — streaming deltas are read
+    // against THIS scalar's window ratio, batch deltas against calib's.
+    val calibStream = {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger, GroupStateTimeout}
+      val base = java.nio.file.Files.createTempDirectory("graft_calib_stream")
+      val streamDir = base.resolve("stream")
+      java.nio.file.Files.createDirectories(streamDir)
+      for (i <- 0 until 8) {
+        val tmp = base.resolve(s"tmp$i")
+        spark.range(i.toLong, i.toLong + 1L).coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+        java.nio.file.Files.move(part, streamDir.resolve(f"$i%02d_chunk.parquet"))
+      }
+      val schema = spark.read.parquet(streamDir.toString).schema
+      def run(i: Int): Double = {
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        val out = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+          .as[Long]
+          .groupByKey(_ % 4L)
+          .flatMapGroupsWithState[Long, (Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (k: Long, it: Iterator[Long], st: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              val n = st.getOption.getOrElse(0L) + it.size
+              st.update(n)
+              Iterator.single((k, n))
+          }
+        val q = out.toDF("k", "n").writeStream.format("memory")
+          .queryName(s"graft_calib_stream_${i}_${System.nanoTime()}")
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(run).min
+    }
     // SPARK_GRAFT_KEEP_SHARED=1 keeps the per-session staging tables
     // (s2Pairs, d3Pairs, bandSigs) warm BETWEEN timed runs — the
     // warm-staging study knob (e.g. d13's per-increment marginal cost with
@@ -115,12 +196,7 @@ object Bench {
     def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Double] = {
       if (!keepShared) {
-        queries.Similarity.clearShared()
-        queries.Dedup.clearShared()
-        queries.Graph.clearShared()
-        queries.TextAnalysis.clearShared()
-        queries.Multimodal.clearShared()
-        queries.Pipeline.clearShared()
+        clearAllShared()
         // clearing the caches drops the REFERENCES, but every
         // localCheckpoint's RDD blocks stay in the block manager until GC —
         // across 178 queries × 3 runs the accumulated blocks inflate later
@@ -152,10 +228,22 @@ object Bench {
     // use, so in-sweep streaming numbers are judgeable from the artifact
     // alone; batch queries are insensitive to the swap (their inputs are
     // re-read parquet, their caches cleared per run either way).
+    // between the fronted x-block and the batch sweep, recycle the JVM
+    // state once (see recycleExecutorState — the round-13 relocation
+    // finding); per-query pre-run heap is recorded into the artifact so
+    // any residual contamination is attributable without isolation runs
+    var xBlockDone = false
+    val heapMb = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val timings = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (if (name.startsWith("x")) 0 else 1, name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      if (!xBlockDone && !name.startsWith("x")) {
+        xBlockDone = true
+        if (!keepShared) recycleExecutorState(spark)
+      }
+      val rt = Runtime.getRuntime
+      heapMb(name) = (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
       var good = (1 to nRuns).flatMap(_ => timedRun(name, fn))
       // wide spread ⇒ contention contaminated the sample: take two extra
       // measurements, then report the MIN of the good runs — the
@@ -182,8 +270,10 @@ object Bench {
       System.err.println(f"[bench] WARN $n spread ${sp}%.1fx across runs (reporting min $v%.2fs)")
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val heaps = heapMb.map { case (n, v) => s"\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calib_stream":${fmt(calibStream)},"queries":$qs,"spread":$spreads,"heap_mb":$heaps,"sf":"$sfDir"}"""
     // full artifact → file (always parses, immune to log-tail truncation).
     // Written to BOTH target/ (wiped between rounds — the driver's copy)
     // and bench/ (committed per round, so the full per-query map survives
@@ -216,7 +306,7 @@ object Bench {
     // point at the DURABLE copy when one was written (bench/ is committed;
     // target/ is wiped between rounds and only subset experiments stop there)
     val fullDir = artifactDirs(only.nonEmpty, keepShared).last
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"n_queries":${results.size},"full":"$fullDir/bench_$sfName.json","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calib_stream":${fmt(calibStream)},"n_queries":${results.size},"full":"$fullDir/bench_$sfName.json","sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tailStr.length
