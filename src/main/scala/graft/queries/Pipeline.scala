@@ -1740,6 +1740,37 @@ object Pipeline {
       .orderBy("stage", "shard")
   }
 
+  /** C19's per-stage SCHEDULE-CARD delta — what the increment does to
+    * each training stage's budget (the c15_budget_delta / c17_stage_budget
+    * rollup discipline at the terminal stage): per stage, docs entered /
+    * left / moved in / moved out and the net token delta (a move charges
+    * its new stage and refunds its old one). Bounded by the ≤10-row stage
+    * inventory at any scale; one aggregate over the ledger. The identity
+    * `stage_tokens@M0 + tok_delta = stage_tokens@M1` is spec-pinned. */
+  def c19_budget_delta(s: SparkSession, dir: String): DataFrame = {
+    val led = c19_curriculum_delta(s, dir)
+    val gains = led.filter(col("stage_new").isNotNull)
+      .select(col("stage_new").as("stage"),
+              when(col("action") === "enter", 1L).otherwise(0L).as("n_enter"),
+              lit(0L).as("n_leave"),
+              when(col("action") === "move", 1L).otherwise(0L).as("n_move_in"),
+              lit(0L).as("n_move_out"),
+              col("n_tokens").as("tok_delta"))
+    val losses = led.filter(col("stage_prev").isNotNull)
+      .select(col("stage_prev").as("stage"),
+              lit(0L).as("n_enter"),
+              when(col("action") === "leave", 1L).otherwise(0L).as("n_leave"),
+              lit(0L).as("n_move_in"),
+              when(col("action") === "move", 1L).otherwise(0L).as("n_move_out"),
+              (-col("n_tokens")).as("tok_delta"))
+    gains.unionByName(losses).groupBy(col("stage"))
+      .agg(sum(col("n_enter")).as("n_enter"), sum(col("n_leave")).as("n_leave"),
+           sum(col("n_move_in")).as("n_move_in"),
+           sum(col("n_move_out")).as("n_move_out"),
+           sum(col("tok_delta")).as("tok_delta"))
+      .orderBy("stage")
+  }
+
   /** The c19 oracles' shared base: the frozen scored corpus (c14Sql), the
     * combined manifest (c13Sql), the settled manifest (c15's chain
     * verbatim), and BOTH curricula in the plain one-window spelling. */
@@ -1792,6 +1823,30 @@ object Pipeline {
        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.stage <> b.stage
        |ORDER BY 1""".stripMargin
 
+  /** Oracle: one aggregate over the c19 oracle as a derived table. */
+  val c19BudgetSql: String =
+    s"""WITH led AS MATERIALIZED (
+       |$c19Sql
+       |), gl AS (
+       |  SELECT stage_new AS stage,
+       |    CASE WHEN action = 'enter' THEN 1 ELSE 0 END AS n_enter,
+       |    0 AS n_leave,
+       |    CASE WHEN action = 'move' THEN 1 ELSE 0 END AS n_move_in,
+       |    0 AS n_move_out, n_tokens AS tok_delta
+       |  FROM led WHERE stage_new IS NOT NULL
+       |  UNION ALL
+       |  SELECT stage_prev, 0,
+       |    CASE WHEN action = 'leave' THEN 1 ELSE 0 END, 0,
+       |    CASE WHEN action = 'move' THEN 1 ELSE 0 END, -n_tokens
+       |  FROM led WHERE stage_prev IS NOT NULL
+       |)
+       |SELECT stage, sum(n_enter)::BIGINT AS n_enter,
+       |  sum(n_leave)::BIGINT AS n_leave,
+       |  sum(n_move_in)::BIGINT AS n_move_in,
+       |  sum(n_move_out)::BIGINT AS n_move_out,
+       |  sum(tok_delta)::BIGINT AS tok_delta
+       |FROM gl GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** c18's packing chain over one oracle curriculum (tagged CTE names). */
   private def c19PackCtes(src: String, tag: String): String =
     s"""rk$tag AS (
@@ -1843,6 +1898,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c19_curriculum_delta" -> (c19_curriculum_delta _),
     "c19_shard_delta" -> (c19_shard_delta _),
+    "c19_budget_delta" -> (c19_budget_delta _),
     "c18_shard_manifest" -> (c18_shard_manifest _),
     "c17_curriculum" -> (c17_curriculum _),
     "c17_stage_budget" -> (c17_stage_budget _),
@@ -1866,6 +1922,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "c19_curriculum_delta" -> c19Sql,
     "c19_shard_delta" -> c19ShardSql,
+    "c19_budget_delta" -> c19BudgetSql,
     "c18_shard_manifest" -> c18Sql,
     "c17_curriculum" -> c17Sql,
     "c17_stage_budget" -> c17BudgetSql,

@@ -964,6 +964,18 @@ class QueriesSmokeSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(sm.toMap == freshSh,
       "ledger-applied settled shard manifest diverges from the full recompute")
+    // BUDGET IDENTITY (the c15/c17 discipline): per stage,
+    // stage_tokens@M0 + tok_delta = stage_tokens@M1
+    val tok0 = cur0.select("stage", "n_tokens").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sum).toMap
+    val tok1 = P.c17_stage_budget(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bd = P.c19_budget_delta(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    for (st <- tok0.keySet ++ tok1.keySet)
+      assert(tok0.getOrElse(st, 0L) + bd.getOrElse(st, 0L) ==
+             tok1.getOrElse(st, 0L),
+        s"stage $st budget identity violated")
   }
 
   test("drift monitor reads identically on FMGWS and transformWithState (x31 = x32)") {
