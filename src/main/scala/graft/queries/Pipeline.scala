@@ -1528,7 +1528,8 @@ object Pipeline {
         .localCheckpoint()
       val hist0 = cur0.groupBy(col("si")).agg(count(lit(1)).as("c"))
         .localCheckpoint()
-      val b0 = decileBounds(hist0).localCheckpoint()
+      val b0 = graft.plans.BroadcastContract.boundedCheckpoint(
+        decileBounds(hist0), "c19 settled decile boundaries: ≤9 rows by construction")
       val shards0 = packShards(cur0.select(col("doc_id"), col("stage"),
           col("rank_in_stage"), col("n_tokens"))).localCheckpoint()
       (cur0, hist0, b0, shards0)
@@ -1635,7 +1636,10 @@ object Pipeline {
               (coalesce(col("c"), lit(0L)) + coalesce(col("d"), lit(0L))).as("c"))
       .filter(col("c") > 0)
     // (2) the nine new boundary positions — bounded two-level pass
-    val b1 = decileBounds(hist1).localCheckpoint() // ≤9 rows, consumed 2×
+    // (boundedCheckpoint: the hint walk needs the ≤9-row evidence a plain
+    // checkpoint's LogicalRDD would erase; consumed 2×)
+    val b1 = graft.plans.BroadcastContract.boundedCheckpoint(
+      decileBounds(hist1), "c19 new decile boundaries: ≤9 rows by construction")
     // (3) candidate intervals: where boundary k moved (a boundary absent
     // on one side is unclearable there — its interval is one-side-open)
     val ivals = b0.select(col("k"), col("si").as("si0"))
