@@ -901,6 +901,42 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(vt(doubled) == 2 * vt(base))
   }
 
+  test("decile boundaries match brute-force ranks on synthetic grids incl. degenerate n (c19)") {
+    // Pins decileBounds' r_k derivation and the boundary-predicate stage
+    // formula exhaustively on small synthetic score grids WITH ties —
+    // including the sub-10-doc regimes where boundaries are absent (the
+    // r13 ADVICE degenerate-regime class, tested by design here).
+    import spark.implicits._
+    for (n <- Seq(1, 2, 5, 23, 101)) {
+      val docs = (1 to n).map(i => (i.toLong, ((i * 7) % 13).toLong))
+      val hist = docs.groupBy(_._2).map { case (si, rs) => (si, rs.size.toLong) }
+        .toSeq.toDF("si", "c")
+      val got = graft.queries.Pipeline.decileBounds(hist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val sorted = docs.sortBy(d => (d._2, d._1))
+      val expected = (1 to 9).flatMap { k =>
+        val rk = (k * n + 9) / 10 + 1
+        if (rk > n) None // absent boundary: the whole universe is below it
+        else {
+          val (_, si) = sorted(rk - 1)
+          Some((k.toLong, si, sorted.take(rk).count(_._2 == si).toLong))
+        }
+      }
+      assert(got == expected, s"n=$n boundaries")
+      // the per-doc predicate c19 uses: stage = #{k : (si, gridRank) >=
+      // (si_k, c_k)} must equal the plain rank formula ((rnk-1)*10) div n
+      for (((id, si), idx) <- sorted.zipWithIndex) {
+        val rnk = idx + 1
+        val gridRank = sorted.take(rnk).count(_._2 == si)
+        val fromBounds = got.count { case (_, bsi, ck) =>
+          si > bsi || (si == bsi && gridRank >= ck) }
+        assert(fromBounds == ((rnk - 1) * 10) / n,
+          s"n=$n doc $id rank $rnk: boundary-predicate stage $fromBounds")
+      }
+    }
+  }
+
   test("curriculum increment: ledger-applied = full recompute for both c17 and c18 (c19)") {
     // The terminal-stage increment contract (c15's fold-identity
     // discipline): applying c19's delta ledger to the STAGED settled
