@@ -2216,6 +2216,54 @@ object Streams {
   case class PlaceIn(doc_id: Long, stage: Long, n_tok: Long, base: Long)
   case class PlaceOut(doc_id: Long, stage: Long, off: Long, shard: Long)
 
+  /** The frozen-classifier margin for one arriving document, shared by
+    * x41's placement and x42's skew monitor (ONE op sequence at the door —
+    * the hashedGramBuckets discipline): grams fold STRAIGHT into the
+    * 256-way bucket counts (no materialized unigram++bigram Seq; one
+    * thread-hoisted digest — ADVICE r13), then x40's decimal mirror
+    * op-for-op (x = round6(cnt/n), HALF_UP double→DECIMAL(30,20) products,
+    * exact BigDecimal addition in any order, round6(·+bias)) — bit-equal
+    * to the batch fold by the x40 argument. Returns the margin's 1e-6
+    * grid point, or None when no gram hits a weighted bucket (the batch
+    * margin join's inner semantics). */
+  private def frozenMarginSi(wMap: Map[String, Double], biasV: Double,
+                             tk: Array[String]): Option[Long] = {
+    val md = md5Local.get()
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    def add(g: String): Unit = {
+      val b = hexByte(md.digest(g.getBytes("UTF-8"))(0) & 0xff)
+      counts.update(b, counts.getOrElse(b, 0) + 1)
+    }
+    var i = 0
+    while (i < tk.length) { add(tk(i)); i += 1 } // unigrams
+    i = 1
+    while (i < tk.length) { add(tk(i - 1) + " " + tk(i)); i += 1 } // bigrams
+    // gram count = len + max(len-1, 0) — identical to the batch explode
+    val n = (if (tk.length >= 2) 2 * tk.length - 1 else tk.length).toDouble
+    val weighted = counts.iterator
+      .flatMap { case (b, c) => wMap.get(b).map(wv => (c, wv)) }.toSeq
+    if (weighted.isEmpty) None
+    else {
+      val sd = weighted.map { case (c, wv) =>
+        val x = math.floor(c / n * 1000000.0 + 0.5) / 1000000.0
+        BigDecimal(x * wv).setScale(20, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val m = math.floor((sd.toDouble + biasV) * 1000000.0 + 0.5) / 1000000.0
+      Some(math.floor(m * 1000000.0 + 0.5).toLong)
+    }
+  }
+
+  /** Index of the highest shipped stage whose boundary the score clears,
+    * by RAW stage id over the stage-sorted artifact (non-dense-safe:
+    * mirrors the oracle's max(b.stage) rule); below every boundary → the
+    * lowest shipped stage. */
+  private def stageIdx(curAgg: Array[(Long, Long, Long)], si: Long): Int = {
+    var idx = -1
+    var j = 0
+    while (j < curAgg.length) { if (curAgg(j)._2 <= si) idx = j; j += 1 }
+    if (idx >= 0) idx else 0
+  }
+
   /** X41: SHARD PLACEMENT AT THE DOOR — c18's ingest-side twin, completing
     * the release funnel's online chain (x39 admits, x40 keeps, x41 PLACES):
     * each arriving document that clears the frozen per-row gates is
@@ -2328,43 +2376,11 @@ object Streams {
       .select(col("doc_id"), col("text")).as[(Long, String)]
     val in: Dataset[PlaceIn] = train.flatMap { case (id, text) =>
       val tk = text.split(" ", -1) // Spark split keeps trailing empties
-      // grams fold STRAIGHT into the bucket counts — no materialized
-      // unigram++bigram Seq — through one thread-hoisted digest (ADVICE
-      // r13: the per-doc MessageDigest + concatenated gram Seq retained
-      // ~2x the token count in objects per doc on the hot ingest path)
-      val md = md5Local.get()
-      val counts = new scala.collection.mutable.HashMap[String, Int]()
-      def add(g: String): Unit = {
-        val b = hexByte(md.digest(g.getBytes("UTF-8"))(0) & 0xff)
-        counts.update(b, counts.getOrElse(b, 0) + 1)
-      }
-      var i = 0
-      while (i < tk.length) { add(tk(i)); i += 1 } // unigrams
-      i = 1
-      while (i < tk.length) { add(tk(i - 1) + " " + tk(i)); i += 1 } // bigrams
-      // gram count = len + max(len-1, 0) — identical to the batch explode
-      val n = (if (tk.length >= 2) 2 * tk.length - 1 else tk.length).toDouble
-      val weighted = counts.iterator
-        .flatMap { case (b, c) => wMap.get(b).map(wv => (c, wv)) }.toSeq
-      if (weighted.isEmpty) None // the batch margin join's inner semantics
-      else {
-        val sd = weighted.map { case (c, wv) =>
-          val x = math.floor(c / n * 1000000.0 + 0.5) / 1000000.0
-          BigDecimal(x * wv).setScale(20, BigDecimal.RoundingMode.HALF_UP)
-        }.sum
-        val m = math.floor((sd.toDouble + biasV) * 1000000.0 + 0.5) / 1000000.0
-        val si = math.floor(m * 1000000.0 + 0.5).toLong
-        if (si < tauV) None // the frozen keep gate
-        else {
-          // highest stage whose boundary the score clears, by RAW stage id
-          // (non-dense-safe: mirrors the oracle's max(b.stage) rule); below
-          // every boundary → the lowest shipped stage
-          var idx = -1
-          var j = 0
-          while (j < curAgg.length) { if (curAgg(j)._2 <= si) idx = j; j += 1 }
-          val (stage, _, base) = curAgg(if (idx >= 0) idx else 0)
+      frozenMarginSi(wMap, biasV, tk) match {
+        case Some(si) if si >= tauV => // the frozen keep gate
+          val (stage, _, base) = curAgg(stageIdx(curAgg, si))
           Some(PlaceIn(id, stage, tk.length.toLong, base))
-        }
+        case _ => None
       }
     }
     val out = in.groupByKey(_.stage)
@@ -2421,6 +2437,134 @@ object Streams {
        |)
        |SELECT doc_id, stage, off, (off // 128)::BIGINT AS shard
        |FROM o ORDER BY doc_id""".stripMargin
+  }
+
+  /** X42: STAGE-SKEW MONITOR AT THE DOOR — the operational loop around
+    * the funnel's online chain closed: x39 admits, x40 keeps, x41 places
+    * against the SHIPPED curriculum's boundaries, and x42 is the signal
+    * that says those boundaries have gone STALE — the trigger for c19's
+    * incremental fold (the compaction-scheduling decision every
+    * decide-at-the-door / compact-at-night pipeline needs). Each arriving
+    * doc clearing the frozen per-row gates takes its x41 stage (the SAME
+    * scorer and highest-cleared-boundary rule — [[frozenMarginSi]]/
+    * [[stageIdx]], one op sequence for placement and monitoring), and a
+    * per-stage running count (x41's state shape: O(1) ValueState, ≤10
+    * keys) emits the observed mix each trigger. If the shipped boundaries
+    * were fresh, arriving traffic would spread across stages like the
+    * shipped curriculum does (a decile each); a skewed mix means the
+    * score distribution moved and the nightly c19 fold should run early.
+    * Final reading per stage (counts are strictly monotone across
+    * triggers, so max selects the last trigger — x31's convention) joined
+    * against the shipped per-stage inventory: (stage, n_arrived,
+    * n_shipped, arrived_share, shipped_share, skew). All-integer until
+    * the final round4 shares — no transcendental crosses engines. */
+  def x42_stream_stage_skew(s: SparkSession, dir: String): DataFrame = {
+    val placed = runToMemory(x42Counts(s, dir).toDF("stage", "n"),
+      OutputMode.Append(), s"x42_mem_${System.nanoTime()}")
+    val arrived = placed.groupBy(col("stage")).agg(max(col("n")).as("n_arrived"))
+    val shipped = graft.queries.Pipeline.c17_stage_budget(s, dir)
+      .select(col("stage"), col("n_docs").as("n_shipped"))
+    val j = shipped.join(arrived, Seq("stage"), "left_outer")
+      .select(col("stage"), coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
+              col("n_shipped"))
+    val totals = j.agg(sum(col("n_arrived")).as("ta"),
+                       sum(col("n_shipped")).as("ts"))
+    val r4 = graft.queries.QUtil.round4 _
+    j.crossJoin(broadcast(totals)) // bounded: one row by aggregation
+      .withColumn("arrived_share", r4(col("n_arrived").cast("double") / col("ta")))
+      .withColumn("shipped_share", r4(col("n_shipped").cast("double") / col("ts")))
+      .select(col("stage"), col("n_arrived"), col("n_shipped"),
+              col("arrived_share"), col("shipped_share"),
+              r4(col("arrived_share") - col("shipped_share")).as("skew"))
+      .orderBy("stage")
+  }
+
+  /** x42's streaming leg: per-stage running arrival counts under the
+    * frozen gates — one stateful operator, ≤10 keys, O(1) state each. */
+  private[graft] def x42Counts(s: SparkSession, dir: String): Dataset[(Long, Long)] = {
+    import s.implicits._
+    val (_, _, w, bias, tau) = graft.queries.Pipeline.c14Model(s, dir)
+    val wMap = graft.plans.BroadcastContract.boundedCollect(w,
+        "c14 weights: <= 256 hashed buckets by construction")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val biasV = graft.plans.BroadcastContract.boundedCollect(bias,
+      "c14 bias: one row by aggregation").head.getDouble(0)
+    val tauV = graft.plans.BroadcastContract.boundedCollect(tau,
+      "c14 tau: one row over the bounded score grid").head.getLong(0)
+    val curAgg = graft.plans.BroadcastContract.boundedCollect(
+      graft.queries.Pipeline.c17_curriculum(s, dir)
+        .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+        .groupBy(col("stage")).agg(min(col("si")).as("m")),
+      "c17 stage boundaries: <= 10 rows by construction")
+      .map(r => (r.getLong(0), r.getLong(1), 0L)).sortBy(_._1)
+    require(curAgg.nonEmpty,
+      "x42 requires a nonempty shipped curriculum artifact (c17 is empty)")
+    val stages: Dataset[Long] = docsStream(s, dir)
+      .filter(graft.queries.Pipeline.splitOf(col("doc_id")) === "train")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        frozenMarginSi(wMap, biasV, text.split(" ", -1)) match {
+          case Some(si) if si >= tauV => Some(curAgg(stageIdx(curAgg, si))._1)
+          case _ => None
+        }
+      }
+    stages.groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (stage: Long, it: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          Iterator.single((stage, n))
+      }
+  }
+
+  /** x42's oracle: the arrival side is x41's stage rule over the frozen
+    * kept∩train universe (c14 + split oracles verbatim), the shipped side
+    * is the curriculum's per-stage inventory; integer counts, round4
+    * shares. */
+  val x42Sql: String = {
+    val splitCase =
+      """CASE WHEN substring(md5('split:' || sc.doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+        |     WHEN substring(md5('split:' || sc.doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+        |     ELSE 'test' END""".stripMargin
+    s"""WITH cur AS MATERIALIZED (
+       |${graft.queries.Pipeline.c17Sql}
+       |), bounds AS (
+       |  SELECT stage, min(floor(score * 1000000.0 + 0.5)::BIGINT) AS m
+       |  FROM cur GROUP BY 1
+       |), sc AS (
+       |  SELECT c.doc_id, floor(c.score * 1000000.0 + 0.5)::BIGINT AS si
+       |  FROM (
+       |${graft.queries.Pipeline.c14Sql}
+       |  ) c
+       |  WHERE c.keep
+       |), st AS (
+       |  SELECT doc_id,
+       |    coalesce((SELECT max(b.stage) FROM bounds b WHERE b.m <= sc.si),
+       |             (SELECT min(b2.stage) FROM bounds b2))::BIGINT AS stage
+       |  FROM sc
+       |  WHERE $splitCase = 'train'
+       |), arr AS (
+       |  SELECT stage, count(*)::BIGINT AS n_arrived FROM st GROUP BY 1
+       |), shp AS (
+       |  SELECT stage, count(*)::BIGINT AS n_shipped FROM cur GROUP BY 1
+       |), j AS (
+       |  SELECT s.stage, coalesce(a.n_arrived, 0)::BIGINT AS n_arrived,
+       |         s.n_shipped
+       |  FROM shp s LEFT JOIN arr a ON a.stage = s.stage
+       |), t AS (
+       |  SELECT sum(n_arrived)::BIGINT AS ta, sum(n_shipped)::BIGINT AS ts
+       |  FROM j
+       |)
+       |SELECT j.stage, j.n_arrived, j.n_shipped,
+       |  floor(j.n_arrived::DOUBLE / t.ta * 10000.0 + 0.5) / 10000.0
+       |    AS arrived_share,
+       |  floor(j.n_shipped::DOUBLE / t.ts * 10000.0 + 0.5) / 10000.0
+       |    AS shipped_share,
+       |  floor((floor(j.n_arrived::DOUBLE / t.ta * 10000.0 + 0.5) / 10000.0
+       |         - floor(j.n_shipped::DOUBLE / t.ts * 10000.0 + 0.5) / 10000.0)
+       |        * 10000.0 + 0.5) / 10000.0 AS skew
+       |FROM j, t ORDER BY j.stage""".stripMargin
   }
 
   /** x39's oracle: the same admission relation batch-side — per-doc gates
@@ -3103,6 +3247,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x41_stream_shard_placement" -> (x41_stream_shard_placement _),
+    "x42_stream_stage_skew" -> (x42_stream_stage_skew _),
     "x32_tws_drift"            -> (x32_tws_drift _),
     "x31_stream_drift"         -> (x31_stream_drift _),
     "x30_stream_funnel"        -> (x30_stream_funnel _),
@@ -3148,6 +3293,7 @@ object Streams {
     * so they share those oracles (SURVEY.md §5: final-value fidelity). */
   val oracles: Map[String, String] = Map(
     "x41_stream_shard_placement" -> x41Sql,
+    "x42_stream_stage_skew" -> x42Sql,
     "x32_tws_drift"            -> graft.queries.TextAnalysis.t29Sql, // same converged reading
     "x31_stream_drift"         -> graft.queries.TextAnalysis.t29Sql, // converged reading = batch
     "x30_stream_funnel"        -> graft.queries.Relational.q21Sql, // same final counters

@@ -607,6 +607,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stage-skew monitor agrees with the placement query's stage mix (x42 = x41 counts)") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.streaming.Streams
+    // x42's arrival counts must be exactly the per-stage cardinalities of
+    // x41's placement output — one scorer, one stage rule, two consumers
+    val skew = Streams.x42_stream_stage_skew(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(skew.nonEmpty)
+    val placed = Streams.x41_stream_shard_placement(spark, dir)
+      .collect().map(_.getLong(1))
+    val byStage = placed.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for ((st, nArr, _, _, _, _) <- skew)
+      assert(nArr == byStage.getOrElse(st, 0L),
+        s"stage $st: monitor says $nArr arrivals, placement has ${byStage.getOrElse(st, 0L)}")
+    // every shipped stage is present (zero-arrival stages included), and
+    // the shares are partitions of 1 on the round4 grid (±10 ulp slack
+    // for the per-row rounding)
+    val shipped = graft.queries.Pipeline.c17_stage_budget(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(skew.map(_._1).toSet == shipped)
+    assert(math.abs(skew.map(_._4).sum - 1.0) < 0.002)
+    assert(math.abs(skew.map(_._5).sum - 1.0) < 0.002)
+    // skew rows are self-consistent: skew = round4(arrived - shipped)
+    for ((_, _, _, a, s, k) <- skew)
+      assert(k == math.floor((a - s) * 10000.0 + 0.5) / 10000.0)
+  }
+
   test("online SQ8 serve equals the batch depth-∞ serve; frozen-artifact routing (x38)") {
     val dir = "/root/testdata/sf0.001"
     import graft.streaming.Streams
