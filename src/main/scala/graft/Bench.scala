@@ -74,6 +74,27 @@ object Bench {
                                   keepShared: Boolean): Seq[String] =
     if (!subsetRun || keepShared) Seq("target", "bench") else Seq("target")
 
+  /** Which normalization scalar a query's timing is adjudicated against —
+    * emitted per query into the artifact as `class` so the driver's
+    * summary is machine-readable without NOTES (r14 verdict #4b, the last
+    * step of the measurement-infrastructure arc):
+    *   - `stream`: micro-batch queries (the x-block) — scheduling-latency
+    *     bound; read against `calib_stream`'s window ratio. x41/x42 also
+    *     pay the settled audit chain cold, but their drift across windows
+    *     has always tracked the streaming scalar, so they stay here;
+    *   - `audit-chain`: batch queries whose cost is dominated by the
+    *     staged release-funnel chain paid cold per bench-isolation policy
+    *     (c14 GD training + settled manifest/curriculum staging) —
+    *     genuinely compute-bound, read against `calib`;
+    *   - `batch`: everything else — scan/shuffle-bound, read raw first,
+    *     `calib` second.
+    * Pure so the tagging is spec-pinned (`QueriesSmokeSpec`). */
+  private[graft] def queryClass(name: String): String =
+    if (name.startsWith("x")) "stream"
+    else if (Seq("c14_", "c15_", "c16_", "c17_", "c18_", "c19_", "c20_")
+               .exists(name.startsWith)) "audit-chain"
+    else "batch"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -160,8 +181,12 @@ object Bench {
       for (i <- 0 until 8) {
         val tmp = base.resolve(s"tmp$i")
         spark.range(i.toLong, i.toLong + 1L).coalesce(1).write.parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
+        // Files.list returns an open directory stream — close it, or each
+        // bench run leaks one fd per chunk file (ADVICE r14)
+        val ls = java.nio.file.Files.list(tmp)
+        val part = try ls
           .filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+        finally ls.close()
         java.nio.file.Files.move(part, streamDir.resolve(f"$i%02d_chunk.parquet"))
       }
       val schema = spark.read.parquet(streamDir.toString).schema
@@ -185,7 +210,16 @@ object Bench {
         q.awaitTermination()
         (System.nanoTime() - t0) / 1e9
       }
-      (1 to 3).map(run).min
+      val v = (1 to 3).map(run).min
+      // the calibration fixture is ephemeral by definition — delete it, or
+      // three runs per bench accumulate one temp tree each in /tmp (the
+      // barrier-discipline argument from recycleExecutorState, applied to
+      // disk state; r14 verdict "what's wrong" #1)
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      v
     }
     // SPARK_GRAFT_KEEP_SHARED=1 keeps the per-session staging tables
     // (s2Pairs, d3Pairs, bandSigs) warm BETWEEN timed runs — the
@@ -272,8 +306,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val heaps = heapMb.map { case (n, v) => s"\"" + n + "\":" + v }
       .mkString("{", ",", "}")
+    val classes = timings.map { case (n, _, _) =>
+      s"\"" + n + "\":\"" + queryClass(n) + "\"" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calib_stream":${fmt(calibStream)},"queries":$qs,"spread":$spreads,"heap_mb":$heaps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"calib_stream":${fmt(calibStream)},"queries":$qs,"spread":$spreads,"heap_mb":$heaps,"class":$classes,"sf":"$sfDir"}"""
     // full artifact → file (always parses, immune to log-tail truncation).
     // Written to BOTH target/ (wiped between rounds — the driver's copy)
     // and bench/ (committed per round, so the full per-query map survives

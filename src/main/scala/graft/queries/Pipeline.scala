@@ -1442,7 +1442,21 @@ object Pipeline {
     * partitioned by stage, the offset relation is keyed by stage, and the
     * final aggregation groups by (stage, shard) — no cross-stage term
     * exists anywhere, which is the re-weight contract c18's scaladoc
-    * states and QueriesSmokeSpec pins. */
+    * states and QueriesSmokeSpec pins.
+    *
+    * INVARIANT (ADVICE r14): every input row must have `n_tokens ≥ 1`.
+    * The chunk explosion below computes `sequence(off div 128,
+    * (off+n_tokens−1) div 128)`; a zero-token doc sitting exactly on a
+    * shard boundary would make the upper bound one LESS than the lower,
+    * which Spark's `sequence` interprets as a descending step (TWO chunk
+    * rows) while the oracle's `range(a, a)` is EMPTY — a silent hash
+    * divergence. The invariant holds by construction today (every
+    * tokenization in the repo is `size(split(text, ' '))` over non-null
+    * text, which is ≥ 1 even for the empty string), so the guard lives
+    * here as documentation: if a future tokenizer can yield 0 tokens,
+    * filter those rows out BEFORE this call (and in [[c19PackCtes]] /
+    * [[c18Sql]]'s `ch` CTEs) or the driver's hash gate trips
+    * mysteriously. */
   private[graft] def packShards(curIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 128L
@@ -1851,7 +1865,13 @@ object Pipeline {
        |  sum(tok_delta)::BIGINT AS tok_delta
        |FROM gl GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** c18's packing chain over one oracle curriculum (tagged CTE names). */
+  /** c18's packing chain over one oracle curriculum (tagged CTE names).
+    * Carries [[packShards]]' `n_tokens ≥ 1` invariant: `range(a, b+1)`
+    * here is empty when b < a while the engine's `sequence(a, b)` emits a
+    * descending pair — only rows with at least one token keep the two
+    * spellings identical (see the packShards scaladoc for the full
+    * derivation; the invariant is structural in every current
+    * tokenization). */
   private def c19PackCtes(src: String, tag: String): String =
     s"""rk$tag AS (
        |  SELECT doc_id, stage, n_tokens,

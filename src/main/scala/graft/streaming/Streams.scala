@@ -2254,14 +2254,34 @@ object Streams {
   }
 
   /** Index of the highest shipped stage whose boundary the score clears,
-    * by RAW stage id over the stage-sorted artifact (non-dense-safe:
-    * mirrors the oracle's max(b.stage) rule); below every boundary → the
-    * lowest shipped stage. */
-  private def stageIdx(curAgg: Array[(Long, Long, Long)], si: Long): Int = {
+    * over the stage-sorted `(stage, min_si)` boundary array — by RAW
+    * stage id (non-dense-safe: mirrors the oracle's max(b.stage) rule);
+    * below every boundary → the lowest shipped stage. Takes the boundary
+    * pairs alone (r14 verdict #2: x42 previously padded a dummy third
+    * field to reuse x41's tail-carrying tuple shape). */
+  private def stageIdx(bounds: Array[(Long, Long)], si: Long): Int = {
     var idx = -1
     var j = 0
-    while (j < curAgg.length) { if (curAgg(j)._2 <= si) idx = j; j += 1 }
+    while (j < bounds.length) { if (bounds(j)._2 <= si) idx = j; j += 1 }
     if (idx >= 0) idx else 0
+  }
+
+  /** The x41/x42 oracle-equality precondition (ADVICE r14): those gates'
+    * hash parity is load-bearing on [[docsStream]]'s one-file-per-trigger
+    * convention delivering the WHOLE documents table in ONE micro-batch —
+    * a multi-file table would interleave arrival order across triggers and
+    * break the oracle's global doc_id prefix-sum spelling even though
+    * per-stage offsets stay contiguous. Fail loudly at the contract
+    * instead of as an opaque hash mismatch. */
+  private def requireSingleDocsFile(dir: String, who: String): Unit = {
+    val p = new java.io.File(graft.Tables.path(dir, "documents"))
+    val ok = p.isFile || (p.isDirectory && {
+      val parts = p.listFiles().filter(_.getName.endsWith(".parquet"))
+      parts.length == 1
+    })
+    require(ok, s"$who's oracle parity requires the documents table to be " +
+      s"a single parquet file (one micro-batch under maxFilesPerTrigger=1); " +
+      s"found a multi-file layout at ${p.getPath}")
   }
 
   /** X41: SHARD PLACEMENT AT THE DOOR — c18's ingest-side twin, completing
@@ -2361,6 +2381,8 @@ object Streams {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     require(curAgg.nonEmpty,
       "x41 requires a nonempty shipped curriculum artifact (c17 is empty)")
+    requireSingleDocsFile(dir, "x41")
+    val bounds = curAgg.map(t => (t._1, t._2))
     // scoring + stage + tail base as ONE STATELESS TYPED MAP over the
     // arriving row (x36's class — no state store, no shuffle, O(|grams|)
     // per doc). Deliberately NOT spelled as nested higher-order-function
@@ -2378,7 +2400,7 @@ object Streams {
       val tk = text.split(" ", -1) // Spark split keeps trailing empties
       frozenMarginSi(wMap, biasV, tk) match {
         case Some(si) if si >= tauV => // the frozen keep gate
-          val (stage, _, base) = curAgg(stageIdx(curAgg, si))
+          val (stage, _, base) = curAgg(stageIdx(bounds, si))
           Some(PlaceIn(id, stage, tk.length.toLong, base))
         case _ => None
       }
@@ -2491,20 +2513,21 @@ object Streams {
       "c14 bias: one row by aggregation").head.getDouble(0)
     val tauV = graft.plans.BroadcastContract.boundedCollect(tau,
       "c14 tau: one row over the bounded score grid").head.getLong(0)
-    val curAgg = graft.plans.BroadcastContract.boundedCollect(
+    val bounds = graft.plans.BroadcastContract.boundedCollect(
       graft.queries.Pipeline.c17_curriculum(s, dir)
         .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
         .groupBy(col("stage")).agg(min(col("si")).as("m")),
       "c17 stage boundaries: <= 10 rows by construction")
-      .map(r => (r.getLong(0), r.getLong(1), 0L)).sortBy(_._1)
-    require(curAgg.nonEmpty,
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(bounds.nonEmpty,
       "x42 requires a nonempty shipped curriculum artifact (c17 is empty)")
+    requireSingleDocsFile(dir, "x42")
     val stages: Dataset[Long] = docsStream(s, dir)
       .filter(graft.queries.Pipeline.splitOf(col("doc_id")) === "train")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (_, text) =>
         frozenMarginSi(wMap, biasV, text.split(" ", -1)) match {
-          case Some(si) if si >= tauV => Some(curAgg(stageIdx(curAgg, si))._1)
+          case Some(si) if si >= tauV => Some(bounds(stageIdx(bounds, si))._1)
           case _ => None
         }
       }

@@ -1223,4 +1223,20 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(Bench.artifactDirs(subsetRun = true, keepShared = false) ===
       Seq("target"))
   }
+
+  test("bench class tags route every query to its adjudication scalar") {
+    // the artifact's `class` map (r14 verdict #4b): streaming twins read
+    // against calib_stream, the release-funnel audit chain against calib,
+    // everything else raw-first — and the tagging must COVER the declared
+    // surface (a query class the driver can't resolve defeats the point)
+    assert(Bench.queryClass("x10_tws_timer_resolver") === "stream")
+    assert(Bench.queryClass("x42_stream_stage_skew") === "stream")
+    assert(Bench.queryClass("c14_quality_classifier") === "audit-chain")
+    assert(Bench.queryClass("c19_shard_delta") === "audit-chain")
+    assert(Bench.queryClass("c20_release_increment") === "audit-chain")
+    assert(Bench.queryClass("q1_agg") === "batch")
+    assert(Bench.queryClass("d13_incremental_neardup") === "batch")
+    val tags = SparkEntry.queries.keys.map(Bench.queryClass).toSet
+    assert(tags.subsetOf(Set("batch", "stream", "audit-chain")))
+  }
 }
