@@ -1625,12 +1625,18 @@ object Pipeline {
     * the batch diff, and doubles as the c14/c17 no-global-sort
     * decomposition proof on a second universe). Emits (doc_id, action,
     * stage_prev, stage_new, n_tokens, score), ordered by doc_id. */
-  def c19_curriculum_delta(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def c19_curriculum_delta(s: SparkSession, dir: String): DataFrame =
+    c19CurriculumDeltaFrom(s, dir, c15_manifest_increment(s, dir)
+      .localCheckpoint()) // the O(delta) manifest fold — consumed 3×
+
+  /** c19's ledger fold from a PRECOMPUTED c15 manifest ledger — factored
+    * (r15) so the c20 release composite can thread ONE c15 fold through
+    * the manifest rollup and the curriculum fold instead of running the
+    * manifest increment twice. */
+  private[graft] def c19CurriculumDeltaFrom(s: SparkSession, dir: String,
+                                            ledger: DataFrame): DataFrame = {
     val (cur0, hist0, b0, _) = c19Settled(s, dir)
     val (_, score, _, _, tau) = c14Model(s, dir)
-    val ledger = c15_manifest_increment(s, dir)
-      .localCheckpoint() // the O(delta) manifest fold — consumed 3×
     val enters = ledger
       .filter(col("action") === "add" && col("split_new") === "train")
       .select(col("doc_id"), col("n_tokens"))
@@ -1641,6 +1647,24 @@ object Pipeline {
     val leaves = cur0.join(retireIds, Seq("doc_id"))
       .select(col("doc_id"), col("stage").as("stage_prev"), col("n_tokens"),
               col("score"), col("si"))
+    c19Fold(cur0, hist0, b0, enters, leaves)
+  }
+
+  /** The c19 boundary-sweep fold CORE over explicit relations — the exact
+    * dataflow c19's scaladoc derives, factored free of the table wiring so
+    * `C19FoldPropertySpec` can drive it with randomized universes/deltas
+    * against the plain recompute (r14 verdict #3; the curriculumOver /
+    * packShards one-body discipline). Inputs: the settled curriculum
+    * `cur0` (doc_id, stage, n_tokens, score, si), its score-grid
+    * histogram `hist0` (si, c), its boundary positions `b0` (k, si, ck —
+    * [[decileBounds]] of hist0), the increment's `enters`
+    * (doc_id, n_tokens, score, si — already keep-gated) and `leaves`
+    * (doc_id, stage_prev, n_tokens, score, si — rows OF cur0). Emits the
+    * (doc_id, action, stage_prev, stage_new, n_tokens, score) ledger. */
+  private[graft] def c19Fold(cur0: DataFrame, hist0: DataFrame, b0: DataFrame,
+                             enters: DataFrame, leaves: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val retireIds = leaves.select(col("doc_id"))
     // (1) merged score-grid histogram: staged + delta, no corpus pass
     val dh = enters.select(col("si"), lit(1L).as("d"))
       .unionByName(leaves.select(col("si"), lit(-1L).as("d")))
@@ -1717,10 +1741,16 @@ object Pipeline {
     * an affected stage, shards before the earliest change point cancel in
     * the diff — only the tails surface. Emits one row per differing
     * (stage, shard) with both sides' fill/docs/starts. */
-  def c19_shard_delta(s: SparkSession, dir: String): DataFrame = {
+  def c19_shard_delta(s: SparkSession, dir: String): DataFrame =
+    c19ShardDeltaFrom(s, dir, c19_curriculum_delta(s, dir)
+      .localCheckpoint()) // the O(delta + boundary-shift) ledger, consumed 4×
+
+  /** c19's shard repack from a PRECOMPUTED curriculum ledger — factored
+    * (r15) for the c20 release composite, which computes the ledger once
+    * and threads it through both the curriculum rollup and this repack. */
+  private[graft] def c19ShardDeltaFrom(s: SparkSession, dir: String,
+                                       ledger: DataFrame): DataFrame = {
     val (cur0, _, _, shards0) = c19Settled(s, dir)
-    val ledger = c19_curriculum_delta(s, dir)
-      .localCheckpoint() // the O(delta + boundary-shift) ledger, consumed 4×
     val affected = ledger.select(col("stage_prev").as("stage"))
       .unionByName(ledger.select(col("stage_new").as("stage")))
       .filter(col("stage").isNotNull).distinct() // ≤ 2×|stages| rows
@@ -1919,7 +1949,235 @@ object Pipeline {
        |   OR a.n_starts <> b.n_starts
        |ORDER BY 1, 2""".stripMargin
 
+  /** C20: the RELEASE-INCREMENT COMPOSITE — the nightly compaction event
+    * itself (r14 verdict lead item): every asset family in the repo has an
+    * O(delta) settled-vs-delta increment (text d12/d13, postings t30,
+    * vectors s18/c8, media m9, manifest c15, curriculum/shards c19), each
+    * verified in isolation; a production release applies ONE crawl
+    * increment through ALL of them and ships the cross-family ledger
+    * rollup. This query is that event: the standing `doc_id % 10 = 0`
+    * increment folded end-to-end through every family's OWN fold (the
+    * same function bodies the standalone queries run — d12's
+    * incrClassify, d13's banded probe, t30's [[TextAnalysis.bm25TfOf]]
+    * delta postings, s18's frozen-index encode via
+    * [[Similarity.s18DeltaSummary]], m9's two-tier classify, c15's
+    * manifest fold, c19's boundary-sweep fold and affected-stage repack),
+    * emitting one row per (family, metric): the release review's
+    * docs/tokens/postings/vectors/assets/shards-touched card.
+    *
+    * SHARED UPSTREAM, COMPUTED ONCE — the reason the composite exists as
+    * one query rather than seven: the c15 manifest ledger is folded once
+    * and threaded into both the manifest rollup and c19's curriculum fold
+    * ([[c19CurriculumDeltaFrom]]); the c19 ledger is folded once and
+    * threaded into both the curriculum rollup and the shard repack
+    * ([[c19ShardDeltaFrom]]). The reference's analog is
+    * `SocialNetwork.main` wiring every task over ONE resolved stream
+    * (reference `project/social-network/src/main/java/socialnetwork/
+    * SocialNetwork.java:25-52`) — one entry point, shared upstream,
+    * per-family legs.
+    *
+    * Cross-family consistency (the identities that make one RELEASE out
+    * of seven folds, spec-pinned in `QueriesSmokeSpec`): a d13 near-dup
+    * whose partner precedes it never re-enters the manifest as a c15 add
+    * (same banded pair space, same min-anchor rule); every c19 `enter`
+    * carries the identical n_tokens its c15 add and the c18/c19 shard
+    * charge use (one `size(split(text,' '))` spelling family-wide); and
+    * every family's staged settled artifact describes the SAME settled
+    * corpus — the `% 10 ≠ 0` slice (t30's stats row, m9's digest table,
+    * s18's code table, c15's manifest all count it identically).
+    *
+    * Scale shape: the composite's cost is the SUM of the family folds —
+    * each leg is the family's own O(delta + affected) dataflow against
+    * its staged settled artifact, no leg rescans another's corpus, and
+    * the final union is eight 1-row aggregates stacked row-locally
+    * (`stack` is a local generator — no shuffle beyond what the family
+    * folds already do). Warm sf1: composite ≈ Σ family increments,
+    * measured in STRESS_sf1.md.
+    *
+    * Oracle: each family's FULL-RECOMPUTE oracle (d12/d13/m9/c15/c19/
+    * c19-shards verbatim; postings and vectors from their batch chains)
+    * aggregated to the same metric rows — the driver's hash equality is
+    * the composite's proof that one pass of shared folds equals seven
+    * independent batch diffs. */
+  def c20_release_increment(s: SparkSession, dir: String): DataFrame = {
+    def longRows(family: String, agg: DataFrame): DataFrame = {
+      val cols = agg.columns.toSeq
+      val stackArgs = cols.map(c => s"'$c', cast(`$c` as bigint)").mkString(", ")
+      agg.selectExpr(s"stack(${cols.length}, $stackArgs) as (metric, value)")
+        .select(lit(family).as("family"), col("metric"), col("value"))
+    }
+    def statusCounts(df: DataFrame, statuses: Seq[String]): DataFrame = {
+      val aggs = statuses.map(st =>
+        sum(when(col("status") === st, 1L).otherwise(0L)).as(s"n_$st"))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val c15Led = c15_manifest_increment(s, dir)
+      .localCheckpoint() // ONE manifest fold: rollup + c19's input
+    val c19Led = c19CurriculumDeltaFrom(s, dir, c15Led)
+      .localCheckpoint() // ONE curriculum fold: rollup + shard repack
+    val shardD = c19ShardDeltaFrom(s, dir, c19Led)
+    val deltaTf = TextAnalysis.bm25TfOf(
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
+    longRows("text_exact", statusCounts(Dedup.d12_incremental_dedup(s, dir),
+        Seq("dup_of_base", "dup_in_delta", "unique")))
+      .unionByName(longRows("text_near", statusCounts(
+        Dedup.d13_incremental_neardup(s, dir),
+        Seq("neardup_of_base", "neardup_in_delta", "unique"))))
+      .unionByName(longRows("postings", deltaTf.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms_touched"))))
+      .unionByName(longRows("vectors", Similarity.s18DeltaSummary(s, dir)))
+      .unionByName(longRows("media", statusCounts(
+        Multimodal.m9_incremental_media(s, dir),
+        Seq("dup_of_base", "dup_in_delta", "neardup_of_base",
+            "neardup_in_delta", "unique"))))
+      .unionByName(longRows("manifest", c15Led.agg(
+        sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_add"),
+        sum(when(col("action") === "retire", 1L).otherwise(0L)).as("n_retire"),
+        sum(col("tok_delta")).as("tok_delta"))))
+      .unionByName(longRows("curriculum", c19Led.agg(
+        sum(when(col("action") === "enter", 1L).otherwise(0L)).as("n_enter"),
+        sum(when(col("action") === "leave", 1L).otherwise(0L)).as("n_leave"),
+        sum(when(col("action") === "move", 1L).otherwise(0L)).as("n_move"),
+        sum(when(col("action") === "enter", col("n_tokens"))
+          .when(col("action") === "leave", -col("n_tokens"))
+          .otherwise(0L)).as("tok_delta"))))
+      .unionByName(longRows("shards", shardD.agg(
+        sum(when(col("action") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("action") === "dropped", 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("action") === "changed", 1L).otherwise(0L)).as("n_changed"))))
+      .orderBy("family", "metric")
+  }
+
+  /** c20 oracle: every family's full-recompute oracle as a derived table,
+    * aggregated to one metrics row and unpivoted through a bounded VALUES
+    * cross join (each family chain computed ONCE — no per-metric rescan).
+    * No top-level CTEs by design: every spliced family oracle carries its
+    * own WITH chain in its own derived-table scope, so their inner CTE
+    * names (m0/m1/scomp/gsc/…) cannot collide (the DuckDB non-shadowing
+    * gotcha). */
+  val c20Sql: String =
+    s"""SELECT 'text_exact' AS family, m.metric,
+       |  CASE m.metric WHEN 'n_dup_of_base' THEN a.n_dup_of_base
+       |       WHEN 'n_dup_in_delta' THEN a.n_dup_in_delta
+       |       ELSE a.n_unique END AS value
+       |FROM (
+       |  SELECT sum(CASE WHEN status = 'dup_of_base' THEN 1 ELSE 0 END)::BIGINT AS n_dup_of_base,
+       |         sum(CASE WHEN status = 'dup_in_delta' THEN 1 ELSE 0 END)::BIGINT AS n_dup_in_delta,
+       |         sum(CASE WHEN status = 'unique' THEN 1 ELSE 0 END)::BIGINT AS n_unique
+       |  FROM (
+       |${Dedup.d12Sql}
+       |  )
+       |) a CROSS JOIN (VALUES ('n_dup_of_base'), ('n_dup_in_delta'), ('n_unique')) m(metric)
+       |UNION ALL
+       |SELECT 'text_near', m.metric,
+       |  CASE m.metric WHEN 'n_neardup_of_base' THEN a.n_neardup_of_base
+       |       WHEN 'n_neardup_in_delta' THEN a.n_neardup_in_delta
+       |       ELSE a.n_unique END
+       |FROM (
+       |  SELECT sum(CASE WHEN status = 'neardup_of_base' THEN 1 ELSE 0 END)::BIGINT AS n_neardup_of_base,
+       |         sum(CASE WHEN status = 'neardup_in_delta' THEN 1 ELSE 0 END)::BIGINT AS n_neardup_in_delta,
+       |         sum(CASE WHEN status = 'unique' THEN 1 ELSE 0 END)::BIGINT AS n_unique
+       |  FROM (
+       |${Dedup.d13Sql}
+       |  )
+       |) a CROSS JOIN (VALUES ('n_neardup_of_base'), ('n_neardup_in_delta'), ('n_unique')) m(metric)
+       |UNION ALL
+       |SELECT 'postings', m.metric,
+       |  CASE m.metric WHEN 'n_docs' THEN a.n_docs
+       |       WHEN 'n_tokens' THEN a.n_tokens
+       |       WHEN 'n_postings' THEN a.n_postings
+       |       ELSE a.n_terms_touched END
+       |FROM (
+       |  SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |         sum(tf)::BIGINT AS n_tokens,
+       |         count(*)::BIGINT AS n_postings,
+       |         count(DISTINCT term)::BIGINT AS n_terms_touched
+       |  FROM (
+       |    SELECT term, doc_id, count(*)::BIGINT AS tf
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |          FROM documents WHERE doc_id % 10 = 0)
+       |    GROUP BY 1, 2)
+       |) a CROSS JOIN (VALUES ('n_docs'), ('n_tokens'), ('n_postings'), ('n_terms_touched')) m(metric)
+       |UNION ALL
+       |SELECT 'vectors', m.metric,
+       |  CASE m.metric WHEN 'n_vecs_encoded' THEN a.n_vecs_encoded
+       |       WHEN 'n_code_rows' THEN a.n_code_rows
+       |       ELSE a.n_cells_touched END
+       |FROM (
+       |  SELECT count(DISTINCT vec_id)::BIGINT AS n_vecs_encoded,
+       |         count(*)::BIGINT AS n_code_rows,
+       |         count(DISTINCT cell)::BIGINT AS n_cells_touched
+       |  FROM (
+       |${Similarity.s18DeltaCodesSql}
+       |  )
+       |) a CROSS JOIN (VALUES ('n_vecs_encoded'), ('n_code_rows'), ('n_cells_touched')) m(metric)
+       |UNION ALL
+       |SELECT 'media', m.metric,
+       |  CASE m.metric WHEN 'n_dup_of_base' THEN a.n_dup_of_base
+       |       WHEN 'n_dup_in_delta' THEN a.n_dup_in_delta
+       |       WHEN 'n_neardup_of_base' THEN a.n_neardup_of_base
+       |       WHEN 'n_neardup_in_delta' THEN a.n_neardup_in_delta
+       |       ELSE a.n_unique END
+       |FROM (
+       |  SELECT sum(CASE WHEN status = 'dup_of_base' THEN 1 ELSE 0 END)::BIGINT AS n_dup_of_base,
+       |         sum(CASE WHEN status = 'dup_in_delta' THEN 1 ELSE 0 END)::BIGINT AS n_dup_in_delta,
+       |         sum(CASE WHEN status = 'neardup_of_base' THEN 1 ELSE 0 END)::BIGINT AS n_neardup_of_base,
+       |         sum(CASE WHEN status = 'neardup_in_delta' THEN 1 ELSE 0 END)::BIGINT AS n_neardup_in_delta,
+       |         sum(CASE WHEN status = 'unique' THEN 1 ELSE 0 END)::BIGINT AS n_unique
+       |  FROM (
+       |${Multimodal.m9Sql}
+       |  )
+       |) a CROSS JOIN (VALUES ('n_dup_of_base'), ('n_dup_in_delta'), ('n_neardup_of_base'), ('n_neardup_in_delta'), ('n_unique')) m(metric)
+       |UNION ALL
+       |SELECT 'manifest', m.metric,
+       |  CASE m.metric WHEN 'n_add' THEN a.n_add
+       |       WHEN 'n_retire' THEN a.n_retire
+       |       ELSE a.tok_delta END
+       |FROM (
+       |  SELECT sum(CASE WHEN action = 'add' THEN 1 ELSE 0 END)::BIGINT AS n_add,
+       |         sum(CASE WHEN action = 'retire' THEN 1 ELSE 0 END)::BIGINT AS n_retire,
+       |         sum(tok_delta)::BIGINT AS tok_delta
+       |  FROM (
+       |$c15Sql
+       |  )
+       |) a CROSS JOIN (VALUES ('n_add'), ('n_retire'), ('tok_delta')) m(metric)
+       |UNION ALL
+       |SELECT 'curriculum', m.metric,
+       |  CASE m.metric WHEN 'n_enter' THEN a.n_enter
+       |       WHEN 'n_leave' THEN a.n_leave
+       |       WHEN 'n_move' THEN a.n_move
+       |       ELSE a.tok_delta END
+       |FROM (
+       |  SELECT sum(CASE WHEN action = 'enter' THEN 1 ELSE 0 END)::BIGINT AS n_enter,
+       |         sum(CASE WHEN action = 'leave' THEN 1 ELSE 0 END)::BIGINT AS n_leave,
+       |         sum(CASE WHEN action = 'move' THEN 1 ELSE 0 END)::BIGINT AS n_move,
+       |         sum(CASE WHEN action = 'enter' THEN n_tokens
+       |                  WHEN action = 'leave' THEN -n_tokens
+       |                  ELSE 0 END)::BIGINT AS tok_delta
+       |  FROM (
+       |$c19Sql
+       |  )
+       |) a CROSS JOIN (VALUES ('n_enter'), ('n_leave'), ('n_move'), ('tok_delta')) m(metric)
+       |UNION ALL
+       |SELECT 'shards', m.metric,
+       |  CASE m.metric WHEN 'n_new' THEN a.n_new
+       |       WHEN 'n_dropped' THEN a.n_dropped
+       |       ELSE a.n_changed END
+       |FROM (
+       |  SELECT sum(CASE WHEN action = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       |         sum(CASE WHEN action = 'dropped' THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |         sum(CASE WHEN action = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed
+       |  FROM (
+       |$c19ShardSql
+       |  )
+       |) a CROSS JOIN (VALUES ('n_new'), ('n_dropped'), ('n_changed')) m(metric)
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_release_increment" -> (c20_release_increment _),
     "c19_curriculum_delta" -> (c19_curriculum_delta _),
     "c19_shard_delta" -> (c19_shard_delta _),
     "c19_budget_delta" -> (c19_budget_delta _),
@@ -1944,6 +2202,7 @@ object Pipeline {
     "c1_clean_corpus" -> (c1_clean_corpus _))
 
   val oracles: Map[String, String] = Map(
+    "c20_release_increment" -> c20Sql,
     "c19_curriculum_delta" -> c19Sql,
     "c19_shard_delta" -> c19ShardSql,
     "c19_budget_delta" -> c19BudgetSql,

@@ -2285,6 +2285,28 @@ object Similarity {
     (asgD, candD, codesD)
   }
 
+  /** The s18 increment's append-fold summary — one row (n_vecs_encoded,
+    * n_code_rows, n_cells_touched) over the delta code rows, the same
+    * rollup [[c8_gated_increment]]'s append branch reports. Factored for
+    * the c20 release composite: the composite's vectors-family ledger
+    * reads THIS relation, so its numbers come from the identical
+    * frozen-index fold the standalone s18/c8 queries run. */
+  private[graft] def s18DeltaSummary(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    val (_, _, codesD) = s18DeltaFold(s, dir, ex, ivfpqSettledIndex(s, dir, ex))
+    codesD.agg(countDistinct(col("vec_id")).as("n_vecs_encoded"),
+               count(lit(1)).as("n_code_rows"),
+               countDistinct(col("cell")).as("n_cells_touched"))
+  }
+
+  /** The settled vector index's code table, exposed for the cross-family
+    * settled-universe consistency pin (every staged artifact must
+    * describe the SAME settled corpus — the `% 10 ≠ 0` slice). */
+  private[graft] def s18SettledCodes(s: SparkSession, dir: String): DataFrame = {
+    val ex = exactDecimals(s)
+    ivfpqSettledIndex(s, dir, ex).codes
+  }
+
   /** S18: INCREMENTAL IVF-PQ INDEX MAINTENANCE — t30/d13's
     * settled-vs-delta discipline applied to the VECTOR index: a production
     * ANN deployment never retrains per increment; the coarse quantizer and

@@ -1761,29 +1761,9 @@ object TextAnalysis {
     * STRESS_sf1.md (d13's 25%-of-cold discipline). */
   def t30_bm25_incremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    def tfOf(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), size(toks).cast("long").as("dl"),
-              explode(toks).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    def dfOf(tf: DataFrame): DataFrame =
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    def statsOf(tf: DataFrame): DataFrame =
-      tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    // the settled index: the staging tables a production ingest keeps warm
-    // between increments (cachedPerSession plays the persisted-table role;
-    // Bench clears it per timed run — the warm form is the KEEP_SHARED study)
-    val (basePruned, baseDf, baseStats) =
-      cachedPerSession(bm25BaseCache, s, dir) {
-        val baseTf = tfOf(docs.filter(col("doc_id") % 10 =!= 0))
-          .localCheckpoint() // pruned postings + df + stats all fold off it
-        (bm25Prune(baseTf).localCheckpoint(),
-         dfOf(baseTf).localCheckpoint(),
-         statsOf(baseTf).localCheckpoint())
-      }
+    val (basePruned, baseDf, baseStats) = bm25SettledIndex(s, dir)
     // per-increment work, all bounded by the delta
-    val deltaTf = tfOf(docs.filter(col("doc_id") % 10 === 0))
+    val deltaTf = bm25TfOf(docs.filter(col("doc_id") % 10 === 0))
       .localCheckpoint() // consumed by prune, df, stats
     val deltaPruned = bm25Prune(deltaTf)
     val touched = deltaPruned.select(col("term")).distinct()
@@ -1792,14 +1772,45 @@ object TextAnalysis {
           .unionByName(deltaPruned))
       .unionByName(basePruned.join(touched, Seq("term"), "left_anti"))
     val dfRel = baseDf.withColumnRenamed("df", "df_b")
-      .join(dfOf(deltaTf).withColumnRenamed("df", "df_d"), Seq("term"), "full_outer")
+      .join(bm25DfOf(deltaTf).withColumnRenamed("df", "df_d"), Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
     val stats = baseStats.select(col("n_docs").as("nb"), col("sum_dl").as("sb"))
-      .crossJoin(statsOf(deltaTf).select(col("n_docs").as("nd"), col("sum_dl").as("sd")))
+      .crossJoin(bm25StatsOf(deltaTf).select(col("n_docs").as("nd"), col("sum_dl").as("sd")))
       .select((col("nb") + col("nd")).as("n_docs"), (col("sb") + col("sd")).as("sum_dl"))
     bm25TopK(docs, mergedPruned, dfRel, stats)
   }
+
+  /** t30's index-build pieces, factored to object scope (r15): the c20
+    * release composite reuses [[bm25TfOf]] for its postings-family rollup
+    * and the settled-universe consistency pin reads [[bm25SettledIndex]]'s
+    * stats row directly — one tokenization/aggregation body for the
+    * standalone increment, the composite, and the spec. */
+  private[graft] def bm25TfOf(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), size(toks).cast("long").as("dl"),
+            explode(toks).as("term"))
+    .groupBy(col("term"), col("doc_id"))
+    .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  private def bm25DfOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+  private def bm25StatsOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** The settled BM25 index staging tables a production ingest keeps warm
+    * between increments — (pruned postings, df, stats), staged per
+    * session (cachedPerSession plays the persisted-table role; Bench
+    * clears it per timed run — the warm form is the KEEP_SHARED study). */
+  private[graft] def bm25SettledIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    cachedPerSession(bm25BaseCache, s, dir) {
+      val baseTf = bm25TfOf(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
+        .localCheckpoint() // pruned postings + df + stats all fold off it
+      (bm25Prune(baseTf).localCheckpoint(),
+       bm25DfOf(baseTf).localCheckpoint(),
+       bm25StatsOf(baseTf).localCheckpoint())
+    }
 
   private val bm25BaseCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),

@@ -1224,6 +1224,84 @@ class QueriesSmokeSpec extends SparkSpec {
       Seq("target"))
   }
 
+  test("release composite: cross-family consistency of one increment (c20)") {
+    // The identities that make ONE release event out of seven family
+    // folds (r14 verdict lead item). All at sf0.01 — the gate's scale.
+    val sf01 = "/root/testdata/sf0.01"
+    val P = graft.queries.Pipeline
+    val c20 = P.c20_release_increment(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+    assert(c20.size === 28, "8 families x fixed metric inventories")
+    // (1) WIRING: composite rows equal the per-family rollups computed
+    // from the standalone family queries
+    val d13 = graft.queries.Dedup.d13_incremental_neardup(spark, sf01).collect()
+    assert(c20(("text_near", "n_neardup_of_base")) ===
+      d13.count(_.getString(1) == "neardup_of_base").toLong)
+    val c15 = P.c15_manifest_increment(spark, sf01).collect()
+    assert(c20(("manifest", "n_add")) ===
+      c15.count(_.getString(1) == "add").toLong)
+    val c19 = P.c19_curriculum_delta(spark, sf01).collect()
+    assert(c20(("curriculum", "n_enter")) ===
+      c19.count(_.getString(1) == "enter").toLong)
+    assert(c20(("shards", "n_changed")) ===
+      P.c19_shard_delta(spark, sf01).collect()
+        .count(_.getString(2) == "changed").toLong)
+    val vec = graft.queries.Similarity.s18DeltaSummary(spark, sf01).collect()(0)
+    assert(c20(("vectors", "n_code_rows")) === vec.getLong(1))
+    // postings n_tokens cross-checked through a DIFFERENT computation
+    // path: sum(tf) over the delta postings vs sum of per-doc dl
+    val docTok = Tables.documents(spark, sf01)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c20(("postings", "n_tokens")) === docTok.values.sum)
+    // (2) DEDUP → MANIFEST: a d13 near-dup whose chosen partner PRECEDES
+    // it can never re-enter the manifest as a c15 add — its component's
+    // min-anchor is at most that partner, so it is not its own
+    // representative. (Same banded >= 0.5 pair space on both sides; a
+    // partner with a HIGHER id makes no such promise, which is why the
+    // pin is on dup_of < doc_id.)
+    val adds = c15.filter(_.getString(1) == "add").map(_.getLong(0)).toSet
+    val offenders = d13
+      .filter(r => !r.isNullAt(2) && r.getLong(2) < r.getLong(0))
+      .map(_.getLong(0)).filter(adds.contains)
+    assert(offenders.isEmpty,
+      s"preceded near-dups re-entered the manifest: ${offenders.mkString(",")}")
+    // (3) TOKEN-CHARGE: every c19 enter carries the identical n_tokens
+    // its c15 add carries, which is the document's own size(split(text))
+    // — the one token count c18/c19's shard packing then charges
+    val addTok = c15.filter(_.getString(1) == "add")
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    c19.filter(_.getString(1) == "enter").foreach { r =>
+      val (id, tok) = (r.getLong(0), r.getLong(4))
+      assert(addTok.get(id).contains(tok),
+        s"enter $id token charge $tok diverges from its c15 add ${addTok.get(id)}")
+      assert(docTok(id) === tok,
+        s"enter $id token charge $tok diverges from size(split(text)) ${docTok(id)}")
+    }
+    // (4) SETTLED UNIVERSE: every family's staged settled artifact
+    // describes the SAME settled corpus — the % 10 <> 0 slice
+    val nSettledDocs = Tables.documents(spark, sf01)
+      .filter(col("doc_id") % 10 =!= 0).count()
+    val (_, _, baseStats) = graft.queries.TextAnalysis.bm25SettledIndex(spark, sf01)
+    assert(baseStats.collect()(0).getLong(0) === nSettledDocs,
+      "t30's settled stats row disagrees with the settled corpus size")
+    val (digS, _) = graft.queries.Multimodal.m9SettledIndex(spark, sf01)
+    assert(digS.count() === nSettledDocs,
+      "m9's settled digest table disagrees with the settled corpus size")
+    val nSettledVecs = Tables.embeddings(spark, sf01)
+      .filter(col("vec_id") % 10 =!= 0).count()
+    assert(graft.queries.Similarity.s18SettledCodes(spark, sf01)
+      .select("vec_id").distinct().count() === nSettledVecs,
+      "s18's settled code table disagrees with the settled vector count")
+    val (sClusters, m0) = P.c15SettledIndex(spark, sf01)
+    assert(m0.filter(col("doc_id") % 10 === 0).count() === 0L,
+      "c15's settled manifest contains delta docs")
+    assert(sClusters.filter(col("doc_id") % 10 === 0).count() === 0L,
+      "c15's settled cluster table contains delta docs")
+  }
+
   test("bench class tags route every query to its adjudication scalar") {
     // the artifact's `class` map (r14 verdict #4b): streaming twins read
     // against calib_stream, the release-funnel audit chain against calib,
