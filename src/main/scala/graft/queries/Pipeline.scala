@@ -1819,6 +1819,207 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** The stage-skew READING's batch finisher over any per-stage arrival
+    * counts `(stage, n_arrived)` — shipped inventory join, zero-fill,
+    * round4 shares, skew — factored to ONE body (r15) shared by the x42
+    * streaming monitor's final reading and [[c19_fold_gate]]'s batch
+    * consumption of it, so the signal the gate thresholds can never
+    * drift from the signal the door emits (the frozenMarginSi/stageIdx
+    * discipline, applied to the reading's arithmetic). Bounded
+    * throughout: ≤10 stage rows, one global totals row. */
+  private[graft] def stageSkewReport(s: SparkSession, dir: String,
+                                     arrived: DataFrame): DataFrame = {
+    val shipped = c17_stage_budget(s, dir)
+      .select(col("stage"), col("n_docs").as("n_shipped"))
+    val j = shipped.join(arrived, Seq("stage"), "left_outer")
+      .select(col("stage"), coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
+              col("n_shipped"))
+    val totals = j.agg(sum(col("n_arrived")).as("ta"),
+                       sum(col("n_shipped")).as("ts"))
+    val r4 = QUtil.round4 _
+    j.crossJoin(broadcast(totals)) // bounded: one row by aggregation
+      .withColumn("arrived_share", r4(col("n_arrived").cast("double") / col("ta")))
+      .withColumn("shipped_share", r4(col("n_shipped").cast("double") / col("ts")))
+      .select(col("stage"), col("n_arrived"), col("n_shipped"),
+              col("arrived_share"), col("shipped_share"),
+              r4(col("arrived_share") - col("shipped_share")).as("skew"))
+      .orderBy("stage")
+  }
+
+  /** The x42 arrival rule batch-side: per-stage counts of the frozen
+    * kept∩train universe under the door's highest-cleared-boundary stage
+    * rule (the same relation x42's streaming leg accumulates per
+    * trigger) — the nightly gate does not re-run the stream; it reads
+    * the monitor's quantity from the same frozen artifacts. The ≤10-row
+    * boundary relation rides a broadcast non-equi join (c19's interval-
+    * join precedent); everything else is per-row projections behind the
+    * scan. */
+  private[graft] def c19ArrivalStages(s: SparkSession, dir: String): DataFrame = {
+    val (_, score, _, _, tau) = c14Model(s, dir)
+    val bounds = graft.plans.BroadcastContract.boundedCheckpoint(
+      c17_curriculum(s, dir)
+        .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+        .groupBy(col("stage")).agg(min(col("si")).as("m")),
+      "c17 stage boundaries: <= 10 rows by construction") // consumed twice
+    val minStage = bounds.agg(min(col("stage")).as("min_stage"))
+    score.select(col("doc_id"), col("si"))
+      .crossJoin(broadcast(tau)).filter(col("si") >= col("tau"))
+      .filter(splitOf(col("doc_id")) === "train")
+      .join(broadcast(bounds), col("m") <= col("si"), "left_outer")
+      .groupBy(col("doc_id")).agg(max(col("stage")).as("stg"))
+      .crossJoin(broadcast(minStage))
+      .select(coalesce(col("stg"), col("min_stage")).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_arrived"))
+  }
+
+  /** C19-GATE: the SKEW-GATED FOLD DECISION — the x42 → c19 loop closed
+    * (r14 verdict #2): x42 emits the staleness reading (arriving traffic's
+    * stage mix vs the shipped curriculum's), and this query CONSUMES it as
+    * the compaction-scheduling decision every decide-at-the-door /
+    * compact-at-night pipeline needs: if the mix skewed past the
+    * threshold (`spark.graft.c19SkewGate`, default 0.02), the shipped
+    * boundaries are stale and the nightly c19 fold runs NOW; otherwise it
+    * holds. c8's gated-increment pattern verbatim at the funnel's
+    * terminal stage: the decision is a 1-row control-plane read
+    * (sanctioned `boundedCollect` — a scheduling trigger IS a driver-side
+    * decision in any engine), and the chosen branch's work is then
+    * summarized — fold_now runs the REAL c19 fold (one c15 ledger
+    * threaded through the curriculum fold and the shard repack, c20's
+    * shared-upstream wiring) and reports its ledger counts; hold runs
+    * nothing and reports zeros.
+    *
+    * Both outcomes are oracle-proven on REAL data, SF-dependent exactly
+    * as c8's spec predicts: the reading's shares carry small-sample noise
+    * that decays with corpus size, so at sf0.01 (194 arrivals over 10
+    * stages) max|skew| reads 0.0639 and the gate FIRES — the driver's
+    * correctness gate proves fold-branch parity — while at sf0.1 (1,837
+    * arrivals) it reads 0.0082 and the gate HOLDS (hold-branch parity
+    * verified in the same compare harness at sf0.1). Both outcomes are
+    * additionally pinned deterministically in `QueriesSmokeSpec` by
+    * driving the threshold knob to each side on one dataset. The oracle's
+    * CASE hardcodes the default threshold (c8's contract: the knob is an
+    * experiment surface; the DECLARED query is the default).
+    *
+    * Scale shape: the reading costs one ≤10-row broadcast non-equi join
+    * over the already-staged frozen artifacts plus one global aggregate;
+    * the gate adds nothing corpus-bound on top of the fold it schedules,
+    * and the hold branch is O(1) — which is the point: monitoring stays
+    * cheap enough to run every night while the fold runs only when the
+    * door says the boundaries moved. */
+  def c19_fold_gate(s: SparkSession, dir: String): DataFrame = {
+    val thr = s.conf.get("spark.graft.c19SkewGate", "0.02").toDouble
+    val reading = stageSkewReport(s, dir, c19ArrivalStages(s, dir))
+    val mx = graft.plans.BroadcastContract.boundedCollect(
+      graft.plans.BroadcastContract.boundedCheckpoint(
+        reading.agg(max(abs(col("skew"))).as("mx")),
+        "c19 skew gate: one global-aggregate row by construction"),
+      "c19 fold decision: 1-row control-plane read")(0).getDouble(0)
+    val fold = mx > thr
+    val summary =
+      if (fold) {
+        val led = c19CurriculumDeltaFrom(s, dir,
+            c15_manifest_increment(s, dir).localCheckpoint())
+          .localCheckpoint() // consumed by the rollup and the repack
+        led.agg(
+            sum(when(col("action") === "enter", 1L).otherwise(0L)).as("n_enter"),
+            sum(when(col("action") === "leave", 1L).otherwise(0L)).as("n_leave"),
+            sum(when(col("action") === "move", 1L).otherwise(0L)).as("n_move"))
+          .crossJoin(c19ShardDeltaFrom(s, dir, led)
+            .agg(count(lit(1)).as("n_shard_rows")))
+      } else {
+        s.range(1).select(lit(0L).as("n_enter"), lit(0L).as("n_leave"),
+          lit(0L).as("n_move"), lit(0L).as("n_shard_rows"))
+      }
+    summary.select(lit(mx).as("max_abs_skew"),
+      lit(if (fold) "fold_now" else "hold").as("decision"),
+      col("n_enter"), col("n_leave"), col("n_move"), col("n_shard_rows"))
+  }
+
+  /** The stage-skew reading's oracle SQL — the arrival side is the door's
+    * stage rule over the frozen kept∩train universe (c14 + split oracles
+    * verbatim), the shipped side the curriculum's per-stage inventory;
+    * integer counts, round4 shares. Lives HERE (not in Streams) so both
+    * the x42 oracle and [[c19GateSql]] splice the one spelling without a
+    * Pipeline → Streams object-initialization cycle. */
+  private[graft] def stageSkewSqlBody: String = {
+    val splitCase =
+      """CASE WHEN substring(md5('split:' || sc.doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+        |     WHEN substring(md5('split:' || sc.doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+        |     ELSE 'test' END""".stripMargin
+    s"""WITH cur AS MATERIALIZED (
+       |$c17Sql
+       |), bounds AS (
+       |  SELECT stage, min(floor(score * 1000000.0 + 0.5)::BIGINT) AS m
+       |  FROM cur GROUP BY 1
+       |), sc AS (
+       |  SELECT c.doc_id, floor(c.score * 1000000.0 + 0.5)::BIGINT AS si
+       |  FROM (
+       |$c14Sql
+       |  ) c
+       |  WHERE c.keep
+       |), st AS (
+       |  SELECT doc_id,
+       |    coalesce((SELECT max(b.stage) FROM bounds b WHERE b.m <= sc.si),
+       |             (SELECT min(b2.stage) FROM bounds b2))::BIGINT AS stage
+       |  FROM sc
+       |  WHERE $splitCase = 'train'
+       |), arr AS (
+       |  SELECT stage, count(*)::BIGINT AS n_arrived FROM st GROUP BY 1
+       |), shp AS (
+       |  SELECT stage, count(*)::BIGINT AS n_shipped FROM cur GROUP BY 1
+       |), j AS (
+       |  SELECT s.stage, coalesce(a.n_arrived, 0)::BIGINT AS n_arrived,
+       |         s.n_shipped
+       |  FROM shp s LEFT JOIN arr a ON a.stage = s.stage
+       |), t AS (
+       |  SELECT sum(n_arrived)::BIGINT AS ta, sum(n_shipped)::BIGINT AS ts
+       |  FROM j
+       |)
+       |SELECT j.stage, j.n_arrived, j.n_shipped,
+       |  floor(j.n_arrived::DOUBLE / t.ta * 10000.0 + 0.5) / 10000.0
+       |    AS arrived_share,
+       |  floor(j.n_shipped::DOUBLE / t.ts * 10000.0 + 0.5) / 10000.0
+       |    AS shipped_share,
+       |  floor((floor(j.n_arrived::DOUBLE / t.ta * 10000.0 + 0.5) / 10000.0
+       |         - floor(j.n_shipped::DOUBLE / t.ts * 10000.0 + 0.5) / 10000.0)
+       |        * 10000.0 + 0.5) / 10000.0 AS skew
+       |FROM j, t ORDER BY j.stage""".stripMargin
+  }
+
+  /** c19-gate oracle: the skew reading as a derived table, the default
+    * threshold's CASE, and BOTH branch summaries as real relations (the
+    * c8 discipline) with the CASE selecting — ledger counts from the c19
+    * full-recompute diff, shard rows from the full c18@M1 vs @M0 diff.
+    * `lazy` because it splices c19Sql/c19ShardSql, which are declared
+    * LATER in this object — a strict val here would interpolate their
+    * uninitialized (null) values at object-init time. */
+  lazy val c19GateSql: String =
+    s"""SELECT g.max_abs_skew, g.decision,
+       |  (CASE WHEN g.decision = 'fold_now' THEN l.n_enter ELSE 0 END)::BIGINT AS n_enter,
+       |  (CASE WHEN g.decision = 'fold_now' THEN l.n_leave ELSE 0 END)::BIGINT AS n_leave,
+       |  (CASE WHEN g.decision = 'fold_now' THEN l.n_move ELSE 0 END)::BIGINT AS n_move,
+       |  (CASE WHEN g.decision = 'fold_now' THEN sd.n_shard_rows ELSE 0 END)::BIGINT AS n_shard_rows
+       |FROM (
+       |  SELECT mx AS max_abs_skew,
+       |    CASE WHEN mx > 0.02 THEN 'fold_now' ELSE 'hold' END AS decision
+       |  FROM (SELECT max(abs(skew)) AS mx FROM (
+       |$stageSkewSqlBody
+       |  ))
+       |) g
+       |CROSS JOIN (
+       |  SELECT sum(CASE WHEN action = 'enter' THEN 1 ELSE 0 END)::BIGINT AS n_enter,
+       |         sum(CASE WHEN action = 'leave' THEN 1 ELSE 0 END)::BIGINT AS n_leave,
+       |         sum(CASE WHEN action = 'move' THEN 1 ELSE 0 END)::BIGINT AS n_move
+       |  FROM (
+       |$c19Sql
+       |  )
+       |) l
+       |CROSS JOIN (
+       |  SELECT count(*)::BIGINT AS n_shard_rows FROM (
+       |$c19ShardSql
+       |  )
+       |) sd""".stripMargin
+
   /** The c19 oracles' shared base: the frozen scored corpus (c14Sql), the
     * combined manifest (c13Sql), the settled manifest (c15's chain
     * verbatim), and BOTH curricula in the plain one-window spelling. */
@@ -2178,6 +2379,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c20_release_increment" -> (c20_release_increment _),
+    "c19_fold_gate" -> (c19_fold_gate _),
     "c19_curriculum_delta" -> (c19_curriculum_delta _),
     "c19_shard_delta" -> (c19_shard_delta _),
     "c19_budget_delta" -> (c19_budget_delta _),
@@ -2203,6 +2405,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "c20_release_increment" -> c20Sql,
+    "c19_fold_gate" -> c19GateSql,
     "c19_curriculum_delta" -> c19Sql,
     "c19_shard_delta" -> c19ShardSql,
     "c19_budget_delta" -> c19BudgetSql,

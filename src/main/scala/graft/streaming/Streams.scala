@@ -2484,21 +2484,10 @@ object Streams {
     val placed = runToMemory(x42Counts(s, dir).toDF("stage", "n"),
       OutputMode.Append(), s"x42_mem_${System.nanoTime()}")
     val arrived = placed.groupBy(col("stage")).agg(max(col("n")).as("n_arrived"))
-    val shipped = graft.queries.Pipeline.c17_stage_budget(s, dir)
-      .select(col("stage"), col("n_docs").as("n_shipped"))
-    val j = shipped.join(arrived, Seq("stage"), "left_outer")
-      .select(col("stage"), coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
-              col("n_shipped"))
-    val totals = j.agg(sum(col("n_arrived")).as("ta"),
-                       sum(col("n_shipped")).as("ts"))
-    val r4 = graft.queries.QUtil.round4 _
-    j.crossJoin(broadcast(totals)) // bounded: one row by aggregation
-      .withColumn("arrived_share", r4(col("n_arrived").cast("double") / col("ta")))
-      .withColumn("shipped_share", r4(col("n_shipped").cast("double") / col("ts")))
-      .select(col("stage"), col("n_arrived"), col("n_shipped"),
-              col("arrived_share"), col("shipped_share"),
-              r4(col("arrived_share") - col("shipped_share")).as("skew"))
-      .orderBy("stage")
+    // the reading's finisher (shipped join, zero-fill, round4 shares,
+    // skew) is Pipeline.stageSkewReport — ONE body with c19_fold_gate's
+    // batch consumption, so the monitor and the gate cannot drift
+    graft.queries.Pipeline.stageSkewReport(s, dir, arrived)
   }
 
   /** x42's streaming leg: per-stage running arrival counts under the
@@ -2541,54 +2530,13 @@ object Streams {
       }
   }
 
-  /** x42's oracle: the arrival side is x41's stage rule over the frozen
-    * kept∩train universe (c14 + split oracles verbatim), the shipped side
-    * is the curriculum's per-stage inventory; integer counts, round4
-    * shares. */
-  val x42Sql: String = {
-    val splitCase =
-      """CASE WHEN substring(md5('split:' || sc.doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
-        |     WHEN substring(md5('split:' || sc.doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
-        |     ELSE 'test' END""".stripMargin
-    s"""WITH cur AS MATERIALIZED (
-       |${graft.queries.Pipeline.c17Sql}
-       |), bounds AS (
-       |  SELECT stage, min(floor(score * 1000000.0 + 0.5)::BIGINT) AS m
-       |  FROM cur GROUP BY 1
-       |), sc AS (
-       |  SELECT c.doc_id, floor(c.score * 1000000.0 + 0.5)::BIGINT AS si
-       |  FROM (
-       |${graft.queries.Pipeline.c14Sql}
-       |  ) c
-       |  WHERE c.keep
-       |), st AS (
-       |  SELECT doc_id,
-       |    coalesce((SELECT max(b.stage) FROM bounds b WHERE b.m <= sc.si),
-       |             (SELECT min(b2.stage) FROM bounds b2))::BIGINT AS stage
-       |  FROM sc
-       |  WHERE $splitCase = 'train'
-       |), arr AS (
-       |  SELECT stage, count(*)::BIGINT AS n_arrived FROM st GROUP BY 1
-       |), shp AS (
-       |  SELECT stage, count(*)::BIGINT AS n_shipped FROM cur GROUP BY 1
-       |), j AS (
-       |  SELECT s.stage, coalesce(a.n_arrived, 0)::BIGINT AS n_arrived,
-       |         s.n_shipped
-       |  FROM shp s LEFT JOIN arr a ON a.stage = s.stage
-       |), t AS (
-       |  SELECT sum(n_arrived)::BIGINT AS ta, sum(n_shipped)::BIGINT AS ts
-       |  FROM j
-       |)
-       |SELECT j.stage, j.n_arrived, j.n_shipped,
-       |  floor(j.n_arrived::DOUBLE / t.ta * 10000.0 + 0.5) / 10000.0
-       |    AS arrived_share,
-       |  floor(j.n_shipped::DOUBLE / t.ts * 10000.0 + 0.5) / 10000.0
-       |    AS shipped_share,
-       |  floor((floor(j.n_arrived::DOUBLE / t.ta * 10000.0 + 0.5) / 10000.0
-       |         - floor(j.n_shipped::DOUBLE / t.ts * 10000.0 + 0.5) / 10000.0)
-       |        * 10000.0 + 0.5) / 10000.0 AS skew
-       |FROM j, t ORDER BY j.stage""".stripMargin
-  }
+  /** x42's oracle: [[graft.queries.Pipeline.stageSkewSqlBody]] — the
+    * arrival side is x41's stage rule over the frozen kept∩train
+    * universe, the shipped side the curriculum's per-stage inventory.
+    * The spelling lives in Pipeline (one body with c19_fold_gate's
+    * oracle) and is referenced lazily here to avoid a Streams ⇄
+    * Pipeline object-initialization cycle. */
+  lazy val x42Sql: String = graft.queries.Pipeline.stageSkewSqlBody
 
   /** x39's oracle: the same admission relation batch-side — per-doc gates
     * from the t2/t3/t14 oracles verbatim, the settled digest tier as a

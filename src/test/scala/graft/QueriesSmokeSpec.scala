@@ -1302,6 +1302,33 @@ class QueriesSmokeSpec extends SparkSpec {
       "c15's settled cluster table contains delta docs")
   }
 
+  test("skew gate: both outcomes fire on command and summarize honestly (c19_fold_gate)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val P = graft.queries.Pipeline
+    // at sf0.01 the DEFAULT threshold fires: the reading's small-sample
+    // noise puts max|skew| at 0.0639 > 0.02 (scaladoc's measured value) —
+    // this is the branch the driver's correctness gate oracle-proves
+    val d = P.c19_fold_gate(spark, sf01).collect()(0)
+    assert(d.getString(1) === "fold_now")
+    assert(d.getDouble(0) > 0.02)
+    // drive the knob to the other side ON THE SAME DATA: hold reports the
+    // same reading and an all-zero work summary (nothing folded)
+    spark.conf.set("spark.graft.c19SkewGate", "0.9")
+    try {
+      val h = P.c19_fold_gate(spark, sf01).collect()(0)
+      assert(h.getString(1) === "hold")
+      assert((2 to 5).forall(i => h.getLong(i) === 0L))
+      assert(h.getDouble(0) === d.getDouble(0),
+        "the reading must not depend on the threshold")
+    } finally spark.conf.unset("spark.graft.c19SkewGate")
+    // the fold branch's summary IS the real c19 fold, not an estimate
+    val led = P.c19_curriculum_delta(spark, sf01).collect()
+    assert(d.getLong(2) === led.count(_.getString(1) == "enter").toLong)
+    assert(d.getLong(3) === led.count(_.getString(1) == "leave").toLong)
+    assert(d.getLong(4) === led.count(_.getString(1) == "move").toLong)
+    assert(d.getLong(5) === P.c19_shard_delta(spark, sf01).count())
+  }
+
   test("bench class tags route every query to its adjudication scalar") {
     // the artifact's `class` map (r14 verdict #4b): streaming twins read
     // against calib_stream, the release-funnel audit chain against calib,
