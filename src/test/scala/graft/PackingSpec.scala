@@ -37,6 +37,44 @@ class PackingSpec extends SparkSpec {
     assert(packed.toSeq == naive.toSeq)
   }
 
+  test("packShards = brute-force chunking on seeded-random curricula (c18)") {
+    // The shard-packing analog of C19FoldPropertySpec's brute-force pin:
+    // random curriculum shapes — non-dense stage ids, shuffled in-stage
+    // ranks, token counts spanning multiple 128-token shards — through
+    // the shipped packShards body vs plain local chunk arithmetic.
+    import spark.implicits._
+    val L = 128L
+    val rnd = new scala.util.Random(4242)
+    for (iter <- 1 to 25) {
+      val stages = rnd.shuffle((0L to 9L).toList).take(1 + rnd.nextInt(4))
+      val cur = stages.flatMap { st =>
+        val n = 1 + rnd.nextInt(12)
+        val ranks = rnd.shuffle((1L to n.toLong).toList)
+        ranks.zipWithIndex.map { case (rk, i) =>
+          (st * 1000L + i, st, rk, 1L + rnd.nextInt(300).toLong)
+        }
+      }
+      val got = graft.queries.Pipeline.packShards(
+          cur.toDF("doc_id", "stage", "rank_in_stage", "n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val exp = cur.groupBy(_._2).flatMap { case (st, docs) =>
+        val inOrder = docs.sortBy(_._3)
+        val total = inOrder.map(_._4).sum
+        val offs = inOrder.map(_._4).scanLeft(0L)(_ + _)
+        inOrder.zip(offs).flatMap { case ((_, _, _, nt), off) =>
+          (off / L) to ((off + nt - 1) / L) map { sh =>
+            (st, sh, if (off / L == sh) 1L else 0L)
+          }
+        }.groupBy { case (_, sh, _) => sh }.map { case (sh, rows) =>
+          (st, sh) -> (math.min(L, total - sh * L),
+                       rows.size.toLong, rows.map(_._3).sum)
+        }
+      }.toMap
+      assert(got === exp, s"iter=$iter stages=$stages diverged\ncur=$cur")
+    }
+  }
+
   test("packing manifest invariants: full chunks, contiguous ids, boundary counts") {
     val rows = TextAnalysis.t19_sequence_packing(spark, dir).collect()
     val ids = rows.map(_.getLong(0))
