@@ -1828,9 +1828,18 @@ object Pipeline {
     * discipline, applied to the reading's arithmetic). Bounded
     * throughout: ≤10 stage rows, one global totals row. */
   private[graft] def stageSkewReport(s: SparkSession, dir: String,
-                                     arrived: DataFrame): DataFrame = {
-    val shipped = c17_stage_budget(s, dir)
-      .select(col("stage"), col("n_docs").as("n_shipped"))
+                                     arrived: DataFrame): DataFrame =
+    stageSkewFinisher(c17_stage_budget(s, dir)
+      .select(col("stage"), col("n_docs").as("n_shipped")), arrived)
+
+  /** The finisher alone, over explicit `(stage, n_shipped)` /
+    * `(stage, n_arrived)` relations — split from [[stageSkewReport]] so
+    * [[c19_fold_gate]] can derive its shipped inventory from the SAME
+    * checkpointed curriculum relation its boundary array came from (one
+    * c16→c17 chain per gate run, not two — measured 49.7 s → one chain
+    * at sf1 warm). */
+  private[graft] def stageSkewFinisher(shipped: DataFrame,
+                                       arrived: DataFrame): DataFrame = {
     val j = shipped.join(arrived, Seq("stage"), "left_outer")
       .select(col("stage"), coalesce(col("n_arrived"), lit(0L)).as("n_arrived"),
               col("n_shipped"))
@@ -1850,25 +1859,26 @@ object Pipeline {
     * kept∩train universe under the door's highest-cleared-boundary stage
     * rule (the same relation x42's streaming leg accumulates per
     * trigger) — the nightly gate does not re-run the stream; it reads
-    * the monitor's quantity from the same frozen artifacts. The ≤10-row
-    * boundary relation rides a broadcast non-equi join (c19's interval-
-    * join precedent); everything else is per-row projections behind the
-    * scan. */
-  private[graft] def c19ArrivalStages(s: SparkSession, dir: String): DataFrame = {
+    * the monitor's quantity from the same frozen artifacts. The ≤10
+    * boundary pairs fold into a DESCENDING-stage coalesce(when(si ≥ m))
+    * chain — a pure codegen'd projection whose first hit IS
+    * max{stage : m ≤ si} regardless of boundary monotonicity (x41's
+    * stageIdx scan as an expression; the sanctioned bounded-artifact
+    * fold) — so the arrival side costs one scan projection plus one
+    * ≤10-key count, no per-doc join or groupBy shuffle anywhere. */
+  private[graft] def c19ArrivalStages(s: SparkSession, dir: String,
+                                      bounds: Array[(Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty,
+      "c19_fold_gate requires a nonempty shipped curriculum artifact (c17 is empty)")
     val (_, score, _, _, tau) = c14Model(s, dir)
-    val bounds = graft.plans.BroadcastContract.boundedCheckpoint(
-      c17_curriculum(s, dir)
-        .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
-        .groupBy(col("stage")).agg(min(col("si")).as("m")),
-      "c17 stage boundaries: <= 10 rows by construction") // consumed twice
-    val minStage = bounds.agg(min(col("stage")).as("min_stage"))
+    val stageExpr = coalesce(
+      (bounds.sortBy(-_._1).map { case (st, m) =>
+        when(col("si") >= lit(m), lit(st)) } :+
+       lit(bounds.map(_._1).min)): _*)
     score.select(col("doc_id"), col("si"))
       .crossJoin(broadcast(tau)).filter(col("si") >= col("tau"))
       .filter(splitOf(col("doc_id")) === "train")
-      .join(broadcast(bounds), col("m") <= col("si"), "left_outer")
-      .groupBy(col("doc_id")).agg(max(col("stage")).as("stg"))
-      .crossJoin(broadcast(minStage))
-      .select(coalesce(col("stg"), col("min_stage")).as("stage"))
+      .select(stageExpr.as("stage"))
       .groupBy(col("stage")).agg(count(lit(1)).as("n_arrived"))
   }
 
@@ -1908,7 +1918,19 @@ object Pipeline {
     * door says the boundaries moved. */
   def c19_fold_gate(s: SparkSession, dir: String): DataFrame = {
     val thr = s.conf.get("spark.graft.c19SkewGate", "0.02").toDouble
-    val reading = stageSkewReport(s, dir, c19ArrivalStages(s, dir))
+    // ONE c16→c17 chain feeds both sides of the reading: the boundary
+    // array (collected, folded into the arrival projection) and the
+    // shipped per-stage inventory
+    val cur = c17_curriculum(s, dir)
+      .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
+      .localCheckpoint()
+    val boundsArr = graft.plans.BroadcastContract.boundedCollect(
+      cur.groupBy(col("stage")).agg(min(col("si")).as("m")),
+      "c17 stage boundaries: <= 10 rows by construction")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shipped = cur.groupBy(col("stage")).agg(count(lit(1)).as("n_shipped"))
+    val reading = stageSkewFinisher(shipped,
+      c19ArrivalStages(s, dir, boundsArr))
     val mx = graft.plans.BroadcastContract.boundedCollect(
       graft.plans.BroadcastContract.boundedCheckpoint(
         reading.agg(max(abs(col("skew"))).as("mx")),
