@@ -829,6 +829,10 @@ object Pipeline {
     * disagree on the schedule (t22's pattern on t28's feature CTEs,
     * s4Sql's generated-rounds discipline). */
   val c14Sql: String = {
+    // ::VARCHAR::DOUBLE on the decimal sums: DuckDB's direct DECIMAL→DOUBLE
+    // conversion is not correctly rounded (t22Sql's scaladoc has the
+    // worked boundary case); the VARCHAR hop matches Spark's
+    // BigDecimal.doubleValue exactly. Same generated spelling as t22Sql.
     val R6 = (e: String) => s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
     val eta = QualityGdEta
     // iteration i ≥ 2: sigmoid under w{i-1}/b{i-1}, gradient, step
@@ -836,14 +840,14 @@ object Pipeline {
       s"""p$i AS MATERIALIZED (
          |  SELECT doc_id, ${R6("1.0 / (1.0 + exp(-m))")} AS p FROM (
          |    SELECT f.doc_id,
-         |      ${R6(s"sum((f.x * w.w)::DECIMAL(30,20))::DOUBLE + (SELECT bias FROM b${i - 1})")} AS m
+         |      ${R6(s"sum((f.x * w.w)::DECIMAL(30,20))::VARCHAR::DOUBLE + (SELECT bias FROM b${i - 1})")} AS m
          |    FROM feats f JOIN w${i - 1} w USING (bucket) GROUP BY 1)
          |), g$i AS MATERIALIZED (
-         |  SELECT f.bucket, ${R6("sum((f.x * (p.p - l.y))::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g
+         |  SELECT f.bucket, ${R6("sum((f.x * (p.p - l.y))::DECIMAL(30,20))::VARCHAR::DOUBLE / (SELECT nn FROM nrel)")} AS g
          |  FROM feats f JOIN p$i p USING (doc_id) JOIN labels l USING (doc_id)
          |  GROUP BY 1
          |), gb$i AS MATERIALIZED (
-         |  SELECT ${R6("sum((p.p - l.y)::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g0
+         |  SELECT ${R6("sum((p.p - l.y)::DECIMAL(30,20))::VARCHAR::DOUBLE / (SELECT nn FROM nrel)")} AS g0
          |  FROM p$i p JOIN labels l USING (doc_id)
          |), w$i AS MATERIALIZED (
          |  SELECT w.bucket, ${R6(s"w.w - $eta * g.g")} AS w
@@ -873,18 +877,18 @@ object Pipeline {
        |  SELECT d.doc_id, d.bucket, ${R6("d.cnt::DOUBLE / l.n")} AS x
        |  FROM db d JOIN labels l USING (doc_id)
        |), g1 AS (
-       |  SELECT f.bucket, ${R6("sum((f.x * (0.5 - l.y))::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g
+       |  SELECT f.bucket, ${R6("sum((f.x * (0.5 - l.y))::DECIMAL(30,20))::VARCHAR::DOUBLE / (SELECT nn FROM nrel)")} AS g
        |  FROM feats f JOIN labels l USING (doc_id) GROUP BY 1
        |), w1 AS MATERIALIZED (
        |  SELECT bucket, ${R6(s"-$eta * g")} AS w FROM g1
        |), b1 AS MATERIALIZED (
-       |  SELECT ${R6(s"-$eta * (sum((0.5 - y)::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel))")} AS bias
+       |  SELECT ${R6(s"-$eta * (sum((0.5 - y)::DECIMAL(30,20))::VARCHAR::DOUBLE / (SELECT nn FROM nrel))")} AS bias
        |  FROM labels
        |),
        |$iters,
        |sc AS MATERIALIZED (
        |  SELECT f.doc_id,
-       |    ${R6(s"sum((f.x * w.w)::DECIMAL(30,20))::DOUBLE + (SELECT bias FROM b$last)")} AS score
+       |    ${R6(s"sum((f.x * w.w)::DECIMAL(30,20))::VARCHAR::DOUBLE + (SELECT bias FROM b$last)")} AS score
        |  FROM feats f JOIN w$last w USING (bucket) GROUP BY 1
        |), si AS MATERIALIZED (
        |  SELECT doc_id, score, floor(score * 1000000.0 + 0.5)::BIGINT AS si FROM sc

@@ -1278,6 +1278,13 @@ object TextAnalysis {
   }
 
   val t22Sql: String = {
+    // ::VARCHAR::DOUBLE on the decimal sums: DuckDB's direct DECIMAL→DOUBLE
+    // double-rounds (int128→double, then ×10⁻²⁰), so a sum like
+    // 3.471249999999999998… converts to 3.4712499999999995 instead of the
+    // correctly-rounded 3.47125 — one grid point below Spark's
+    // BigDecimal.doubleValue at an R6 half-way boundary (bucket 7 at
+    // sf0.001 trips it). The VARCHAR hop is strtod, correctly rounded,
+    // matching Spark exactly at every boundary.
     val R6 = (e: String) => s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
     s"""WITH tok AS MATERIALIZED (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1296,23 +1303,23 @@ object TextAnalysis {
       |  SELECT f.doc_id, f.b, ${R6("f.cnt::DOUBLE / l.n")} AS x
       |  FROM featc f JOIN labels l USING (doc_id)
       |), g1 AS (
-      |  SELECT f.b, ${R6("sum((f.x * (0.5 - l.y))::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g
+      |  SELECT f.b, ${R6("sum((f.x * (0.5 - l.y))::DECIMAL(30,20))::VARCHAR::DOUBLE / (SELECT nn FROM nrel)")} AS g
       |  FROM feats f JOIN labels l USING (doc_id) GROUP BY 1
       |), w1 AS MATERIALIZED (SELECT b, -g AS w FROM g1),
       |b1 AS MATERIALIZED (
-      |  SELECT -(${R6("sum((0.5 - y)::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")}) AS bias
+      |  SELECT -(${R6("sum((0.5 - y)::DECIMAL(30,20))::VARCHAR::DOUBLE / (SELECT nn FROM nrel)")}) AS bias
       |  FROM labels
       |), p2 AS MATERIALIZED (
       |  SELECT doc_id, ${R6("1.0 / (1.0 + exp(-m))")} AS p FROM (
       |    SELECT f.doc_id,
-      |      ${R6("sum((f.x * w.w)::DECIMAL(30,20))::DOUBLE + (SELECT bias FROM b1)")} AS m
+      |      ${R6("sum((f.x * w.w)::DECIMAL(30,20))::VARCHAR::DOUBLE + (SELECT bias FROM b1)")} AS m
       |    FROM feats f JOIN w1 w USING (b) GROUP BY 1)
       |), g2 AS MATERIALIZED (
-      |  SELECT f.b, ${R6("sum((f.x * (p.p - l.y))::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g
+      |  SELECT f.b, ${R6("sum((f.x * (p.p - l.y))::DECIMAL(30,20))::VARCHAR::DOUBLE / (SELECT nn FROM nrel)")} AS g
       |  FROM feats f JOIN p2 p USING (doc_id) JOIN labels l USING (doc_id)
       |  GROUP BY 1
       |), b2 AS MATERIALIZED (
-      |  SELECT ${R6("sum((p.p - l.y)::DECIMAL(30,20))::DOUBLE / (SELECT nn FROM nrel)")} AS g0
+      |  SELECT ${R6("sum((p.p - l.y)::DECIMAL(30,20))::VARCHAR::DOUBLE / (SELECT nn FROM nrel)")} AS g0
       |  FROM p2 p JOIN labels l USING (doc_id)
       |), acc AS MATERIALIZED (
       |  SELECT floor(sum(CASE WHEN (p.p >= 0.5) = (l.y = 1.0) THEN 1 ELSE 0 END)::DOUBLE
