@@ -169,7 +169,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Drop all shared materialized intermediates (bench isolation). */
-  def clearShared(): Unit = { d3Cache.clear(); bandsCache.clear() }
+  def clearShared(): Unit = { d3Cache.clear(); bandsCache.clear(); d8Cache.clear() }
 
   /** (doc_id, band, mh0, mh1) MinHash band signatures for every document —
     * the LSH index relation d3 self-joins and d13 keys its settled staging
@@ -457,14 +457,29 @@ object Dedup {
     * pipeline is not re-run. Output: every clustered doc with its component
     * id (= min doc_id in the component) and the component size. */
   def d8_dup_clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d3Pairs(s, dir).filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val labels = minLabelComponents(pairs)
+    val labels = d8Labels(s, dir)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
     labels.join(sizes, Seq("lbl"))
       .select(col("n").as("doc_id"), col("lbl").as("cluster_id"), col("n_members"))
       .orderBy("doc_id")
   }
+
+  /** d8's converged component labels, staged per (session, sf-dir) like
+    * [[d3Pairs]] (optimization r15): the min-label fixpoint loop is an
+    * iterative chain of join+aggregate+checkpoint rounds, and the cleaning
+    * funnel consumes the SAME cluster table through two independent legs —
+    * c1's dedup survivors (via c3→c13) and c11's cluster-anchored split —
+    * so every c13-and-above query ran the whole loop twice per timed run.
+    * This is the cluster staging table a production pipeline keeps warm;
+    * `Bench.clearShared` (via [[clearShared]]) drops it so timed runs stay
+    * cold-cost — cold now means ONE loop, not one per consumer. */
+  private val d8Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def d8Labels(s: SparkSession, dir: String): DataFrame =
+    QUtil.cachedPerSession(d8Cache, s, dir)(
+      minLabelComponents(d3Pairs(s, dir).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))))
 
   /** Min-label propagation over an undirected pair relation (doc_a, doc_b)
     * → (n, lbl = component min). Shared by d8 and the m7 media keep-best

@@ -722,8 +722,20 @@ object Pipeline {
     val r6 = QUtil.round6 _
     val eta = lit(QualityGdEta.toDouble)
     val grams = hashedGramBuckets(Tables.documents(s, dir))
+    // doc_id-ALIGNED staging (optimization r15, guide §2.4 "remove shuffles
+    // outright"): every consumer below — labels' groupBy, feats' join, each
+    // iteration's margins groupBy(doc_id) and gradient join — clusters on
+    // doc_id, and localCheckpoint PRESERVES the checkpointed plan's output
+    // partitioning, so one compact repartition of the aggregated (doc,
+    // bucket) rows here removes the per-iteration Exchange over the feature
+    // table (8 iterations × 2 ops each: measured 16 → 1 feats-sized
+    // exchanges for the whole trainer). The gram-occurrence aggregation
+    // itself still shuffles ONCE keyed (doc,source,bucket) with map-side
+    // partial aggregation — repartitioning the raw occurrences by doc_id
+    // instead would ship every occurrence unaggregated (more bytes).
     val db = grams.groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .repartition(col("doc_id"))
       .localCheckpoint() // feeds labels, features — one gram pass total
     val labels = db.groupBy(col("doc_id"), col("source"))
       .agg(sum(col("cnt")).as("n"))
@@ -762,7 +774,16 @@ object Pipeline {
     var w = graft.plans.BroadcastContract.boundedCheckpoint(
       g1.select(col("bucket"), r6(-eta * col("g")).as("w")),
       "c14 weights: ≤256 hashed buckets by construction")
-    var bias = g01.select(r6(-eta * col("g0")).as("bias"))
+    // the bias is CHECKPOINTED per iteration (optimization r15, guide §5
+    // caching/lineage): un-checkpointed, bias_i's lineage embeds g0_1..g0_i
+    // — i doc-sized aggregation passes re-evaluated inside EVERY downstream
+    // job that references the bias (each margins/p job, each gradient job,
+    // the final score pass), a quadratic total in the iteration count at
+    // any scale. One 1-row checkpoint per iteration makes each g0 pass run
+    // exactly once. Identity transform — the arithmetic is unchanged.
+    var bias = graft.plans.BroadcastContract.boundedCheckpoint(
+      g01.select(r6(-eta * col("g0")).as("bias")),
+      "c14 bias: one global-aggregate row by construction")
     // iterations 2..QualityGdIters: sigmoid under the current model
     // (pinned to the grid), gradient, step — each iteration is one
     // (doc,bucket) agg pass; checkpoints keep the lineage flat
@@ -775,8 +796,10 @@ object Pipeline {
         w.join(gi, Seq("bucket"))
           .select(col("bucket"), r6(col("w") - eta * col("g")).as("w")),
         "c14 weights: ≤256 hashed buckets by construction")
-      bias = bias.crossJoin(g0i)
-        .select(r6(col("bias") - eta * col("g0")).as("bias"))
+      bias = graft.plans.BroadcastContract.boundedCheckpoint(
+        bias.crossJoin(g0i)
+          .select(r6(col("bias") - eta * col("g0")).as("bias")),
+        "c14 bias: one global-aggregate row by construction")
     }
     // score = the final MARGIN; si = its 1e-6 grid point
     val score = margins(w, bias)
@@ -1293,6 +1316,19 @@ object Pipeline {
     * train tokens, ranks contiguous 1..n per stage) — spec-pinned, the
     * budget-identity discipline c15 established. */
   def c17_curriculum(s: SparkSession, dir: String): DataFrame =
+    // the presentation orderBy lives HERE, not in curriculumOver
+    // (optimization r15): curriculumOver's output is also STAGING input —
+    // c18's packing and c19Settled's checkpoint neither need nor keep a
+    // global order, and materializing a sorted plan would pay a full sort
+    // exchange for nothing (guide §2.4: "an orderBy used only to make
+    // output deterministic" is an accidental shuffle).
+    c17CurriculumUnordered(s, dir).orderBy("doc_id")
+
+  /** The c17 relation WITHOUT the presentation sort — what every staging
+    * consumer (c18's packing, c17_stage_budget's rollup, c19_fold_gate's
+    * checkpointed chain) reads, so none of them materializes a global
+    * sort it immediately destroys. */
+  private[graft] def c17CurriculumUnordered(s: SparkSession, dir: String): DataFrame =
     curriculumOver(c16_gated_manifest(s, dir)
       .filter(col("split") === "train")
       .select(col("doc_id"), col("n_tokens"), col("score")))
@@ -1312,6 +1348,13 @@ object Pipeline {
           .cast("long"))
       .withColumn("h", pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
                             lit(2147483648L)))
+      // materialized (optimization r15): m fans out to THREE consumers
+      // below (sOff, total, staged) and DataFrames do not share subplans —
+      // un-checkpointed, the whole upstream universe chain (for c17: the
+      // c16 gated-manifest join tree) executed once PER CONSUMER. One
+      // checkpoint makes it one pass (before/after numbers in
+      // OPTIMIZATION_r15.md).
+      .localCheckpoint()
     // level 1: exact global score rank via the bounded sigmoid buckets
     val sOff = m.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum(col("bn")).over(
@@ -1328,7 +1371,6 @@ object Pipeline {
     rankWithinStage(staged)
       .select(col("doc_id"), col("stage"), col("rank_in_stage"),
               col("n_tokens"), col("score"))
-      .orderBy("doc_id")
   }
 
   /** C17's level-2 within-stage rank, factored (one code path for the
@@ -1343,7 +1385,11 @@ object Pipeline {
     * input columns (minus h's bucket scaffolding) plus `rank_in_stage`. */
   private[graft] def rankWithinStage(staged: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized (optimization r15): hb feeds both the per-(stage, hbkt)
+    // count relation and the ranking join below — un-checkpointed, the
+    // staged input's window/join chain executed twice per call.
     val hb = staged.withColumn("hbkt", floor(col("h") / lit(8388608L)).cast("long"))
+      .localCheckpoint()
     val hOff = hb.groupBy(col("stage"), col("hbkt")).agg(count(lit(1)).as("bn"))
       .withColumn("boff", coalesce(sum(col("bn")).over(
         Window.partitionBy(col("stage")).orderBy(col("hbkt"))
@@ -1389,7 +1435,7 @@ object Pipeline {
     * curriculum. The partition identity (Σ stage_tokens = c16 train
     * tokens) is spec-pinned. */
   def c17_stage_budget(s: SparkSession, dir: String): DataFrame =
-    c17_curriculum(s, dir)
+    c17CurriculumUnordered(s, dir)
       .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1434,7 +1480,7 @@ object Pipeline {
     * to [[c17_stage_budget]]'s stage tokens, every non-terminal shard
     * full. */
   def c18_shard_manifest(s: SparkSession, dir: String): DataFrame =
-    packShards(c17_curriculum(s, dir)
+    packShards(c17CurriculumUnordered(s, dir)
       .select(col("doc_id"), col("stage"), col("rank_in_stage"), col("n_tokens")))
 
   /** C18's packing, factored over ANY curriculum-shaped relation
@@ -1465,8 +1511,14 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val L = 128L
     val W = TextAnalysis.packBucketWidth
+    // materialized (optimization r15): cur fans out to THREE consumers
+    // (offsets, totals, the offset-attach + chunk explosion) — for c18 the
+    // un-checkpointed input was the ENTIRE c16→c17 curriculum chain,
+    // recomputed once per consumer (× the three-fold fan-out already
+    // inside curriculumOver). One checkpoint, one pass.
     val cur = curIn
       .withColumn("rbkt", expr(s"(rank_in_stage - 1) div $W"))
+      .localCheckpoint()
     val inBkt = Window.partitionBy(col("stage"), col("rbkt"))
       .orderBy(col("rank_in_stage"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1925,7 +1977,7 @@ object Pipeline {
     // ONE c16→c17 chain feeds both sides of the reading: the boundary
     // array (collected, folded into the arrival projection) and the
     // shipped per-stage inventory
-    val cur = c17_curriculum(s, dir)
+    val cur = c17CurriculumUnordered(s, dir)
       .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
       .localCheckpoint()
     val boundsArr = graft.plans.BroadcastContract.boundedCollect(
@@ -2238,44 +2290,74 @@ object Pipeline {
         sum(when(col("status") === st, 1L).otherwise(0L)).as(s"n_$st"))
       df.agg(aggs.head, aggs.tail: _*)
     }
-    val c15Led = c15_manifest_increment(s, dir)
-      .localCheckpoint() // ONE manifest fold: rollup + c19's input
-    val c19Led = c19CurriculumDeltaFrom(s, dir, c15Led)
-      .localCheckpoint() // ONE curriculum fold: rollup + shard repack
-    val shardD = c19ShardDeltaFrom(s, dir, c19Led)
-    val deltaTf = TextAnalysis.bm25TfOf(
-      Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
-    longRows("text_exact", statusCounts(Dedup.d12_incremental_dedup(s, dir),
+    // The family legs are INDEPENDENT dataflows over their own staged
+    // settled artifacts (the scaladoc's "no leg rescans another's corpus");
+    // only the manifest→curriculum→shards backbone is sequential. Submit
+    // the legs from a small thread pool (optimization r15, guide §2.6
+    // "overlap independent jobs") so the cluster back-fills one leg's
+    // straggler tail with the next leg's work — each future materializes
+    // its leg's bounded 1-row metrics relation (localCheckpoint; the heavy
+    // chain work happens inside the future), and the final union stacks
+    // the already-materialized rows. Shared per-session staging (d3Pairs,
+    // the c14 model, the settled indexes) stays computed-once: the caches'
+    // computeIfAbsent serializes the first build and every other leg reuses
+    // it. Aggregations are unchanged — output identical to the sequential
+    // spelling.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    def leg(body: => DataFrame): java.util.concurrent.Future[DataFrame] =
+      pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        override def call(): DataFrame = body.localCheckpoint()
+      })
+    try {
+      val backbone = pool.submit(new java.util.concurrent.Callable[
+          (DataFrame, DataFrame, DataFrame)] {
+        override def call(): (DataFrame, DataFrame, DataFrame) = {
+          val c15Led = c15_manifest_increment(s, dir)
+            .localCheckpoint() // ONE manifest fold: rollup + c19's input
+          val c19Led = c19CurriculumDeltaFrom(s, dir, c15Led)
+            .localCheckpoint() // ONE curriculum fold: rollup + shard repack
+          val shardD = c19ShardDeltaFrom(s, dir, c19Led)
+          (c15Led, c19Led, shardD)
+        }
+      })
+      val deltaTf = TextAnalysis.bm25TfOf(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
+      val textExact = leg(statusCounts(Dedup.d12_incremental_dedup(s, dir),
         Seq("dup_of_base", "dup_in_delta", "unique")))
-      .unionByName(longRows("text_near", statusCounts(
-        Dedup.d13_incremental_neardup(s, dir),
-        Seq("neardup_of_base", "neardup_in_delta", "unique"))))
-      .unionByName(longRows("postings", deltaTf.agg(
+      val textNear = leg(statusCounts(Dedup.d13_incremental_neardup(s, dir),
+        Seq("neardup_of_base", "neardup_in_delta", "unique")))
+      val postings = leg(deltaTf.agg(
         countDistinct(col("doc_id")).as("n_docs"),
         sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_postings"),
-        countDistinct(col("term")).as("n_terms_touched"))))
-      .unionByName(longRows("vectors", Similarity.s18DeltaSummary(s, dir)))
-      .unionByName(longRows("media", statusCounts(
-        Multimodal.m9_incremental_media(s, dir),
+        countDistinct(col("term")).as("n_terms_touched")))
+      val vectors = leg(Similarity.s18DeltaSummary(s, dir))
+      val media = leg(statusCounts(Multimodal.m9_incremental_media(s, dir),
         Seq("dup_of_base", "dup_in_delta", "neardup_of_base",
-            "neardup_in_delta", "unique"))))
-      .unionByName(longRows("manifest", c15Led.agg(
-        sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_add"),
-        sum(when(col("action") === "retire", 1L).otherwise(0L)).as("n_retire"),
-        sum(col("tok_delta")).as("tok_delta"))))
-      .unionByName(longRows("curriculum", c19Led.agg(
-        sum(when(col("action") === "enter", 1L).otherwise(0L)).as("n_enter"),
-        sum(when(col("action") === "leave", 1L).otherwise(0L)).as("n_leave"),
-        sum(when(col("action") === "move", 1L).otherwise(0L)).as("n_move"),
-        sum(when(col("action") === "enter", col("n_tokens"))
-          .when(col("action") === "leave", -col("n_tokens"))
-          .otherwise(0L)).as("tok_delta"))))
-      .unionByName(longRows("shards", shardD.agg(
-        sum(when(col("action") === "new", 1L).otherwise(0L)).as("n_new"),
-        sum(when(col("action") === "dropped", 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(col("action") === "changed", 1L).otherwise(0L)).as("n_changed"))))
-      .orderBy("family", "metric")
+            "neardup_in_delta", "unique")))
+      val (c15Led, c19Led, shardD) = backbone.get()
+      longRows("text_exact", textExact.get())
+        .unionByName(longRows("text_near", textNear.get()))
+        .unionByName(longRows("postings", postings.get()))
+        .unionByName(longRows("vectors", vectors.get()))
+        .unionByName(longRows("media", media.get()))
+        .unionByName(longRows("manifest", c15Led.agg(
+          sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_add"),
+          sum(when(col("action") === "retire", 1L).otherwise(0L)).as("n_retire"),
+          sum(col("tok_delta")).as("tok_delta"))))
+        .unionByName(longRows("curriculum", c19Led.agg(
+          sum(when(col("action") === "enter", 1L).otherwise(0L)).as("n_enter"),
+          sum(when(col("action") === "leave", 1L).otherwise(0L)).as("n_leave"),
+          sum(when(col("action") === "move", 1L).otherwise(0L)).as("n_move"),
+          sum(when(col("action") === "enter", col("n_tokens"))
+            .when(col("action") === "leave", -col("n_tokens"))
+            .otherwise(0L)).as("tok_delta"))))
+        .unionByName(longRows("shards", shardD.agg(
+          sum(when(col("action") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("action") === "dropped", 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("action") === "changed", 1L).otherwise(0L)).as("n_changed"))))
+        .orderBy("family", "metric")
+    } finally pool.shutdown()
   }
 
   /** c20 oracle: every family's full-recompute oracle as a derived table,

@@ -402,7 +402,7 @@ object Similarity {
     * — the full corpus for [[trainCoarse]], a bounded sample for
     * [[c2_semdedup_ann]]'s production-k path (training cost O(|sample|·k),
     * independent of the corpus). */
-  private def trainCoarseOn(emb: DataFrame, ex: Boolean, k: Int): DataFrame = {
+  private[graft] def trainCoarseOn(emb: DataFrame, ex: Boolean, k: Int): DataFrame = {
     var centroids = graft.plans.BroadcastContract.boundedCheckpoint(
       emb.filter(col("vec_id") < k) // deterministic seed
         .select(col("vec_id").cast("long").as("cluster"), col("embedding").as("cemb")),
@@ -423,15 +423,32 @@ object Similarity {
 
   /** Nearest-centroid assignment (squared euclidean, ties to the lower
     * cluster id): the ×k fan-out is one broadcast of the k centroid rows —
-    * the corpus never shuffles. Keeps all input columns plus (cluster,
-    * cemb). */
-  private def assignToNearest(emb: DataFrame, centroids: DataFrame, ex: Boolean): DataFrame =
-    emb.crossJoin(broadcast(centroids))
+    * the corpus never shuffles ×k. Keeps all input columns plus (cluster,
+    * cemb).
+    *
+    * Optimization r15 (guide §2.3 "aggregate before you shuffle"): the
+    * argmin is a partial-aggregable `min(struct(dist, cluster))` instead of
+    * the previous `row_number` window over the fan — the window's Exchange
+    * carried all N×k fanned rows (embedding and centroid arrays included)
+    * across the network; the aggregation collapses the fan to ONE narrow
+    * (vec_id, dist, cluster) row per vector map-side, its fixed-size
+    * (double, long) buffer stays in whole-stage codegen, and only N such
+    * rows ever shuffle. cemb is re-attached from the k-row broadcast and
+    * the input columns by the vec_id equi-join (broadcast at bench SF;
+    * one N-row shuffle per side at scale — still ~k× fewer bytes than the
+    * fan Exchange). Selection rule identical: lexicographic
+    * min(dist, cluster) = ORDER BY dist, cluster → rank 1. */
+  private[graft] def assignToNearest(emb: DataFrame, centroids: DataFrame, ex: Boolean): DataFrame = {
+    val best = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
       .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") === 1)
-      .drop("dist", "rn")
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("_m"))
+      .select(col("vec_id"), col("_m.cluster").as("cluster"))
+    emb.join(best, Seq("vec_id"))
+      .join(broadcast(centroids), Seq("cluster"))
+      .select(emb.columns.map(col) ++ Seq(col("cluster"), col("cemb")): _*)
+  }
 
   /** One Lloyd iteration as SQL over an element CTE (`e` = the full
     * corpus; `es` = c2-ann's bounded training sample): assign every
@@ -3761,7 +3778,23 @@ object Similarity {
     }
     val ks = if (Seq(5, 10, 20).contains(kRoot)) Seq(5, 10, 20)
              else Seq(5, 10, 20, kRoot)
-    val points = ks.map(sweepPoint)
+    // the sweep points are INDEPENDENT jobs (each trains, assigns, routes
+    // and scores its own k) — submit them from a small thread pool so one
+    // point's straggler tasks back-fill with the next point's work instead
+    // of leaving the cluster idle (guide §2.6 "overlap independent jobs";
+    // Spark's scheduler runs concurrent jobs FIFO, which is exactly the
+    // back-fill behavior). Each point's eager steps (the Lloyd
+    // boundedCheckpoints, the scored localCheckpoint) are where the
+    // overlap happens; results are unioned in the deterministic ks order
+    // and every per-point relation is keyed by its own `cells` literal, so
+    // the output is identical to the sequential form.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
+    val points = try {
+      ks.map(k => pool.submit(new java.util.concurrent.Callable[(DataFrame, DataFrame)] {
+          override def call(): (DataFrame, DataFrame) = sweepPoint(k)
+        }))
+        .map(_.get())
+    } finally pool.shutdown()
     val report = recallReport(points.map(_._1).reduce(_ unionByName _),
                               Seq("cells"), truth5, top1)
     val scans = points.map(_._2).reduce(_ unionByName _)

@@ -653,22 +653,38 @@ object TextAnalysis {
     * The knob pays off only where shuffle bytes are the constraint —
     * network-bound multi-rack clusters — which is exactly what the
     * measurement says, so the string default stands). */
-  def t14_contamination(s: SparkSession, dir: String): DataFrame = {
-    val N = 3
-    val gramsStr = docGramsStr(s, dir, N)
-    val grams =
-      if (s.conf.get("spark.graft.gramHashKey", "false").toBoolean)
-        gramsStr.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-      else gramsStr
-    val ev = grams.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("eval_doc"), col("gram"))
-    val tr = grams.filter(col("doc_id") % 100 =!= 0)
-      .select(col("doc_id").as("train_doc"), col("gram"))
-    tr.join(ev, Seq("gram"))
-      .groupBy(col("train_doc"), col("eval_doc"))
-      .agg(count_distinct(col("gram")).as("n_shared"))
-      .orderBy("train_doc", "eval_doc")
-  }
+  def t14_contamination(s: SparkSession, dir: String): DataFrame =
+    t14Rel(s, dir).orderBy("train_doc", "eval_doc")
+
+  /** t14's contamination relation, staged per (session, sf-dir)
+    * (optimization r15): the frozen-eval-contamination table is consumed by
+    * THREE independent funnel legs within one release query (c3's
+    * decontamination inside the c13 chain, c15SettledIndex's settled gate,
+    * c15_manifest_increment's delta gate) — un-staged, each leg re-ran the
+    * gram self-join. This IS the frozen-eval artifact the scaladoc above
+    * describes ("the eval set does not grow with the crawl"), so staging it
+    * per session is the same discipline as d3Pairs/bm25SettledIndex;
+    * `Bench.clearShared` drops it per timed run. */
+  private val t14Cache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  private def t14Rel(s: SparkSession, dir: String): DataFrame =
+    cachedPerSession(t14Cache, s, dir) {
+      val N = 3
+      val gramsStr = docGramsStr(s, dir, N)
+      val grams =
+        if (s.conf.get("spark.graft.gramHashKey", "false").toBoolean)
+          gramsStr.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+        else gramsStr
+      val ev = grams.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("eval_doc"), col("gram"))
+      val tr = grams.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("gram"))
+      tr.join(ev, Seq("gram"))
+        .groupBy(col("train_doc"), col("eval_doc"))
+        .agg(count_distinct(col("gram")).as("n_shared"))
+        .localCheckpoint()
+    }
 
   /** One row per (doc, word n-gram), string keys — t14's gram derivation,
     * shared with the bloom-pruned decontamination pass (c9). */
@@ -1648,6 +1664,7 @@ object TextAnalysis {
   def clearShared(): Unit = {
     postingsCache.clear()
     bm25BaseCache.clear()
+    t14Cache.clear()
   }
 
   def t27_bm25(s: SparkSession, dir: String): DataFrame = {

@@ -2373,7 +2373,7 @@ object Streams {
     // agree in every regime. An EMPTY curriculum has no placement contract
     // at all; fail loudly instead of AIOOBE.
     val curAgg = graft.plans.BroadcastContract.boundedCollect(
-      graft.queries.Pipeline.c17_curriculum(s, dir)
+      graft.queries.Pipeline.c17CurriculumUnordered(s, dir) // agg input: the sort is dead weight
         .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
         .groupBy(col("stage"))
         .agg(min(col("si")).as("m"), sum(col("n_tokens")).as("tot")),
@@ -2503,7 +2503,7 @@ object Streams {
     val tauV = graft.plans.BroadcastContract.boundedCollect(tau,
       "c14 tau: one row over the bounded score grid").head.getLong(0)
     val bounds = graft.plans.BroadcastContract.boundedCollect(
-      graft.queries.Pipeline.c17_curriculum(s, dir)
+      graft.queries.Pipeline.c17CurriculumUnordered(s, dir) // agg input: the sort is dead weight
         .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
         .groupBy(col("stage")).agg(min(col("si")).as("m")),
       "c17 stage boundaries: <= 10 rows by construction")
