@@ -164,9 +164,9 @@ object Dedup {
       d3PairsUncached(s, dir).localCheckpoint())
 
   private val d3Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
   private val bandsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
 
   /** Drop all shared materialized intermediates (bench isolation). */
   def clearShared(): Unit = { d3Cache.clear(); bandsCache.clear(); d8Cache.clear() }
@@ -474,7 +474,7 @@ object Dedup {
     * `Bench.clearShared` (via [[clearShared]]) drops it so timed runs stay
     * cold-cost — cold now means ONE loop, not one per consumer. */
   private val d8Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
 
   private def d8Labels(s: SparkSession, dir: String): DataFrame =
     QUtil.cachedPerSession(d8Cache, s, dir)(

@@ -347,7 +347,7 @@ object Graph {
     }
 
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
 
   /** Drop the shared materialized edge table (bench isolation). */
   def clearShared(): Unit = pairCache.clear()
@@ -521,26 +521,39 @@ object Graph {
     * split from [[g4_kcore]] so specs can drive it with graphs of known
     * core numbers. Returns (u, c = exact core number). */
   private[graft] def kcoreOf(ed: DataFrame): DataFrame = {
+    // H-index per node WITHOUT the per-node sort (optimization r16, guide
+    // §2.3 "aggregate before you shuffle"): the r15 form shuffled the
+    // E-sized (u, nc) join output into a row_number window (full sort per
+    // round). Identity used instead: with cum(w) = #{neighbors with
+    // nc ≥ w}, the H-index is max over DISTINCT neighbor values w of
+    // min(w, cum(w)) — so a partial-aggregable groupBy(u, nc) count
+    // collapses the E-sized rows map-side BEFORE the exchange, and the
+    // window/sort runs over the collapsed (u, distinct-nc) relation
+    // (≤ min(degree, value-range) rows per node, ≪ E on this dense graph).
+    // Exact integer arithmetic; equal to the sorted form by the standard
+    // h-index identity (pinned in GraphSpec against an in-memory fold).
     def hIndex(sub: DataFrame, values: DataFrame): DataFrame = sub
       .join(values.select(col("u").as("v"), col("c").as("nc")), Seq("v"))
-      .withColumn("rn", row_number().over(
+      .groupBy(col("u"), col("nc")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("u")).orderBy(col("nc").desc)))
+          .partitionBy(col("u")).orderBy(col("nc").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("u")
-      .agg(coalesce(max(when(col("nc") >= col("rn"), col("rn"))), lit(0))
+      .agg(coalesce(max(least(col("nc"), col("cum"))), lit(0L))
         .cast("long").as("c"))
     var c = ed.groupBy("u").agg(count(lit(1)).as("c")).localCheckpoint()
     // Values are monotone NON-INCREASING longs, so the global sum strictly
     // decreases iff any node changed — convergence detection is one |V|-row
     // partial-aggregated sum per round, not a |V|⋈|V| join + count.
-    var sum = c.agg(org.apache.spark.sql.functions.sum("c")).first().getLong(0)
+    var tot = c.agg(org.apache.spark.sql.functions.sum("c")).first().getLong(0)
     var rounds = 0
     var changed = true
     while (changed && rounds < KCoreRounds) {
       val nxt = hIndex(ed, c).localCheckpoint()
       val nxtSum = nxt.agg(org.apache.spark.sql.functions.sum("c")).first().getLong(0)
-      changed = nxtSum != sum
-      sum = nxtSum
+      changed = nxtSum != tot
+      tot = nxtSum
       rounds += 1
       c = nxt
     }

@@ -518,7 +518,7 @@ object Multimodal {
     * applied to the media family). Bench clears it per timed run; the
     * warm serving shape is the KEEP_SHARED study in STRESS_sf1.md. */
   private val m9Cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+    (SparkSession, String), () => (DataFrame, DataFrame)]()
 
   /** `Bench.clearShared` contract: the staged frames are localCheckpoint'ed
     * (lineage truncated), so the cache MUST be dropped before Bench's

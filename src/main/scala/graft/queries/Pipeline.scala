@@ -143,10 +143,7 @@ object Pipeline {
     * exchanges. The contamination table reuses t14's gram-keyed shuffle;
     * nothing new is broadcast. */
   def c3_decontaminated(s: SparkSession, dir: String): DataFrame = {
-    val contaminated = TextAnalysis.t14_contamination(s, dir)
-      .filter(col("n_shared") >= 2)
-      .select(col("train_doc").as("doc_id"))
-      .distinct()
+    val contaminated = TextAnalysis.t14ContaminatedIds(s, dir)
     c1_clean_corpus(s, dir)
       .filter(col("doc_id") % 100 =!= 0) // eval docs never train
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -688,7 +685,7 @@ object Pipeline {
     * bias(bias), tau(tau)). */
   private val c14Cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String),
-    (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]()
+    () => (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   private[graft] def c14Model(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
@@ -769,38 +766,45 @@ object Pipeline {
         .groupBy(col("doc_id")).agg(sum((col("x") * col("w")).cast(DEC)).as("sd"))
         .crossJoin(broadcast(bias))
         .select(col("doc_id"), r6(col("sd").cast("double") + col("bias")).as("m"))
+    // WEIGHTS + BIAS in ONE checkpointed ≤257-row relation per iteration
+    // (optimization r16, r15 verdict item 3 "fuse adjacent 1-row checkpoint
+    // barriers"): r15 checkpointed w and bias separately — two eager job
+    // barriers per iteration whose scheduling floor, not data, dominates at
+    // bench SF (the 32-vs-8-core ratio ≈ 1 finding). The fused relation
+    // tags the bias row with a NULL bucket; one barrier per iteration
+    // computes both branches inside one job. The per-iteration bias
+    // checkpoint REASON is unchanged (un-checkpointed, bias_i's lineage
+    // embeds g0_1..g0_i — quadratic doc passes); the arithmetic is
+    // unchanged (identity transform, same r6 steps).
+    def fuseWb(wNext: DataFrame, biasNext: DataFrame): DataFrame =
+      graft.plans.BroadcastContract.boundedCheckpoint(
+        wNext.unionByName(biasNext.select(
+          lit(null).cast("string").as("bucket"), col("bias").as("w"))),
+        "c14 weights+bias: ≤257 rows by construction (256 hashed buckets + 1 bias)")
+    def wOf(wb: DataFrame): DataFrame = wb.filter(col("bucket").isNotNull)
+    def biasOf(wb: DataFrame): DataFrame =
+      wb.filter(col("bucket").isNull).select(col("w").as("bias"))
     // iteration 1: w = 0 ⇒ p ≡ 0.5 exactly (no transcendental)
     val (g1, g01) = grad(labels.select(col("doc_id"), lit(0.5).as("p")))
-    var w = graft.plans.BroadcastContract.boundedCheckpoint(
+    var wb = fuseWb(
       g1.select(col("bucket"), r6(-eta * col("g")).as("w")),
-      "c14 weights: ≤256 hashed buckets by construction")
-    // the bias is CHECKPOINTED per iteration (optimization r15, guide §5
-    // caching/lineage): un-checkpointed, bias_i's lineage embeds g0_1..g0_i
-    // — i doc-sized aggregation passes re-evaluated inside EVERY downstream
-    // job that references the bias (each margins/p job, each gradient job,
-    // the final score pass), a quadratic total in the iteration count at
-    // any scale. One 1-row checkpoint per iteration makes each g0 pass run
-    // exactly once. Identity transform — the arithmetic is unchanged.
-    var bias = graft.plans.BroadcastContract.boundedCheckpoint(
-      g01.select(r6(-eta * col("g0")).as("bias")),
-      "c14 bias: one global-aggregate row by construction")
+      g01.select(r6(-eta * col("g0")).as("bias")))
     // iterations 2..QualityGdIters: sigmoid under the current model
     // (pinned to the grid), gradient, step — each iteration is one
     // (doc,bucket) agg pass; checkpoints keep the lineage flat
     for (_ <- 2 to QualityGdIters) {
-      val p = margins(w, bias)
+      val p = margins(wOf(wb), biasOf(wb))
         .select(col("doc_id"), r6(lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
         .localCheckpoint()
       val (gi, g0i) = grad(p)
-      w = graft.plans.BroadcastContract.boundedCheckpoint(
-        w.join(gi, Seq("bucket"))
+      wb = fuseWb(
+        wOf(wb).join(gi, Seq("bucket"))
           .select(col("bucket"), r6(col("w") - eta * col("g")).as("w")),
-        "c14 weights: ≤256 hashed buckets by construction")
-      bias = graft.plans.BroadcastContract.boundedCheckpoint(
-        bias.crossJoin(g0i)
-          .select(r6(col("bias") - eta * col("g0")).as("bias")),
-        "c14 bias: one global-aggregate row by construction")
+        biasOf(wb).crossJoin(g0i)
+          .select(r6(col("bias") - eta * col("g0")).as("bias")))
     }
+    val w = wOf(wb)
+    val bias = biasOf(wb)
     // score = the final MARGIN; si = its 1e-6 grid point
     val score = margins(w, bias)
       .select(col("doc_id"), col("m").as("score"))
@@ -1009,7 +1013,7 @@ object Pipeline {
     * both-ends-settled rows. `Bench.clearShared` drops the cache so timed
     * runs pay the honest cold cost. */
   private val c15Cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+    (SparkSession, String), () => (DataFrame, DataFrame)]()
 
   /** Drop the staged settled index, the c14 model, and the settled
     * terminal artifacts (bench isolation). */
@@ -1017,13 +1021,20 @@ object Pipeline {
 
   private[graft] def c15SettledIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     QUtil.cachedPerSession(c15Cache, s, dir) {
-      val sPairs = Dedup.d3Pairs(s, dir)
-        .filter(col("jaccard") >= 0.5 &&
-                col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
-        .select(col("doc_a"), col("doc_b"))
-      val sClusters = Dedup.minLabelComponents(sPairs)
-        .select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
-        .localCheckpoint()
+      // the settled-cluster fixpoint (d3 pairs + min-label rounds) and the
+      // frozen-eval contaminated-id staging are independent eager chains —
+      // overlap them (r16, guide §2.6); m0 below consumes both
+      val (sClusters, _) = QUtil.par2(s)(
+        {
+          val sPairs = Dedup.d3Pairs(s, dir)
+            .filter(col("jaccard") >= 0.5 &&
+                    col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
+            .select(col("doc_a"), col("doc_b"))
+          Dedup.minLabelComponents(sPairs)
+            .select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+            .localCheckpoint()
+        },
+        TextAnalysis.t14ContaminatedIds(s, dir))
       val keepers = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"),
                 size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -1036,9 +1047,7 @@ object Pipeline {
       // frozen eval artifact: contamination graded against the FULL eval
       // suite (t14's n ≥ 2 contract) — the eval set does not grow with the
       // crawl, so settled and combined manifests share one gram table
-      val contaminated = TextAnalysis.t14_contamination(s, dir)
-        .filter(col("n_shared") >= 2)
-        .select(col("train_doc").as("doc_id")).distinct()
+      val contaminated = TextAnalysis.t14ContaminatedIds(s, dir)
       val m0 = keepers
         .join(lang, Seq("doc_id")).join(quality, Seq("doc_id"))
         .filter(col("predicted") === "en" && col("quality") >= 0.5 &&
@@ -1117,9 +1126,7 @@ object Pipeline {
       .select(col("doc_id"), col("predicted"))
     val quality = TextAnalysis.t2_quality_score(s, dir)
       .select(col("doc_id"), col("quality"))
-    val contaminated = TextAnalysis.t14_contamination(s, dir)
-      .filter(col("n_shared") >= 2)
-      .select(col("train_doc").as("doc_id")).distinct()
+    val contaminated = TextAnalysis.t14ContaminatedIds(s, dir)
     val adds = deltaDocs
       .join(merged, Seq("doc_id"), "left")
       .filter(col("anchor").isNull || col("anchor") === col("doc_id"))
@@ -1259,12 +1266,18 @@ object Pipeline {
     * nothing beyond its inputs at any scale; the trained gate's budget is
     * ⌈N/2⌉ over the WHOLE corpus (c14's contract), so the kept manifest
     * fraction is a measured outcome, not a parameter. */
-  def c16_gated_manifest(s: SparkSession, dir: String): DataFrame =
-    c13_release_manifest(s, dir)
-      .join(c14_quality_classifier(s, dir)
-              .filter(col("keep")).select(col("doc_id"), col("score")),
-            Seq("doc_id"))
-      .orderBy("doc_id")
+  def c16_gated_manifest(s: SparkSession, dir: String): DataFrame = {
+    // the c13 chain's eager staging (d8 clusters, t14 contaminated ids,
+    // d3 pairs) and the c14 trainer's GD barrier sequence are INDEPENDENT
+    // — build both halves concurrently (optimization r16, guide §2.6 via
+    // QUtil.par2) so one chain's scheduling gaps run the other's jobs.
+    // Join + output identical to the sequential spelling.
+    val (m, g) = QUtil.par2(s)(
+      c13_release_manifest(s, dir),
+      c14_quality_classifier(s, dir)
+        .filter(col("keep")).select(col("doc_id"), col("score")))
+    m.join(g, Seq("doc_id")).orderBy("doc_id")
+  }
 
   /** Oracle: the c13 and c14 oracles verbatim as derived tables, joined
     * on the doc spine with the keep gate applied. */
@@ -1581,13 +1594,15 @@ object Pipeline {
     * positions, and its shard manifest. `Bench.clearShared` drops the
     * cache so timed runs pay the honest cold cost. */
   private val c19Cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+    (SparkSession, String), () => (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
   private[graft] def c19Settled(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     QUtil.cachedPerSession(c19Cache, s, dir) {
-      val (_, m0) = c15SettledIndex(s, dir)
-      val (_, score, _, _, tau) = c14Model(s, dir)
+      // the settled index chain and the GD trainer are independent eager
+      // barrier chains — stage them concurrently (r16, guide §2.6)
+      val ((_, m0), (_, score, _, _, tau)) = QUtil.par2(s)(
+        c15SettledIndex(s, dir), c14Model(s, dir))
       val u0 = m0.filter(col("split") === "train")
         .join(score.select(col("doc_id"), col("score"), col("si")), Seq("doc_id"))
         .crossJoin(broadcast(tau))
@@ -1596,12 +1611,17 @@ object Pipeline {
       val cur0 = curriculumOver(u0)
         .withColumn("si", floor(col("score") * 1000000.0 + 0.5).cast("long"))
         .localCheckpoint()
-      val hist0 = cur0.groupBy(col("si")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val b0 = graft.plans.BroadcastContract.boundedCheckpoint(
-        decileBounds(hist0), "c19 settled decile boundaries: ≤9 rows by construction")
-      val shards0 = packShards(cur0.select(col("doc_id"), col("stage"),
-          col("rank_in_stage"), col("n_tokens"))).localCheckpoint()
+      // given cur0, the histogram→boundaries chain and the shard packing
+      // are independent — overlap their barrier chains (r16, guide §2.6)
+      val ((hist0, b0), shards0) = QUtil.par2(s)(
+        {
+          val h = cur0.groupBy(col("si")).agg(count(lit(1)).as("c"))
+            .localCheckpoint()
+          (h, graft.plans.BroadcastContract.boundedCheckpoint(decileBounds(h),
+            "c19 settled decile boundaries: ≤9 rows by construction"))
+        },
+        packShards(cur0.select(col("doc_id"), col("stage"),
+          col("rank_in_stage"), col("n_tokens"))).localCheckpoint())
       (cur0, hist0, b0, shards0)
     }
 
@@ -1681,9 +1701,16 @@ object Pipeline {
     * the batch diff, and doubles as the c14/c17 no-global-sort
     * decomposition proof on a second universe). Emits (doc_id, action,
     * stage_prev, stage_new, n_tokens, score), ordered by doc_id. */
-  def c19_curriculum_delta(s: SparkSession, dir: String): DataFrame =
-    c19CurriculumDeltaFrom(s, dir, c15_manifest_increment(s, dir)
-      .localCheckpoint()) // the O(delta) manifest fold — consumed 3×
+  def c19_curriculum_delta(s: SparkSession, dir: String): DataFrame = {
+    // the O(delta) manifest fold (consumed 3x below) and the settled
+    // curriculum staging share c15SettledIndex (computed once through the
+    // session cache's memoized thunk); their remaining barrier chains are
+    // independent — overlap them (r16, guide §2.6)
+    val (ledger, _) = QUtil.par2(s)(
+      c15_manifest_increment(s, dir).localCheckpoint(),
+      c19Settled(s, dir))
+    c19CurriculumDeltaFrom(s, dir, ledger)
+  }
 
   /** c19's ledger fold from a PRECOMPUTED c15 manifest ledger — factored
     * (r15) so the c20 release composite can thread ONE c15 fold through
@@ -1995,8 +2022,10 @@ object Pipeline {
     val fold = mx > thr
     val summary =
       if (fold) {
-        val led = c19CurriculumDeltaFrom(s, dir,
-            c15_manifest_increment(s, dir).localCheckpoint())
+        val (ledger0, _) = QUtil.par2(s)(
+          c15_manifest_increment(s, dir).localCheckpoint(),
+          c19Settled(s, dir)) // overlap, as in c19_curriculum_delta (r16)
+        val led = c19CurriculumDeltaFrom(s, dir, ledger0)
           .localCheckpoint() // consumed by the rollup and the repack
         led.agg(
             sum(when(col("action") === "enter", 1L).otherwise(0L)).as("n_enter"),
@@ -2304,14 +2333,27 @@ object Pipeline {
     // it. Aggregations are unchanged — output identical to the sequential
     // spelling.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    // pool threads re-activate the session explicitly (ADVICE r15:
+    // InheritableThreadLocal covers thread-creation time only), and every
+    // Future join unwraps ExecutionException so the surfaced error type
+    // matches the sequential spelling; the finally uses shutdownNow so a
+    // failed leg also CANCELS the in-flight ones (ADVICE r15).
+    def joinLeg[T](fut: java.util.concurrent.Future[T]): T =
+      try fut.get() catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
     def leg(body: => DataFrame): java.util.concurrent.Future[DataFrame] =
       pool.submit(new java.util.concurrent.Callable[DataFrame] {
-        override def call(): DataFrame = body.localCheckpoint()
+        override def call(): DataFrame = {
+          org.apache.spark.sql.SparkSession.setActiveSession(s)
+          body.localCheckpoint()
+        }
       })
     try {
       val backbone = pool.submit(new java.util.concurrent.Callable[
           (DataFrame, DataFrame, DataFrame)] {
         override def call(): (DataFrame, DataFrame, DataFrame) = {
+          org.apache.spark.sql.SparkSession.setActiveSession(s)
           val c15Led = c15_manifest_increment(s, dir)
             .localCheckpoint() // ONE manifest fold: rollup + c19's input
           val c19Led = c19CurriculumDeltaFrom(s, dir, c15Led)
@@ -2335,12 +2377,12 @@ object Pipeline {
       val media = leg(statusCounts(Multimodal.m9_incremental_media(s, dir),
         Seq("dup_of_base", "dup_in_delta", "neardup_of_base",
             "neardup_in_delta", "unique")))
-      val (c15Led, c19Led, shardD) = backbone.get()
-      longRows("text_exact", textExact.get())
-        .unionByName(longRows("text_near", textNear.get()))
-        .unionByName(longRows("postings", postings.get()))
-        .unionByName(longRows("vectors", vectors.get()))
-        .unionByName(longRows("media", media.get()))
+      val (c15Led, c19Led, shardD) = joinLeg(backbone)
+      longRows("text_exact", joinLeg(textExact))
+        .unionByName(longRows("text_near", joinLeg(textNear)))
+        .unionByName(longRows("postings", joinLeg(postings)))
+        .unionByName(longRows("vectors", joinLeg(vectors)))
+        .unionByName(longRows("media", joinLeg(media)))
         .unionByName(longRows("manifest", c15Led.agg(
           sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_add"),
           sum(when(col("action") === "retire", 1L).otherwise(0L)).as("n_retire"),
@@ -2357,7 +2399,7 @@ object Pipeline {
           sum(when(col("action") === "dropped", 1L).otherwise(0L)).as("n_dropped"),
           sum(when(col("action") === "changed", 1L).otherwise(0L)).as("n_changed"))))
         .orderBy("family", "metric")
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
   }
 
   /** c20 oracle: every family's full-recompute oracle as a derived table,

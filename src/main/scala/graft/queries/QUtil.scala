@@ -22,19 +22,64 @@ object QUtil {
     * OBJECT (reference equality — a recycled identityHashCode after GC can
     * never alias two sessions), with lazy eviction of stopped sessions'
     * entries on each miss so session churn cannot grow the cache without
-    * bound. */
+    * bound.
+    *
+    * The build runs OUTSIDE the map's bin lock (ADVICE r15): the map
+    * stores a memoized thunk, `putIfAbsent` decides the single builder in
+    * O(1), and the multi-minute Spark build executes in plain code — so
+    * concurrent legs staging UNRELATED keys that hash to the same bin
+    * never serialize on each other, and a builder that recursively
+    * touches the same map cannot deadlock/throw (the recursive lookup
+    * finds a thunk, not a locked bin). Losers of the race block on the
+    * winner's lazy val — first-build-wins, computed exactly once.
+    * INVARIANT: a builder must not recursively request its OWN key (the
+    * lazy val would self-deadlock) — same rule computeIfAbsent enforced,
+    * now without penalizing unrelated keys. */
   def cachedPerSession[K, V <: AnyRef](
-      cache: java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, K), V],
+      cache: java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, K), () => V],
       s: org.apache.spark.sql.SparkSession, k: K)(
       f: => V): V = {
     val key = (s, k)
     val hit = cache.get(key)
-    if (hit != null) hit
+    if (hit != null) hit()
     else {
       val it = cache.keySet().iterator()
       while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-      cache.computeIfAbsent(key, _ => f)
+      val thunk = new (() => V) { lazy val v: V = f; def apply(): V = v }
+      val prev = cache.putIfAbsent(key, thunk)
+      (if (prev != null) prev else thunk)()
     }
+  }
+
+  /** Run TWO independent eager staging bodies as concurrent Spark jobs
+    * (guide §2.6 "overlap independent jobs"), returning both results —
+    * the audit-chain queries are sequences of eager checkpoint barriers
+    * whose per-job scheduling floor, not data, dominates at bench SF
+    * (r15 verdict: every c16–c20 query's 32-vs-8-core ratio ≈ 1);
+    * overlapping two independent barrier chains halves their combined
+    * serial depth, and at data-bound scale the second chain back-fills
+    * the first's straggler tails. `fa` runs on the CALLER's thread (its
+    * session/thread-locals untouched); `fb` on a pool thread with the
+    * session re-activated explicitly (ADVICE r15: InheritableThreadLocal
+    * covers thread CREATION time only). Bodies sharing a staged artifact
+    * stay computed-once through [[cachedPerSession]]'s memoized thunks.
+    * On failure the other body is cancelled and the CAUSE is rethrown
+    * (not the ExecutionException wrapper — ADVICE r15). */
+  def par2[A, B](s: org.apache.spark.sql.SparkSession)(fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val fut = pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = {
+          org.apache.spark.sql.SparkSession.setActiveSession(s)
+          fb
+        }
+      })
+      val a = try fa catch { case t: Throwable => fut.cancel(true); throw t }
+      val b = try fut.get() catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+      (a, b)
+    } finally pool.shutdownNow()
   }
 
   /** Number of dictionary buckets for [[denseIds]] / [[denseIdsSqlCte]]. */

@@ -40,11 +40,11 @@ object Relational {
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  floor(sum(CAST(l_quantity AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_qty,
-      |  floor(sum(CAST(l_extendedprice AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_base_price,
-      |  floor(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-      |  floor(sum(CAST(l_quantity AS DECIMAL(25,8)))::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-      |  floor(sum(CAST(l_discount AS DECIMAL(25,8)))::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+      |  floor(sum(CAST(l_quantity AS DECIMAL(25,8)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_qty,
+      |  floor(sum(CAST(l_extendedprice AS DECIMAL(25,8)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_base_price,
+      |  floor(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,8)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+      |  floor(sum(CAST(l_quantity AS DECIMAL(25,8)))::VARCHAR::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+      |  floor(sum(CAST(l_discount AS DECIMAL(25,8)))::VARCHAR::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -81,7 +81,7 @@ object Relational {
 
   val q3Sql: String =
     """SELECT r_name, n_name,
-      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
+      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
       |  count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -154,7 +154,7 @@ object Relational {
       |  SELECT event_id, NULL::BIGINT AS user_id, event_type, value FROM events WHERE event_type = 'purchase'
       |)
       |SELECT event_type, count(*) AS n, count(user_id) AS n_with_user,
-      |  floor(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+      |  floor(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM unified GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Self-join co-engagement similarity — reference J3 static-similarity
@@ -224,7 +224,7 @@ object Relational {
 
   val q9Sql: String =
     """SELECT r_name, n_name,
-      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
+      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
       |  count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -327,9 +327,9 @@ object Relational {
   val q13Sql: String =
     """WITH a AS (
       |  SELECT l_partkey,
-      |         sum(CAST(l_quantity AS DECIMAL(18,6)))::DOUBLE / count(*) AS avg_qty
+      |         sum(CAST(l_quantity AS DECIMAL(18,6)))::VARCHAR::DOUBLE / count(*) AS avg_qty
       |  FROM lineitem GROUP BY 1)
-      |SELECT floor(sum(CAST(l_extendedprice AS DECIMAL(18,6)))::DOUBLE
+      |SELECT floor(sum(CAST(l_extendedprice AS DECIMAL(18,6)))::VARCHAR::DOUBLE
       |             / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
       |       count(*) AS n_items
       |FROM lineitem JOIN a USING (l_partkey)
@@ -351,7 +351,7 @@ object Relational {
 
   val q14Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
-      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
+      |  floor(sum(CAST(o_totalprice AS DECIMAL(25,8)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue,
       |  count(*) AS n_orders
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -627,7 +627,7 @@ object Relational {
   /** Full recompute — hash equality proves the incremental merge. */
   val q19Sql: String =
     """SELECT user_id, event_type, count(*) AS n,
-      |  floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0
+      |  floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0
       |    AS sum_value,
       |  max(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -973,11 +973,11 @@ object Relational {
   val q28Sql: String =
     """WITH e AS (
       |  SELECT user_id, count(*) AS n_purch,
-      |    floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS purch_value
+      |    floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS purch_value
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
       |), o AS (
       |  SELECT o_custkey AS user_id, count(*) AS n_orders,
-      |    floor(sum(CAST(o_totalprice AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS order_value
+      |    floor(sum(CAST(o_totalprice AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS order_value
       |  FROM orders WHERE o_totalprice > 350000.0 GROUP BY 1
       |)
       |SELECT coalesce(e.user_id, o.user_id) AS user_id,

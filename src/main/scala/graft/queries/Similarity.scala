@@ -106,10 +106,10 @@ object Similarity {
 
   val s1Sql: String =
     s"""WITH $elemsSqlCte, norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), dots AS (
       |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
-      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((q.v * d.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM e q JOIN e d ON q.i = d.i AND d.vec_id <> q.vec_id
       |  WHERE q.vec_id % 100 = 0
       |  GROUP BY 1, 2
@@ -185,7 +185,7 @@ object Similarity {
       s2PairsUncached(s, dir).localCheckpoint())
 
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), () => DataFrame]()
 
   /** Drop all shared materialized intermediates (bench isolation). */
   def clearShared(): Unit = {
@@ -243,7 +243,7 @@ object Similarity {
       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
       |  FROM bnd x JOIN bnd y ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id
       |), dots AS (
-      |  SELECT c.va, c.vb, sum((a.v * b.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |  SELECT c.va, c.vb, sum((a.v * b.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM cand c
       |  JOIN e a ON a.vec_id = c.va
       |  JOIN e b ON b.vec_id = c.vb AND b.i = a.i
@@ -311,12 +311,12 @@ object Similarity {
 
   val s3Sql: String =
     s"""WITH $elemsSqlCte, cent AS (
-      |  SELECT label, i, sum(v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
+      |  SELECT label, i, sum(v::DECIMAL(38,30))::VARCHAR::DOUBLE / count(*) AS cv
       |  FROM e GROUP BY 1, 2
       |), q AS (
       |  SELECT vec_id AS q_id, i, v AS qv FROM e WHERE vec_id % 100 = 0
       |), q2c AS (
-      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::DOUBLE AS cdp
+      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::VARCHAR::DOUBLE AS cdp
       |  FROM q JOIN cent USING (i) GROUP BY 1, 2
       |), routed AS (
       |  SELECT q_id, label FROM (
@@ -325,7 +325,7 @@ object Similarity {
       |    FROM q2c) WHERE rn = 1
       |), dots AS (
       |  SELECT q.q_id, r.label, d.vec_id,
-      |         sum((q.qv * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((q.qv * d.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM q JOIN routed r USING (q_id)
       |  JOIN e d ON d.i = q.i AND d.label = r.label AND d.vec_id <> q.q_id
       |  GROUP BY 1, 2, 3
@@ -396,7 +396,7 @@ object Similarity {
   // s4/s7/s10/s13/s14/c2 — one training pass per (session, dir, precision,
   // k), the s2Pairs staging discipline (Bench clears per timed run)
   private val coarseCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean, Int)), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean, Int)), () => DataFrame]()
 
   /** The Lloyd loop over an arbitrary TRAINING relation (vec_id, embedding)
     * — the full corpus for [[trainCoarse]], a bounded sample for
@@ -422,32 +422,45 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment (squared euclidean, ties to the lower
-    * cluster id): the ×k fan-out is one broadcast of the k centroid rows —
-    * the corpus never shuffles ×k. Keeps all input columns plus (cluster,
-    * cemb).
+    * cluster id). Keeps all input columns plus (cluster, cemb).
     *
-    * Optimization r15 (guide §2.3 "aggregate before you shuffle"): the
-    * argmin is a partial-aggregable `min(struct(dist, cluster))` instead of
-    * the previous `row_number` window over the fan — the window's Exchange
-    * carried all N×k fanned rows (embedding and centroid arrays included)
-    * across the network; the aggregation collapses the fan to ONE narrow
-    * (vec_id, dist, cluster) row per vector map-side, its fixed-size
-    * (double, long) buffer stays in whole-stage codegen, and only N such
-    * rows ever shuffle. cemb is re-attached from the k-row broadcast and
-    * the input columns by the vec_id equi-join (broadcast at bench SF;
-    * one N-row shuffle per side at scale — still ~k× fewer bytes than the
-    * fan Exchange). Selection rule identical: lexicographic
-    * min(dist, cluster) = ORDER BY dist, cluster → rank 1. */
+    * Optimization r16 (guide §1.1 first-principles: the argmin over a
+    * bounded centroid set needs NO shuffle at all): the k centroid rows are
+    * folded to ONE array row (sorted ascending by cluster id) and the
+    * per-vector argmin is a pure `aggregate()` projection over that array —
+    * a strict `<` fold over ascending cluster ids IS the lexicographic
+    * min(dist, cluster) the previous forms computed. Zero Exchange; the
+    * N×k distance arithmetic is unchanged but runs inside one scan
+    * projection instead of a fan-out. History: the r14 `row_number` window
+    * shuffled N payload-carrying rows and sorted them; the r15
+    * `min(struct(dist, cluster))` groupBy shuffled narrowly but re-scanned
+    * `emb` and added two joins, regressing the whole IVF family 1.2–2.0×
+    * (r15 verdict item 1). This form has one scan, no exchange, no join.
+    *
+    * Precondition (unchanged from r14): callers pass vec_id-unique
+    * relations. The fold computes each ROW's argmin, so duplicate vec_ids
+    * would each keep their own row (the r14 window kept exactly one) —
+    * all 9 call sites pass unique-vec_id relations by construction. */
   private[graft] def assignToNearest(emb: DataFrame, centroids: DataFrame, ex: Boolean): DataFrame = {
-    val best = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", sqDist(col("embedding"), col("cemb"), ex))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cluster"))).as("_m"))
-      .select(col("vec_id"), col("_m.cluster").as("cluster"))
-    emb.join(best, Seq("vec_id"))
-      .join(broadcast(centroids), Seq("cluster"))
-      .select(emb.columns.map(col) ++ Seq(col("cluster"), col("cemb")): _*)
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("cluster"), col("cemb")))).as("_cs"))
+    val seed = element_at(col("_cs"), 1)
+    val best = aggregate(
+      col("_cs"),
+      struct(lit(Double.PositiveInfinity).as("dist"),
+             seed.getField("cluster").as("cluster"),
+             seed.getField("cemb").as("cemb")),
+      (acc, c) => {
+        val d = sqDist(col("embedding"), c.getField("cemb"), ex)
+        when(d < acc.getField("dist"),
+             struct(d.as("dist"), c.getField("cluster").as("cluster"),
+                    c.getField("cemb").as("cemb")))
+          .otherwise(acc)
+      })
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("_best", best)
+      .select(emb.columns.map(col) ++
+        Seq(col("_best.cluster").as("cluster"), col("_best.cemb").as("cemb")): _*)
   }
 
   /** One Lloyd iteration as SQL over an element CTE (`e` = the full
@@ -456,12 +469,12 @@ object Similarity {
     * long form. Shared by the s4, s7, and c2-ann oracles. */
   private def assignAndMeanSql(cPrev: String, src: String = "e"): String =
     s"""  SELECT a.cluster, e.i,
-       |         sum(e.v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
+       |         sum(e.v::DECIMAL(38,30))::VARCHAR::DOUBLE / count(*) AS cv
        |  FROM (
        |    SELECT vec_id, cluster FROM (
        |      SELECT e.vec_id, c.cluster,
        |        row_number() OVER (PARTITION BY e.vec_id
-       |          ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+       |          ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
        |                   c.cluster) AS rn
        |      FROM $src e JOIN $cPrev c USING (i)
        |      GROUP BY e.vec_id, c.cluster)
@@ -567,7 +580,7 @@ object Similarity {
   private def pqCandCte(name: String, cb: String, src: String = "sub"): String =
     s"""$name AS (
       |  SELECT d.vec_id, d.j, $cb.c,
-      |         sum(((d.v - $cb.cv) * (d.v - $cb.cv))::DECIMAL(30,20))::DOUBLE AS sqd
+      |         sum(((d.v - $cb.cv) * (d.v - $cb.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE AS sqd
       |  FROM $src d JOIN $cb ON $cb.j = d.j AND $cb.i = d.i
       |  GROUP BY 1, 2, 3
       |)""".stripMargin
@@ -635,7 +648,7 @@ object Similarity {
       |${pqEncCte("enc0", "cand0")},
       |cb1 AS (
       |  SELECT s.j, e.c, s.i,
-      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |         sum((s.v)::DECIMAL(30,20))::VARCHAR::DOUBLE / count(*) AS cv
       |  FROM sub s JOIN enc0 e ON e.vec_id = s.vec_id AND e.j = s.j
       |  GROUP BY 1, 2, 3
       |),
@@ -698,7 +711,7 @@ object Similarity {
                                        codes: DataFrame)
 
   private val ivfpqCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), IvfPqIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), () => IvfPqIndex]()
 
   private def ivfpqIndex(s: SparkSession, dir: String, ex: Boolean): IvfPqIndex = {
     def build: IvfPqIndex = {
@@ -817,7 +830,7 @@ object Similarity {
       |  SELECT vec_id, cluster AS cell FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
@@ -830,7 +843,7 @@ object Similarity {
       |${pqEncCte("enc0", "cand0")},
       |cb1 AS (
       |  SELECT s.j, en.c, s.i,
-      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |         sum((s.v)::DECIMAL(30,20))::VARCHAR::DOUBLE / count(*) AS cv
       |  FROM sub s JOIN enc0 en ON en.vec_id = s.vec_id AND en.j = s.j
       |  GROUP BY 1, 2, 3
       |),
@@ -869,7 +882,7 @@ object Similarity {
       |  SELECT vec_id, cluster AS cell FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
@@ -882,7 +895,7 @@ object Similarity {
       |${pqEncCte("enc0", "cand0")},
       |cb1 AS (
       |  SELECT s.j, en.c, s.i,
-      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |         sum((s.v)::DECIMAL(30,20))::VARCHAR::DOUBLE / count(*) AS cv
       |  FROM sub s JOIN enc0 en ON en.vec_id = s.vec_id AND en.j = s.j
       |  GROUP BY 1, 2, 3
       |),
@@ -894,7 +907,7 @@ object Similarity {
       |  SELECT vec_id AS q_id, probe, cluster AS cell FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS probe
       |    FROM e JOIN c2 c USING (i)
       |    WHERE e.vec_id % $qmod = 0
@@ -906,7 +919,7 @@ object Similarity {
       |  JOIN c2 c ON c.cluster = r.cell AND c.i = e.i
       |), lut AS (
       |  SELECT r.q_id, r.probe, r.cell, r.j, cb.c,
-      |    floor(sum(((r.v - cb.cv) * (r.v - cb.cv))::DECIMAL(30,20))::DOUBLE
+      |    floor(sum(((r.v - cb.cv) * (r.v - cb.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE
       |          * 1000000.0)::BIGINT AS lm
       |  FROM qres r JOIN cb1 cb ON cb.j = r.j AND cb.i = r.i
       |  GROUP BY 1, 2, 3, 4, 5
@@ -976,7 +989,7 @@ object Similarity {
       |  SELECT q_id, n_id FROM ranked WHERE rank <= 10
       |), rr AS (
       |  SELECT sh.q_id, sh.n_id,
-      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::VARCHAR::DOUBLE
       |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
       |  FROM short sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
@@ -1186,19 +1199,19 @@ object Similarity {
     s"""WITH $elemsSqlCte, $coarseTrainCtes, asgd AS (
       |  SELECT vec_id, cluster AS cell, dist FROM (
       |    SELECT e.vec_id, c.cluster,
-      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS dist,
+      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE AS dist,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
       |  WHERE rn = 1
       |), norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2
       |  FROM e GROUP BY 1
       |), pr AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.dist AS da, b.dist AS db,
-      |         sum((ea.v * eb.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((ea.v * eb.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM asgd a JOIN asgd b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  JOIN e ea ON ea.vec_id = a.vec_id
       |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
@@ -1387,7 +1400,7 @@ object Similarity {
       |  SELECT pcell, cluster FROM (
       |    SELECT c.cluster, p.pcell,
       |      row_number() OVER (PARTITION BY c.cluster
-      |        ORDER BY sum(((c.cv - p.pv) * (c.cv - p.pv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((c.cv - p.pv) * (c.cv - p.pv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 p.pcell) AS rn
       |    FROM c2 c JOIN pil p USING (i)
       |    GROUP BY c.cluster, p.pcell)
@@ -1396,7 +1409,7 @@ object Similarity {
       |  SELECT vec_id, pcell FROM (
       |    SELECT e.vec_id, p.pcell,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - p.pv) * (e.v - p.pv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - p.pv) * (e.v - p.pv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 p.pcell) AS rn
       |    FROM e JOIN pil p USING (i)
       |    GROUP BY e.vec_id, p.pcell)
@@ -1404,9 +1417,9 @@ object Similarity {
       |), asgd AS (
       |  SELECT vec_id, cluster AS cell, dist FROM (
       |    SELECT e.vec_id, c.cluster,
-      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS dist,
+      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE AS dist,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e
       |    JOIN v2p USING (vec_id)
@@ -1419,11 +1432,11 @@ object Similarity {
 
   val c2AnnSql: String =
     s"""WITH $elemsSqlCte, $annRouteCtesSql, norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2
       |  FROM e GROUP BY 1
       |), pr AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.dist AS da, b.dist AS db,
-      |         sum((ea.v * eb.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((ea.v * eb.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM asgd a JOIN asgd b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  JOIN e ea ON ea.vec_id = a.vec_id
       |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
@@ -1450,9 +1463,9 @@ object Similarity {
     s"""WITH $elemsSqlCte, $annRouteCtesSql, asge AS (
       |  SELECT vec_id, cluster AS cell_exact, dist AS dist_e FROM (
       |    SELECT e.vec_id, c.cluster,
-      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS dist,
+      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE AS dist,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
@@ -1543,7 +1556,7 @@ object Similarity {
   private def prRemSql(src: String, pr: String, rem: String): String =
     s"""$pr AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.dist AS da, b.dist AS db,
-      |         sum((ea.v * eb.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((ea.v * eb.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM $src a JOIN $src b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  JOIN e ea ON ea.vec_id = a.vec_id
       |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
@@ -1565,15 +1578,15 @@ object Similarity {
     s"""WITH $elemsSqlCte, $annRouteCtesSql, asge AS (
       |  SELECT vec_id, cluster AS cell, dist FROM (
       |    SELECT e.vec_id, c.cluster,
-      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS dist,
+      |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE AS dist,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
       |  WHERE rn = 1
       |), norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2
       |  FROM e GROUP BY 1
       |), ${prRemSql("asgd", "prA", "remA")},
       |${prRemSql("asge", "prE", "remE")}
@@ -1682,10 +1695,10 @@ object Similarity {
     * engine's two-stage plan equals this. */
   val s11Sql: String =
     s"""WITH $elemsSqlCte, norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), dots AS (
       |  SELECT a.vec_id AS q_id, a.label AS label, b.vec_id AS n_id,
-      |         sum((a.v * b.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((a.v * b.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
       |                   AND a.vec_id <> b.vec_id
       |  GROUP BY 1, 2, 3
@@ -1804,10 +1817,10 @@ object Similarity {
       |  FROM bnd x JOIN bnd y ON x.label = y.label AND x.k = y.k AND x.bv = y.bv
       |                       AND x.vec_id <> y.vec_id
       |), norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), dots AS (
       |  SELECT c.q_id, c.label, c.n_id,
-      |         sum((a.v * b.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((a.v * b.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM cand c
       |  JOIN e a ON a.vec_id = c.q_id
       |  JOIN e b ON b.vec_id = c.n_id AND b.i = a.i
@@ -1910,9 +1923,9 @@ object Similarity {
     s"""WITH $elemsSqlCte, $coarseTrainCtes, asg AS (
        |  SELECT vec_id, cluster, d FROM (
        |    SELECT e.vec_id, c.cluster,
-       |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE AS d,
+       |      sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE AS d,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+       |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
        |                 c.cluster) AS rn
        |    FROM e JOIN c2 c USING (i)
        |    GROUP BY e.vec_id, c.cluster)
@@ -1979,12 +1992,12 @@ object Similarity {
 
   val s15Sql: String =
     s"""WITH $elemsSqlCte, cent AS (
-      |  SELECT label, i, sum(v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
+      |  SELECT label, i, sum(v::DECIMAL(38,30))::VARCHAR::DOUBLE / count(*) AS cv
       |  FROM e GROUP BY 1, 2
       |), q AS (
       |  SELECT vec_id AS q_id, i, v AS qv FROM e WHERE vec_id % 100 = 0
       |), q2c AS (
-      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::DOUBLE AS cdp
+      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::VARCHAR::DOUBLE AS cdp
       |  FROM q JOIN cent USING (i) GROUP BY 1, 2
       |), routed AS (
       |  SELECT q_id, label FROM (
@@ -1993,7 +2006,7 @@ object Similarity {
       |    FROM q2c) WHERE rn = 1
       |), dots AS (
       |  SELECT q.q_id, r.label, d.vec_id,
-      |         sum((q.qv * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((q.qv * d.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM q JOIN routed r USING (q_id)
       |  JOIN e d ON d.i = q.i AND d.label = r.label AND d.vec_id <> q.q_id
       |    AND d.vec_id % 2 = 0
@@ -2091,10 +2104,10 @@ object Similarity {
       |  SELECT query_id, doc_id, rk AS rk_bm FROM bm_full
       |  WHERE query_id IN (SELECT vec_id FROM embeddings)
       |), $elemsSqlCte, norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), dots AS (
       |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
-      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((q.v * d.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM e q JOIN e d ON q.i = d.i AND d.vec_id <> q.vec_id
       |  WHERE q.vec_id % 50 = 0
       |  GROUP BY 1, 2
@@ -2233,7 +2246,7 @@ object Similarity {
       |  SELECT q_id, n_id FROM ranked WHERE rank <= 200
       |), rr AS (
       |  SELECT sh.q_id, sh.n_id,
-      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::VARCHAR::DOUBLE
       |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
       |  FROM short sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
@@ -2277,7 +2290,7 @@ object Similarity {
     }
 
   private val ivfpqSettledCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), IvfPqIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), () => IvfPqIndex]()
 
   /** The delta fold of [[s18_ivfpq_incremental]], factored for the
     * append-only spec: delta vectors assigned via the FROZEN settled
@@ -2398,7 +2411,7 @@ object Similarity {
       |  SELECT vec_id, cluster AS cell FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
@@ -2413,7 +2426,7 @@ object Similarity {
       |${pqEncCte("enc0", "cand0")},
       |cb1 AS (
       |  SELECT s.j, en.c, s.i,
-      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |         sum((s.v)::DECIMAL(30,20))::VARCHAR::DOUBLE / count(*) AS cv
       |  FROM subs s JOIN enc0 en ON en.vec_id = s.vec_id AND en.j = s.j
       |  GROUP BY 1, 2, 3
       |),
@@ -2567,7 +2580,7 @@ object Similarity {
       |  SELECT vec_id, cluster AS cell FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN rc2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
@@ -2582,7 +2595,7 @@ object Similarity {
       |${pqEncCte("renc0", "rcand0")},
       |rcb1 AS (
       |  SELECT s.j, en.c, s.i,
-      |         sum((s.v)::DECIMAL(30,20))::DOUBLE / count(*) AS cv
+      |         sum((s.v)::DECIMAL(30,20))::VARCHAR::DOUBLE / count(*) AS cv
       |  FROM rsub s JOIN renc0 en ON en.vec_id = s.vec_id AND en.j = s.j
       |  GROUP BY 1, 2, 3
       |),
@@ -2662,12 +2675,12 @@ object Similarity {
 
   val s17Sql: String =
     s"""WITH $elemsSqlCte, norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), lab AS (SELECT DISTINCT vec_id, label FROM e),
       |dots AS (
       |  SELECT q.vec_id AS q_id, lq.label AS q_label, d.vec_id AS n_id,
       |         ld.label AS n_label,
-      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((q.v * d.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM e q
       |  JOIN lab lq ON lq.vec_id = q.vec_id
       |  JOIN e d ON d.i = q.i
@@ -2761,11 +2774,11 @@ object Similarity {
       |    FROM scf)
       |  WHERE adc_rank <= 200
       |), norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2
       |  FROM e GROUP BY 1
       |), rr AS (
       |  SELECT sh.q_id, sh.q_label, sh.n_id, sh.n_label,
-      |         sum((eq.v * ed.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((eq.v * ed.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM short sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
       |  JOIN e ed ON ed.vec_id = sh.n_id AND ed.i = eq.i
@@ -2924,7 +2937,7 @@ object Similarity {
       |  SELECT q_id, n_id FROM adcrk1 WHERE rank <= 200
       |), rrx1 AS (
       |  SELECT sh.q_id, sh.n_id,
-      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::VARCHAR::DOUBLE
       |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
       |  FROM short10_1 sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
@@ -2946,7 +2959,7 @@ object Similarity {
       |  SELECT q_id, n_id FROM adcrk2 WHERE rank <= 200
       |), rrx2 AS (
       |  SELECT sh.q_id, sh.n_id,
-      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::VARCHAR::DOUBLE
       |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
       |  FROM short10_2 sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
@@ -2964,7 +2977,7 @@ object Similarity {
       |  SELECT q_id, n_id FROM adcrk2 WHERE rank <= 10
       |), rrx2s AS (
       |  SELECT sh.q_id, sh.n_id,
-      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::VARCHAR::DOUBLE
       |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
       |  FROM short10_2s sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
@@ -2986,7 +2999,7 @@ object Similarity {
       |  SELECT q_id, n_id FROM adcrk4 WHERE rank <= 200
       |), rrx4 AS (
       |  SELECT sh.q_id, sh.n_id,
-      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::DOUBLE
+      |    floor(sum(((eq.v - ed.v) * (eq.v - ed.v))::DECIMAL(30,20))::VARCHAR::DOUBLE
       |          * 1000000.0 + 0.5)::BIGINT AS sqd_micro
       |  FROM short10_4 sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
@@ -3001,10 +3014,10 @@ object Similarity {
       |), ivf5_4 AS (
       |  SELECT query_id, doc_id, rk_ann AS rk FROM ivf10_4 WHERE rk_ann <= 5
       |), norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), dotsx AS (
       |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
-      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((q.v * d.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM e q JOIN e d ON q.i = d.i AND d.vec_id <> q.vec_id
       |  WHERE q.vec_id % 50 = 0
       |  GROUP BY 1, 2
@@ -3303,10 +3316,10 @@ object Similarity {
     * template-parameterized, per the round-9 `ivfpqAdcCtesAt` rule). */
   def s20SqlAt(depth: Int): String =
     s"""WITH $elemsSqlCte, $sq8SqlCtes, norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), rr AS (
       |  SELECT sh.q_id, sh.vec_id, sh.iscore,
-      |         sum((eq.v * ed.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((eq.v * ed.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM srk sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
       |  JOIN e ed ON ed.vec_id = sh.vec_id AND ed.i = eq.i
@@ -3526,10 +3539,10 @@ object Similarity {
     * [[ivfSq8ScoredMp]](4). */
   private def sq8AuditCtes: String =
     s"""norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), dots AS (
       |  SELECT q.vec_id AS q_id, d.vec_id AS vec_id,
-      |         sum((q.v * d.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((q.v * d.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM e q JOIN e d ON q.i = d.i AND d.vec_id <> q.vec_id
       |  WHERE q.vec_id % 100 = 0
       |  GROUP BY 1, 2
@@ -3548,12 +3561,12 @@ object Similarity {
       |), top1 AS (
       |  SELECT q_id, vec_id AS top1 FROM exrk WHERE rank = 1
       |), cent AS (
-      |  SELECT label, i, sum(v::DECIMAL(38,30))::DOUBLE / count(*) AS cv
+      |  SELECT label, i, sum(v::DECIMAL(38,30))::VARCHAR::DOUBLE / count(*) AS cv
       |  FROM e GROUP BY 1, 2
       |), qe AS (
       |  SELECT vec_id AS q_id, i, v AS qv FROM e WHERE vec_id % 100 = 0
       |), q2c AS (
-      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::DOUBLE AS cdp
+      |  SELECT q_id, label, sum((qv * cv)::DECIMAL(30,20))::VARCHAR::DOUBLE AS cdp
       |  FROM qe JOIN cent USING (i) GROUP BY 1, 2
       |), qroute22 AS (
       |  SELECT q_id, label, probe FROM (
@@ -3788,13 +3801,21 @@ object Similarity {
     // overlap happens; results are unioned in the deterministic ks order
     // and every per-point relation is keyed by its own `cells` literal, so
     // the output is identical to the sequential form.
+    // pool threads re-activate the session explicitly, joins unwrap
+    // ExecutionException, and the finally shutdownNow also cancels
+    // in-flight points on a failure (ADVICE r15, same fixes as c20's pool)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(ks.size)
     val points = try {
       ks.map(k => pool.submit(new java.util.concurrent.Callable[(DataFrame, DataFrame)] {
-          override def call(): (DataFrame, DataFrame) = sweepPoint(k)
+          override def call(): (DataFrame, DataFrame) = {
+            org.apache.spark.sql.SparkSession.setActiveSession(s)
+            sweepPoint(k)
+          }
         }))
-        .map(_.get())
-    } finally pool.shutdown()
+        .map(fut => try fut.get() catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
+    } finally pool.shutdownNow()
     val report = recallReport(points.map(_._1).reduce(_ unionByName _),
                               Seq("cells"), truth5, top1)
     val scans = points.map(_._2).reduce(_ unionByName _)
@@ -3850,7 +3871,7 @@ object Similarity {
       |  SELECT pcell, cluster FROM (
       |    SELECT c.cluster, p.pcell,
       |      row_number() OVER (PARTITION BY c.cluster
-      |        ORDER BY sum(((c.cv - p.pv) * (c.cv - p.pv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((c.cv - p.pv) * (c.cv - p.pv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 p.pcell) AS rn
       |    FROM c2_$tag c JOIN pil_$tag p USING (i)
       |    GROUP BY c.cluster, p.pcell)
@@ -3859,7 +3880,7 @@ object Similarity {
       |  SELECT vec_id, pcell FROM (
       |    SELECT e.vec_id, p.pcell,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - p.pv) * (e.v - p.pv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - p.pv) * (e.v - p.pv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 p.pcell) AS rn
       |    FROM e JOIN pil_$tag p USING (i)
       |    GROUP BY e.vec_id, p.pcell)
@@ -3868,7 +3889,7 @@ object Similarity {
       |  SELECT vec_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e
       |    JOIN v2p_$tag v ON v.vec_id = e.vec_id
@@ -3880,7 +3901,7 @@ object Similarity {
       |  SELECT vec_id AS q_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS probe
       |    FROM e JOIN c2_$tag c USING (i)
       |    WHERE e.vec_id % 100 = 0
@@ -3970,7 +3991,7 @@ object Similarity {
       |  SELECT vec_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
@@ -3979,7 +4000,7 @@ object Similarity {
       |  SELECT vec_id AS q_id, probe, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS probe
       |    FROM e JOIN c2 c USING (i)
       |    WHERE e.vec_id % 100 = 0
@@ -4043,7 +4064,7 @@ object Similarity {
       |  SELECT vec_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2_$tag c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
@@ -4052,7 +4073,7 @@ object Similarity {
       |  SELECT vec_id AS q_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS probe
       |    FROM e JOIN c2_$tag c USING (i)
       |    WHERE e.vec_id % 100 = 0
@@ -4251,7 +4272,7 @@ object Similarity {
   // rebuild — the exact-decimal argmin pass is the cost — while the int8
   // encode stays unstaged per the round-10 refutation)
   private val sq8AsgCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, (String, Boolean)), () => DataFrame]()
 
   /** The TRAINED corpus assignment behind the serving router: every vector
     * assigned to its nearest trained coarse centroid (s4/s7's k-means,
@@ -4340,7 +4361,7 @@ object Similarity {
       |  SELECT vec_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS rn
       |    FROM e JOIN c2 c USING (i)
       |    GROUP BY e.vec_id, c.cluster)
@@ -4349,7 +4370,7 @@ object Similarity {
       |  SELECT vec_id AS q_id, cluster FROM (
       |    SELECT e.vec_id, c.cluster,
       |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::DOUBLE,
+      |        ORDER BY sum(((e.v - c.cv) * (e.v - c.cv))::DECIMAL(30,20))::VARCHAR::DOUBLE,
       |                 c.cluster) AS probe
       |    FROM e JOIN c2 c USING (i)
       |    WHERE e.vec_id % 100 = 0
@@ -4369,10 +4390,10 @@ object Similarity {
       |    row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id) AS q_rank
       |  FROM isc22
       |), norms AS (
-      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::DOUBLE AS n2 FROM e GROUP BY 1
+      |  SELECT vec_id, sum((v * v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS n2 FROM e GROUP BY 1
       |), rr AS (
       |  SELECT sh.q_id, sh.cluster, sh.vec_id, sh.iscore,
-      |         sum((eq.v * ed.v)::DECIMAL(30,20))::DOUBLE AS dp
+      |         sum((eq.v * ed.v)::DECIMAL(30,20))::VARCHAR::DOUBLE AS dp
       |  FROM srk22 sh
       |  JOIN e eq ON eq.vec_id = sh.q_id
       |  JOIN e ed ON ed.vec_id = sh.vec_id AND ed.i = eq.i

@@ -656,33 +656,47 @@ object TextAnalysis {
   def t14_contamination(s: SparkSession, dir: String): DataFrame =
     t14Rel(s, dir).orderBy("train_doc", "eval_doc")
 
-  /** t14's contamination relation, staged per (session, sf-dir)
-    * (optimization r15): the frozen-eval-contamination table is consumed by
-    * THREE independent funnel legs within one release query (c3's
-    * decontamination inside the c13 chain, c15SettledIndex's settled gate,
-    * c15_manifest_increment's delta gate) — un-staged, each leg re-ran the
-    * gram self-join. This IS the frozen-eval artifact the scaladoc above
-    * describes ("the eval set does not grow with the crawl"), so staging it
-    * per session is the same discipline as d3Pairs/bm25SettledIndex;
-    * `Bench.clearShared` drops it per timed run. */
-  private val t14Cache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+  /** t14's contamination relation — the full (train_doc, eval_doc,
+    * n_shared) table. NOT staged (optimization r16): the only consumer of
+    * the full relation is the declared t14 query itself (one use per run),
+    * and r15's unconditional `localCheckpoint` here charged every funnel
+    * query an eager materialization of the whole pair table when all any
+    * funnel leg reads is the contaminated-id SET — c15_budget_delta paid
+    * 7.1 → 9.0 s for a checkpoint it used once (r15 verdict item 4). The
+    * funnel legs now stage [[t14ContaminatedIds]] instead. */
+  private def t14Rel(s: SparkSession, dir: String): DataFrame = {
+    val N = 3
+    val gramsStr = docGramsStr(s, dir, N)
+    val grams =
+      if (s.conf.get("spark.graft.gramHashKey", "false").toBoolean)
+        gramsStr.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      else gramsStr
+    val ev = grams.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("eval_doc"), col("gram"))
+    val tr = grams.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gram"))
+    tr.join(ev, Seq("gram"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count_distinct(col("gram")).as("n_shared"))
+  }
 
-  private def t14Rel(s: SparkSession, dir: String): DataFrame =
+  /** The FROZEN-EVAL CONTAMINATED-ID SET (train docs sharing ≥ 2 grams
+    * with any eval doc), staged per (session, sf-dir) — what every funnel
+    * consumer (c3's decontamination inside the c13 chain,
+    * c15SettledIndex's settled gate, c15_manifest_increment's delta gate)
+    * actually reads of t14. Staging THIS instead of the full t14 relation
+    * (r15's choice) keeps the shared-artifact discipline (one gram
+    * self-join per session; the eval set does not grow with the crawl)
+    * while the materialized artifact is doc-id-set-sized, not
+    * pair-table-sized. `Bench.clearShared` drops it per timed run. */
+  private val t14Cache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), () => DataFrame]()
+
+  private[graft] def t14ContaminatedIds(s: SparkSession, dir: String): DataFrame =
     cachedPerSession(t14Cache, s, dir) {
-      val N = 3
-      val gramsStr = docGramsStr(s, dir, N)
-      val grams =
-        if (s.conf.get("spark.graft.gramHashKey", "false").toBoolean)
-          gramsStr.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-        else gramsStr
-      val ev = grams.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("eval_doc"), col("gram"))
-      val tr = grams.filter(col("doc_id") % 100 =!= 0)
-        .select(col("doc_id").as("train_doc"), col("gram"))
-      tr.join(ev, Seq("gram"))
-        .groupBy(col("train_doc"), col("eval_doc"))
-        .agg(count_distinct(col("gram")).as("n_shared"))
+      t14Rel(s, dir)
+        .filter(col("n_shared") >= 2)
+        .select(col("train_doc").as("doc_id")).distinct()
         .localCheckpoint()
     }
 
@@ -1658,7 +1672,7 @@ object TextAnalysis {
   }
 
   private val postingsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), () => DataFrame]()
 
   /** Drop the shared materialized postings (bench isolation). */
   def clearShared(): Unit = {
@@ -1838,7 +1852,7 @@ object TextAnalysis {
 
   private val bm25BaseCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (DataFrame, DataFrame, DataFrame)]()
+      () => (DataFrame, DataFrame, DataFrame)]()
 
   /** T28: DSIR IMPORTANCE WEIGHTS (Data Selection via Importance
     * Resampling, Xie et al. 2023) — the targeted-selection pass that picks

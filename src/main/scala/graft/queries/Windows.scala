@@ -25,11 +25,11 @@ object Windows {
 
   /** Exact-decimal groupBy sum + floor-round — run-stable under any shuffle
     * merge order (see QUtil.round4). The matching oracle form is
-    * `floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0`. */
+    * `floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0`. */
   private[queries] def dsum2(c: org.apache.spark.sql.Column) =
     round2(sum(c.cast("decimal(18,6)")).cast("double"))
   private val dsumSql =
-    "floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0"
+    "floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0"
 
   /** W1/W8: per-type tumbling 1 h counts + sums (CountMessages analog). */
   def w1_tumbling_counts(s: SparkSession, dir: String): DataFrame =
@@ -41,7 +41,7 @@ object Windows {
 
   val w1Sql: String =
     """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT AS win_start,
-      |       event_type, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+      |       event_type, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** W2/W3: sliding 6 h window, 1 h slide, per type — the active-post
@@ -56,7 +56,7 @@ object Windows {
 
   val w2Sql: String =
     """SELECT floor(epoch(time_bucket(INTERVAL '1 hour', ts)))::BIGINT - 3600 * k AS win_start,
-      |       event_type, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+      |       event_type, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM events CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -86,7 +86,7 @@ object Windows {
 
   val w8Sql: String =
     """SELECT floor(epoch(time_bucket(INTERVAL '10 minutes', ts)))::BIGINT AS win_start,
-      |       user_id, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+      |       user_id, count(*) AS n, floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** W9: session windows, 30 min gap, per user — built-in `session_window`
@@ -117,7 +117,7 @@ object Windows {
       |                   ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM o)
       |SELECT floor(epoch(min(ts)))::BIGINT AS sess_start, user_id,
-      |       count(*) AS n_events, floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+      |       count(*) AS n_events, floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
 
   /** W12: DYNAMIC-GAP session windows — `session_window` with a per-row gap
@@ -163,7 +163,7 @@ object Windows {
       |  FROM b)
       |SELECT floor(epoch(min(ts)))::BIGINT AS sess_start, user_id,
       |       count(*) AS n_events,
-      |       floor(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+      |       floor(sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
       |FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
 
   /** W7/F6: top-5 "recommendations" — per event_type, per-user dynamic
@@ -195,7 +195,7 @@ object Windows {
   val w7Sql: String =
     """WITH per_user AS (
       |  SELECT event_type, user_id,
-      |         sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS dyn, count(*)::DOUBLE AS stat
+      |         sum(CAST(value AS DECIMAL(18,6)))::VARCHAR::DOUBLE AS dyn, count(*)::DOUBLE AS stat
       |  FROM events GROUP BY 1, 2
       |), norm AS (
       |  SELECT event_type, user_id,

@@ -119,6 +119,43 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("k-core H-index aggregation form equals in-memory peeling on random graphs") {
+    // r16 rewrote hIndex from a row_number window (per-node sort of the
+    // E-sized join output) to a partial-aggregable (u, nc) count + the
+    // h = max over distinct w of min(w, cum(w)) identity — this pins the
+    // identity against an exact in-memory peeling on arbitrary topologies
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 15 + trial * 10
+      val und = (1 to n * 3)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      und.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      val deg = scala.collection.mutable.Map(adj.toSeq.map { case (k, v) => k -> v.size }: _*)
+      val core = scala.collection.mutable.Map.empty[Long, Long]
+      val alive = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+      var k = 0
+      while (alive.nonEmpty) {
+        val peel = alive.filter(v => deg(v) <= k).toSeq
+        if (peel.isEmpty) k += 1
+        else peel.foreach { v =>
+          core(v) = k.toLong; alive -= v
+          adj(v).foreach(u => if (alive(u)) deg(u) = deg(u) - 1)
+        }
+      }
+      val ed = und.toDF("u", "v")
+      val sym = ed.unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+      val got = Graph.kcoreOf(sym)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == core.toMap, s"trial $trial (n=$n, ${und.size} edges)")
+    }
+  }
+
   test("fails loudly on an unresolvable (cyclic) relation") {
     val edges = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("event_id", "parent_id")
     intercept[Exception] { Graph.resolveRoots(edges, maxIters = 4).count() }

@@ -532,6 +532,41 @@ class SimilaritySpec extends SparkSpec {
     assert(math.max(math.abs(mn), mx) == 127, s"no code on the rail: [$mn, $mx]")
   }
 
+  test("assignToNearest zero-shuffle fold equals the brute-force argmin, ties to lower cluster") {
+    // r16 rewrote the assignment from a groupBy argmin + two joins (the
+    // r15 IVF-family regression) to a pure per-row aggregate() fold over
+    // the broadcast centroid array — this pins the fold (both precision
+    // paths) against an in-memory argmin, with duplicated centroid
+    // vectors forcing exact distance ties.
+    import spark.implicits._
+    graft.functions.SqDist.register(spark)
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 60L).map(i => (i, Seq.fill(4)(rnd.nextInt(3).toDouble)))
+    val cents0 = (0L until 5L).map(c => (c, Seq.fill(4)(rnd.nextInt(3).toDouble)))
+    val cents = cents0.updated(3, (3L, cents0(1)._2)) // clusters 1 and 3 tie exactly
+    val embDf = emb.toDF("vec_id", "embedding")
+    val centDf = cents.toDF("cluster", "cemb")
+    val expected = emb.map { case (id, e) =>
+      id -> cents.map { case (c, ce) =>
+        (e.zip(ce).map { case (x, y) => (x - y) * (x - y) }.sum, c)
+      }.min._2
+    }.toMap
+    for (ex <- Seq(true, false)) {
+      val out = graft.queries.Similarity.assignToNearest(embDf, centDf, ex)
+      val rows = out.collect()
+      val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"ex=$ex")
+      // cemb must be the assigned cluster's centroid, input columns intact
+      assert(out.columns.toSeq == Seq("vec_id", "embedding", "cluster", "cemb"))
+      val cmap = cents.toMap
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Double]]("cemb") == cmap(r.getLong(2)), s"ex=$ex cemb")
+        assert(r.getAs[scala.collection.Seq[Double]]("embedding") ==
+          emb(r.getLong(0).toInt)._2, s"ex=$ex embedding")
+      }
+    }
+  }
+
   test("s20 equals the brute-force top-5 at full depth, and at the DEFAULT depth at sf0.01") {
     // full shortlist ⇒ the exact re-rank IS the brute-force ranking
     spark.conf.set("spark.graft.sq8RerankDepth", "1000000")
